@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish star schema + event/LLM
+  * fixtures (see /root/repo/TESTDATA.md). All readers are plain parquet
+  * scans so Catalyst predicate pushdown / column pruning apply end-to-end:
+  * a downstream `.select(...).filter(...)` reaches the parquet footer as
+  * `PushedFilters` + a pruned `ReadSchema`.
+  *
+  * At 100 TB these tables would be directory-partitioned (e.g. lineitem by
+  * `l_shipdate` month); the loaders take a directory so the same code reads
+  * a partitioned layout unchanged — partition pruning is then free.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[session]]), which
+    * surfaces the column as LongType nanos; this loader converts to a
+    * proper TimestampType (µs) with integer `div` — lossless on µs-aligned
+    * data (verified: all fixture rows are), and identical to DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP truncation otherwise. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Session config every entry point needs: UTC semantics, ns-parquet
+    * compatibility, fixture-scale shuffle parallelism. */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

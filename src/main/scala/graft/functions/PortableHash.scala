@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing used by the dedup / fingerprint
+  * operators: a 60-bit integer derived from the md5 hex digest. Portable
+  * because md5 is bit-identical everywhere, unlike engine-native `hash()`
+  * (Spark Murmur3 vs DuckDB's internal hash) — so the same value is
+  * computable in the DuckDB oracle (`('0x' || substr(md5(x),1,15))::BIGINT`)
+  * and in any other engine a user cross-checks against.
+  *
+  * md5 here is a partitioning/sketch hash, not a security boundary.
+  * Codegen: `md5`/`conv`/`substring` are all built-in codegen'd
+  * expressions, so this stays inside WholeStageCodegen (no UDF).
+  */
+object PortableHash {
+  /** Large Mersenne-ish prime used for sketch arithmetic: (a*h+b) stays
+    * within int64 for h < P and a < 2^32. */
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** 60-bit integer from md5(col) — first 15 hex chars. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same value mod P — the sketch-domain hash. */
+  def md5Mod(c: Column): Column = md5Long(c) % P
+
+  /** DuckDB SQL rendering of [[md5Long]] for oracle queries. */
+  def md5LongSql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  def md5ModSql(expr: String): String =
+    s"(${md5LongSql(expr)} % $P)"
+}

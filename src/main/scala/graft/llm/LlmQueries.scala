@@ -1,0 +1,292 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+import graft.core.Tables
+import graft.functions.PortableHash
+import graft.operators.Windows
+
+/** LLM-training-data pipeline operators (mandated extension — not in the
+  * reference, which has no relational/text layer; see SURVEY §2.3 last row):
+  * exact + near-duplicate detection (MinHash/LSH, SimHash, n-gram Jaccard),
+  * embedding similarity search, and text analysis over the driver's
+  * `documents` / `embeddings` fixtures.
+  *
+  * Every query keeps a DuckDB oracle. Portability discipline:
+  *  - hashes go through [[PortableHash.md5Long]] (md5 is bit-identical in
+  *    both engines; engine-native `hash()` is not);
+  *  - dot products / norms accumulate in DECIMAL(30,15) — decimal addition
+  *    is exact and associative, so Spark's partial aggregation and DuckDB's
+  *    serial sum produce identical values; the single deterministic
+  *    double→decimal rounding happens per element, not per fold order;
+  *  - no transcendental functions (exp/ln/pow) in outputs — libm results
+  *    differ across engines; +,-,*,/ and sqrt are IEEE-exact everywhere.
+  *
+  * Scale notes are per-query; the common theme: everything is one explode +
+  * one hash-partitioned aggregation/join — shapes that scale linearly on a
+  * 1000-executor cluster. Candidate generation (LSH bands, buckets) bounds
+  * the pair space instead of the O(n²) all-pairs comparison.
+  */
+object LlmQueries {
+
+  private val P = PortableHash.P // 2^31 - 1, sketch hash domain
+
+  /** Integer quantization for cross-engine-exact vector math: components
+    * are scaled to 1e-7 resolution and rounded to int64, so dot products
+    * and norms are EXACT integer sums (order-free, shuffle-safe), and the
+    * final cosine is a fixed sequence of IEEE double ops (int64→double,
+    * ·, sqrt, ÷ — all correctly rounded everywhere). 1e-7 relative error
+    * is far below any similarity threshold that matters. */
+  private val QScale = 10000000L // 1e7
+
+  private def quant(x: Column): Column =
+    round(x.cast("double") * QScale, 0).cast("long")
+
+  /** Σ q(xᵢ)·q(yᵢ) — exact int64 (64 dims × (3e7)² ≈ 6e16 < 2⁶³). */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => quant(x) * quant(y)), lit(0L), (s, v) => s + v)
+
+  /** Σ q(xᵢ)² — exact int64. */
+  private def sqNormQ(a: Column): Column =
+    aggregate(transform(a, x => quant(x) * quant(x)), lit(0L), (s, v) => s + v)
+
+  /** Quantized cosine from exact integer dot/norms; the int64 norms are
+    * cast to double BEFORE multiplying (their product overflows int64). */
+  private def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  // ---------- shared building blocks (Spark side) ----------
+
+  /** Word 3-gram shingles per doc: one `explode` of a transformed array —
+    * stays inside whole-stage codegen, no UDF. Docs shorter than 3 tokens
+    * are excluded (both sides). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("sh"))
+
+  /** 16-permutation MinHash signature: min over shingles of a salted
+    * portable hash — 16 `min` aggregates in ONE pass (single shuffle on
+    * doc_id, partial min map-side). */
+  private def minhashSig(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(
+        min(PortableHash.md5Mod(concat(lit("0|"), col("sh")))).as("h0"),
+        (1 until 16).map(j =>
+          min(PortableHash.md5Mod(concat(lit(s"$j|"), col("sh")))).as(s"h$j")): _*)
+
+  // ---------- shared SQL fragments (DuckDB side) ----------
+
+  private def md5ModSql(e: String): String = PortableHash.md5ModSql(e)
+
+  private val shinglesSql =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, array_to_string(w[gs:gs+2], ' ') AS sh FROM
+      |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS gs FROM ws))""".stripMargin
+
+  private val sigSql = {
+    val mins = (0 until 16)
+      .map(j => s"  min(${md5ModSql(s"concat('$j|', sh)")}) AS h$j").mkString(",\n")
+    s"""$shinglesSql,
+       |sig AS (SELECT doc_id,\n$mins\n  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- exact dedup: content-hash groupBy; min(doc_id) survives.
+    // At 100 TB: one shuffle on the 128-bit digest — no skew (uniform). ----
+    QuerySpec.sql("q40_exact_dedup",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"content_hash")
+    },
+
+    // ---- token statistics: explode + count/distinct/stopword-ratio ----
+    QuerySpec.sql("q41_token_stats",
+      """SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN w IN ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS stop_ratio
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"w").cast("long").as("n_distinct"),
+          (sum(when($"w".isin("the", "a", "of", "and", "to", "in", "is", "on"), 1)
+            .otherwise(0)).cast("double") / count(lit(1))).as("stop_ratio"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- quality scoring: pure elementwise arithmetic (rational ops only
+    // — no libm, so doubles are bit-identical across engines) ----
+    QuerySpec.sql("q42_quality_score",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS digit_ratio,
+        |  least(1.0, len(string_split(text, ' ')) / 100.0)
+        |    * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text))
+        |    AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nTok = size(split($"text", " ")).cast("long")
+      val digitRatio =
+        length(regexp_replace($"text", "[^0-9]", "")).cast("double") / length($"text")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          nTok.as("n_tokens"),
+          ((length($"text") - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
+          digitRatio.as("digit_ratio"),
+          (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- MinHash signatures (near-dup sketch): 16 salted min-hashes over
+    // word 3-shingles in one aggregation pass ----
+    QuerySpec.sql("q43_minhash_sig",
+      s"""WITH $sigSql
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      minhashSig(Tables.documents(s, d)).orderBy($"doc_id")
+    },
+
+    // ---- LSH banding: 4 bands × 4 rows; candidate pairs = docs sharing a
+    // band key. This bounds the near-dup search to hash-bucket collisions —
+    // the 100 TB path (no all-pairs). ----
+    QuerySpec.sql("q44_lsh_pairs",
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, concat_ws('_', h4, h5, h6, h7) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS band, concat_ws('_', h8, h9, h10, h11) AS bkey FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS band, concat_ws('_', h12, h13, h14, h15) AS bkey FROM sig)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val sig = minhashSig(Tables.documents(s, d))
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*).as("bkey"))
+      }
+      val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- n-gram Jaccard similarity on a bounded candidate set (doc_id <
+    // 100 here; at scale the LSH pairs above are the candidate source) ----
+    QuerySpec.sql("q45_ngram_jaccard",
+      s"""WITH $shinglesSql,
+         |grams AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id < 100),
+         |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, n_common, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN counts ca ON ca.doc_id = a_id
+         |JOIN counts cb ON cb.doc_id = b_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val grams = shingles(Tables.documents(s, d)).filter($"doc_id" < 100).distinct()
+      val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double")
+      inter
+        .join(counts.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+        .join(counts.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+        .select($"a_id", $"b_id", $"n_common", $"n_a", $"n_b", jac.as("jaccard"))
+        .filter(jac >= 0.05)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- SimHash: 16-bit signature; bit j = sign of Σ over token
+    // occurrences of ±1 by bit j of the token hash. One explode + one
+    // grouped pass with 16 conditional sums. ----
+    QuerySpec.sql("q46_simhash", {
+      val h = md5ModSql("w")
+      val sums = (0 until 16)
+        .map(j => s"  sum(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n")
+      val bits = (0 until 16)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (SELECT doc_id,\n$sums\n  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .withColumn("h", PortableHash.md5Mod($"w"))
+      val sums = toks.groupBy($"doc_id").agg(
+        (0 until 16).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$j")).head,
+        (1 until 16).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$j")): _*)
+      val simhash = (0 until 16)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      sums.select($"doc_id", simhash.cast("long").as("simhash")).orderBy($"doc_id")
+    },
+
+    // ---- brute-force cosine top-k (ANN baseline): queries = vec_id < 10
+    // vs all candidates; zip_with dot product over quantized int64 (exact,
+    // order-free); per-query top-5 via ranking window. The query side is
+    // broadcast — the candidate scan streams through executors once. ----
+    QuerySpec.sql("q47_cosine_topk",
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $QScale, 0) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10 GROUP BY q_id, c_id),
+         |cos AS (
+         |  SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = q_id
+         |  JOIN norms nb ON nb.vec_id = c_id)
+         |SELECT q_id, c_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cos) WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val pairs = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"),
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 5)
+        .select($"q_id", $"c_id", $"cosine", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
+    }
+  )
+}

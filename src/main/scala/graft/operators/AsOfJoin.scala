@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — the reference's core multi-stream pattern:
+  * combine each left event with the most recent right-stream value at or
+  * before it (last-value combine, reference examples/csp/01_basics/
+  * e3_show_graph.py:11-29 and e4_trade_pnl.py:51-63, SURVEY W5/W7).
+  *
+  * Spark SQL has no ASOF JOIN, so this is a library operator built by
+  * composition (SURVEY §7.3 — no Catalyst surgery needed):
+  *
+  *   union(left tagged 1, right tagged 0)
+  *     → window partitionBy(keys) orderBy(ts, tag)
+  *     → last(right cols, ignoreNulls) over unbounded-preceding frame
+  *     → keep tag=1 rows
+  *
+  * Why this shape at 100 TB: it is ONE shuffle on the join keys followed by
+  * a per-key sort — linear in input, no pair blow-up. The naive
+  * alternative (non-equi range join) is O(n·m) per key under nested-loop
+  * and explodes on hot keys. With the union trick, skew in either stream
+  * is handled by AQE like any other sort, and the same plan runs in
+  * Structured Streaming as a `transformWithState` merge (graft.streaming).
+  *
+  * Right rows sort BEFORE left rows at equal timestamps (tag 0 < 1), so a
+  * quote at exactly the trade's timestamp is visible to the trade — same
+  * FIFO tie-break the reference scheduler applies (processor.py:61-62).
+  */
+object AsOfJoin {
+
+  /** @param left       probe stream (e.g. trades); all its columns survive
+    * @param right      reference stream (e.g. quotes)
+    * @param keys       equi-join key columns present in both sides
+    * @param leftTs     event-time column on the left
+    * @param rightTs    event-time column on the right
+    * @param rightVals  right columns carried to each left row (as-of value)
+    *
+    * Callers needing full determinism when the RIGHT side can carry
+    * duplicate timestamps per key should pre-deduplicate it (e.g.
+    * `max_by` per (key, ts)) — engines (and this operator) otherwise pick
+    * an arbitrary row among equal-timestamp matches.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = rightVals.foldLeft(
+      left.withColumn("_asof_ts", col(leftTs)).withColumn("_asof_tag", lit(1))
+    )((df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+
+    val r0 = right.select((keys ++ rightVals).map(col) :+ col(rightTs).as("_asof_ts"): _*)
+      .withColumn("_asof_tag", lit(0))
+    val r = leftCols.filterNot(c => keys.contains(c) || rightVals.contains(c))
+      .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightVals.foldLeft(unioned) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("_asof_tag") === 1)
+      .drop("_asof_ts", "_asof_tag")
+  }
+
+  /** Range (interval) join: left rows matched to right rows whose timestamp
+    * falls in [leftTs + lower, leftTs + upper]. Built-in non-equi join —
+    * Catalyst plans broadcast/shuffled nested loop when no equi key exists,
+    * or sort-merge when `keys` are provided (the equi part carries the
+    * shuffle; the range is a residual filter — the scalable layout).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                lower: Column, upper: Column): DataFrame = {
+    val cond = keys.map(k => left(k) === right(k))
+      .reduceOption(_ && _).map(_ &&
+        (right(rightTs) >= left(leftTs) + lower) &&
+        (right(rightTs) <= left(leftTs) + upper))
+      .getOrElse(
+        (right(rightTs) >= left(leftTs) + lower) &&
+        (right(rightTs) <= left(leftTs) + upper))
+    left.join(right, cond)
+  }
+}

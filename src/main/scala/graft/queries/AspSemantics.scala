@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Events, Tables}
+import graft.operators.{AsOfJoin, Windows}
+
+/** The reference's event-stream semantics (SURVEY §2.1 L1 + §2.2 L2)
+  * re-expressed as declarative Spark plans over the driver's `events`
+  * fixture (`event_id, ts, user_id, event_type, value, props`), each with a
+  * DuckDB oracle:
+  *
+  *  - replay ordering / FIFO tie-breaks  → explicit (ts, event_id) sort keys
+  *    (reference processor.py:61-62,96-97)
+  *  - call_later / timer                 → synthetic derived rows + sequence()
+  *    (processor.py:41-62, 140-150)
+  *  - merge_timeseries (both semantics)  → zip-join / ordered union
+  *    (examples/common.py:18-22)
+  *  - last-value combine, as-of join     → union + last(ignoreNulls) window
+  *    (e3_show_graph.py:11-29, e4_trade_pnl.py:51-63)
+  *  - running aggregation                → unbounded-preceding window
+  *    (e2_ticking.py:10-27)
+  *  - sliding/tumbling VWAP              → window() grouping (e2_stats.py:35-65)
+  *  - sessionization, first-seen dedup   → session_window / ranked dedup
+  *    (e5_retail_cart.py, examples/common.py:25-34)
+  *
+  * Event streams are modelled as filtered sub-streams of `events`
+  * (event_type = 'purchase' plays "trades", 'view' plays "quotes", …) so
+  * every query is oracle-checkable on the driver's own fixtures.
+  *
+  * Timestamps are emitted as epoch microseconds (`unix_micros` /
+  * DuckDB `epoch_us`) — integer, no format/zone ambiguity. Running double
+  * sums go through DECIMAL so partial-aggregation order cannot drift
+  * (see [[QuerySpec]] numeric discipline).
+  */
+object AspSemantics {
+
+  /** DuckDB-side cast: events.ts is parquet timestamp[ns]; normalize both
+    * engines to plain microsecond epoch. */
+  private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- P1/P2 replay: global delivery order with FIFO tie-break ----
+    // (single total order = single-task sort by design; keyed form below
+    // is the scalable one — SURVEY §1.3.7.)
+    QuerySpec.sql("q20_replay_seq",
+      s"""SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq,
+         |  event_id, $tsUs AS ts_us
+         |FROM events ORDER BY seq""".stripMargin) { (s, d) =>
+      Events.replaySeq(Tables.events(s, d))
+        .select($"seq".cast("long").as("seq"), $"event_id", unix_micros($"ts").as("ts_us"))
+        .orderBy($"seq")
+    },
+
+    // ---- per-key delivery order (scalable: shuffles once on the key) ----
+    QuerySpec.sql("q21_keyed_seq",
+      s"""SELECT user_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq,
+         |  event_id, $tsUs AS ts_us
+         |FROM events ORDER BY user_id, seq""".stripMargin) { (s, d) =>
+      Events.keyedSeq(Tables.events(s, d), "user_id")
+        .select($"user_id", $"seq".cast("long").as("seq"), $"event_id", unix_micros($"ts").as("ts_us"))
+        .orderBy($"user_id", $"seq")
+    },
+
+    // ---- P3 call_later: derived timer rows at ts+5min, event_time = due
+    // time, interleaved with the base stream (processor.py:57-60) ----
+    QuerySpec.sql("q22_call_later",
+      s"""SELECT kind, event_id, due_us FROM (
+         |  SELECT 'event' AS kind, event_id, $tsUs AS due_us FROM events
+         |  UNION ALL
+         |  SELECT 'timer_5m' AS kind, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE) AS due_us FROM events
+         |) ORDER BY due_us, event_id, kind""".stripMargin) { (s, d) =>
+      Events.callLater(Tables.events(s, d), expr("INTERVAL 5 MINUTES"), "timer_5m")
+        .select($"kind", $"event_id", unix_micros($"ts").as("due_us"))
+        .orderBy($"due_us", $"event_id", $"kind")
+    },
+
+    // ---- P6 timer: first tick at start+step, every step, while <= end —
+    // exactly the reference tick count semantics (tests/test_past.py:104-119) ----
+    QuerySpec.sql("q23_timer_ticks",
+      """SELECT epoch_us(tick_ts) AS tick_us FROM (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 6 HOUR,
+        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL 6 HOUR)) AS tick_ts
+        |) ORDER BY tick_us""".stripMargin) { (s, d) =>
+      Events.timerTicks(s,
+          to_timestamp(lit("2024-01-01 00:00:00")),
+          to_timestamp(lit("2024-01-31 00:00:00")),
+          expr("INTERVAL 6 HOURS"))
+        .select(unix_micros($"tick_ts").as("tick_us"))
+        .orderBy($"tick_us")
+    },
+
+    // ---- P11 faithful positional zip-merge: k-th click with k-th view,
+    // stamped with the FIRST stream's timestamp, truncated to the shorter
+    // stream (examples/common.py:18-22, verified semantics SURVEY P11) ----
+    QuerySpec.sql("q24_zip_merge",
+      s"""WITH clicks AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS k,
+         |    $tsUs AS ts_us, value FROM events WHERE event_type = 'click'),
+         |views AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS k,
+         |    value FROM events WHERE event_type = 'view')
+         |SELECT c.k AS k, c.ts_us AS ts_us, c.value AS click, v.value AS view
+         |FROM clicks c JOIN views v ON c.k = v.k ORDER BY k""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Events.zipMerge(Seq(
+          "click" -> ev.filter($"event_type" === "click"),
+          "view"  -> ev.filter($"event_type" === "view")))
+        .select($"k".cast("long").as("k"), unix_micros($"ts").as("ts_us"),
+          $"click", $"view")
+        .orderBy($"k")
+    },
+
+    // ---- P11 intended time-ordered merge + W5 last-value combine:
+    // bid=purchase, ask=error; spread = ask - bid once both sides seen
+    // (e3_show_graph.py:11-29: "Calculator.spread") ----
+    QuerySpec.sql("q25_last_value_combine",
+      s"""WITH merged AS (
+         |  SELECT ts, event_id, value AS bid, NULL::DOUBLE AS ask
+         |    FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT ts, event_id, NULL::DOUBLE AS bid, value AS ask
+         |    FROM events WHERE event_type = 'error'),
+         |carried AS (
+         |  SELECT $tsUs AS ts_us, event_id,
+         |    last_value(bid IGNORE NULLS) OVER w AS bid,
+         |    last_value(ask IGNORE NULLS) OVER w AS ask
+         |  FROM merged
+         |  WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT ts_us, event_id, bid, ask, ask - bid AS spread
+         |FROM carried WHERE bid IS NOT NULL AND ask IS NOT NULL
+         |ORDER BY ts_us, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val merged = Events.timeMerge(Seq(
+        "bid" -> ev.filter($"event_type" === "purchase"),
+        "ask" -> ev.filter($"event_type" === "error")))
+      Events.lastValueCombine(merged, Seq("bid", "ask"))
+        .filter($"bid".isNotNull && $"ask".isNotNull)
+        .select(unix_micros($"ts").as("ts_us"), $"event_id", $"bid", $"ask",
+          ($"ask" - $"bid").as("spread"))
+        .orderBy($"ts_us", $"event_id")
+    },
+
+    // ---- W7 as-of join: each purchase sees the most recent view (at or
+    // before it) for the same user — e4_trade_pnl.py trades↔quotes.
+    // One shuffle on the key; DuckDB's native ASOF JOIN is the oracle. ----
+    QuerySpec.sql("q26_asof_join",
+      s"""SELECT t.event_id AS event_id, t.user_id AS user_id,
+         |  epoch_us(CAST(t.ts AS TIMESTAMP)) AS ts_us,
+         |  t.value AS trade_value, q.value AS quote_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trades = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value".as("trade_value"))
+      val quotes = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"value".as("quote_value"))
+      AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts", Seq("quote_value"))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"trade_value", $"quote_value")
+        .orderBy($"event_id")
+    },
+
+    // ---- W6 running (cumulative) aggregation per key; DECIMAL accumulator
+    // so the prefix sums cannot drift between engines ----
+    QuerySpec.sql("q27_running_sum",
+      s"""SELECT user_id, event_id, $tsUs AS ts_us,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+         |  CAST(count(*) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      val w = Windows.runningFrame(Seq("user_id"), "ts", "event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("running_total"),
+          count(lit(1)).over(w).cast("long").as("n_so_far"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- W10 tumbling event-time window VWAP: value weighted by the
+    // props.k JSON field (e2_stats.py:35-65 without the hand-rolled buffer) ----
+    QuerySpec.sql("q28_vwap_tumbling",
+      """SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS w_start_us,
+        |  CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS vwap,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_weight,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY w_start_us HAVING sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) > 0
+        |ORDER BY w_start_us""".stripMargin) { (s, d) =>
+      val weighted = Tables.events(s, d)
+        .withColumn("weight", get_json_object($"props", "$.k").cast("long"))
+      Windows.hoppingAgg(weighted, "1 day", "1 day", Nil,
+          Seq(
+            (sum(($"value" * $"weight").cast("decimal(18,2)")).cast("double") /
+              sum($"weight").cast("double")).as("vwap"),
+            sum($"weight").cast("long").as("total_weight"),
+            count(lit(1)).as("n_events")))
+        .filter($"total_weight" > 0)
+        .select(unix_micros($"window.start").as("w_start_us"),
+          $"vwap", $"total_weight", $"n_events")
+        .orderBy($"w_start_us")
+    },
+
+    // ---- W10 sliding (hopping) window: width 2 days, slide 1 day — each
+    // event lands in exactly 2 windows; Spark expands map-side and
+    // partial-aggregates before the shuffle ----
+    QuerySpec.sql("q29_sliding_window",
+      """SELECT epoch_us(w_start) AS w_start_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT unnest([date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                 date_trunc('day', CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY]) AS w_start,
+        |    value
+        |  FROM events)
+        |GROUP BY w_start ORDER BY w_start_us""".stripMargin) { (s, d) =>
+      Windows.hoppingAgg(Tables.events(s, d), "2 days", "1 day", Nil,
+          Seq(sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"),
+            count(lit(1)).as("n_events")))
+        .select(unix_micros($"window.start").as("w_start_us"),
+          $"total_value", $"n_events")
+        .orderBy($"w_start_us")
+    },
+
+    // ---- session windows: 30-min inactivity gap per user (W8's cart/
+    // expiry pattern as sessionization); oracle = gaps-and-islands ----
+    QuerySpec.sql("q30_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        + INTERVAL 30 MINUTE
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select($"user_id", unix_micros($"session_window.start").as("session_start_us"),
+          unix_micros($"session_window.end").as("session_end_us"),
+          $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start_us")
+    },
+
+    // ---- W1 first-seen dedup (Greeter): deterministic WHICH-row-survives
+    // via (ts, event_id) ranking, not dropDuplicates ----
+    QuerySpec.sql("q31_first_seen",
+      s"""SELECT user_id, event_id, $tsUs AS ts_us, event_type FROM (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      Windows.firstSeen(Tables.events(s, d), Seq("user_id"))
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+        .orderBy($"user_id")
+    },
+
+    // ---- seen-before annotation (Greeter's "Hello" vs "Hello again"):
+    // every event tagged with its per-key visit number ----
+    QuerySpec.sql("q32_greeter",
+      s"""SELECT event_id, user_id, $tsUs AS ts_us,
+         |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+         |    THEN 'hello' ELSE 'hello_again' END AS greeting
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("greeting",
+          when(row_number().over(
+            Window.partitionBy($"user_id").orderBy($"ts", $"event_id")) === 1,
+            "hello").otherwise("hello_again"))
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"greeting")
+        .orderBy($"event_id")
+    }
+  )
+}

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.operators.Windows
+
+/** Relational operator coverage over the TPC-H-ish star schema
+  * (SURVEY §2.3): scans, projection/filter with parquet pushdown, hash
+  * joins (broadcast for dims), semi/anti joins, range join, hash/sort
+  * aggregation, rollup/cube, window functions, sorts/limits/top-k, set
+  * ops, scalar + JSON + array functions.
+  *
+  * These are not in the reference (it has no relational layer — SURVEY
+  * §2.3 marks them "absent"); they come free with the DataFrame-native
+  * design and are mandated by the driver's north star.
+  *
+  * Numeric discipline: money aggregates go through DECIMAL and are
+  * emitted as DOUBLE (exact decimal sum → one deterministic double
+  * conversion) so Spark's parallel partial aggregation and DuckDB's
+  * serial sum cannot drift (see [[QuerySpec]]).
+  */
+object Relational {
+
+  /** ext*(1-disc) has exactly 4 decimal digits; the double product is
+    * within 1e-10 of it, so DECIMAL(18,4) rounding recovers the exact
+    * value in both engines. */
+  private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- hash aggregation: TPC-H Q1-style pricing summary ----
+    QuerySpec.sql("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+          sum(($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          (sum($"l_quantity".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- multi-way join with broadcast dims: revenue per nation ----
+    // Dims (region/nation/customer) are broadcast; only lineitem⋈orders
+    // shuffles — the layout that survives 100 TB (fact-fact shuffle on the
+    // join key, AQE handles skew).
+    QuerySpec.sql("q2_join_revenue",
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // ---- top-k per group (ranking window; partial top-k pushdown) ----
+    QuerySpec.sql("q3_topk_per_group",
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part) WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin) { (s, d) =>
+      Windows.topKPerGroup(Tables.part(s, d), Seq("p_brand"),
+          Seq($"p_retailprice".desc, $"p_partkey"), 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rnk")
+        .orderBy($"p_brand", $"rnk")
+    },
+
+    // ---- semi join (EXISTS) ----
+    QuerySpec.sql("q4_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "O"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+
+    // ---- anti join (NOT EXISTS) ----
+    QuerySpec.sql("q5_anti_join",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal").orderBy($"c_custkey")
+    },
+
+    // ---- selective filter + projection (parquet pushdown: the scan must
+    // show PushedFilters + 3-column ReadSchema) ----
+    QuerySpec.sql("q6_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount < 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" > 45 && $"l_discount" < 0.02)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- range (interval) join: equi key carries the shuffle, the time
+    // range is a residual predicate — the scalable interval-join layout ----
+    QuerySpec.sql("q7_range_join",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- set operations: (A UNION B) EXCEPT C ----
+    QuerySpec.sql("q8_setops",
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |) EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        .union(c.filter($"c_acctbal" > 5000).select($"c_custkey")).distinct()
+        .except(c.filter($"c_nationkey" < 5).select($"c_custkey"))
+        .orderBy($"c_custkey")
+    },
+
+    // ---- rollup with grouping id ----
+    QuerySpec.sql("q9_rollup",
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  count(*) AS n_cust,
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"),
+          count(lit(1)).as("n_cust"),
+          (grouping($"r_name") * 2 + grouping($"n_name")).cast("long").as("gid"))
+        .orderBy($"gid", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+
+    // ---- cube ----
+    QuerySpec.sql("q10_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).cast("long").as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // ---- analytic window functions: rank / dense_rank / lag ----
+    QuerySpec.sql("q11_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  lag(o_totalprice) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          lag($"o_totalprice", 1).over(w).as("prev_price"))
+        .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+    },
+
+    // ---- global sort + limit (distributed top-k via TakeOrderedAndProject) ----
+    QuerySpec.sql("q12_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(100)
+    },
+
+    // ---- scalar functions: string / date / math ----
+    QuerySpec.sql("q13_scalar_funcs",
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 8)) AS pri_up,
+        |  length(o_orderstatus) AS status_len,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  abs(o_totalprice - 1000.0) AS adj,
+        |  CAST(floor(o_totalprice / 100) AS BIGINT) AS bucket,
+        |  o_orderkey % 7 AS mod7
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey",
+          upper(substring($"o_orderpriority", 1, 8)).as("pri_up"),
+          length($"o_orderstatus").as("status_len"),
+          concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("tag"),
+          year($"o_orderdate").cast("int").as("yr"),
+          month($"o_orderdate").cast("int").as("mo"),
+          dayofmonth($"o_orderdate").cast("int").as("dom"),
+          abs($"o_totalprice" - 1000.0).as("adj"),
+          floor($"o_totalprice" / 100).cast("long").as("bucket"),
+          ($"o_orderkey" % 7).as("mod7"))
+        .orderBy($"o_orderkey")
+    },
+
+    // ---- JSON extraction over the events.props column ----
+    QuerySpec.sql("q14_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((get_json_object($"props", "$.k").cast("long") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n")).orderBy($"k_mod")
+    },
+
+    // ---- array higher-order functions over embeddings (sequential folds
+    // on both sides → bit-identical doubles) ----
+    QuerySpec.sql("q15_array_hof",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> abs(x))), (a, x) -> a + x) AS l1,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding::DOUBLE[], x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END)), (a, x) -> a + x) AS n_pos
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).filter($"vec_id" < 50)
+        .select($"vec_id",
+          size($"embedding").as("dim"),
+          aggregate(transform($"embedding", x => abs(x.cast("double"))),
+            lit(0.0), (a, x) => a + x).as("l1"),
+          aggregate(transform($"embedding",
+              x => when(x.cast("double") > 0, 1.0).otherwise(0.0)),
+            lit(0.0), (a, x) => a + x).as("n_pos"))
+        .orderBy($"vec_id")
+    }
+  )
+
+}
