@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+import scala.collection.mutable
+
+/** Live-phase execution of a [[KeyedStateMachine]]: the same machine that
+  * [[Replay.run]] drives over historical data runs here under Structured
+  * Streaming via `transformWithState` (Spark 4.x `StatefulProcessor`),
+  * with timers in the state store. This is the reference's past→live
+  * duality (processor.py:71-74: replay the past at maximum speed, then
+  * track the live clock) as Spark gives it: batch plan for the past,
+  * streaming plan for the present, ONE user state machine.
+  *
+  * Timer semantics — two delivery paths, preserving replay ≡ live:
+  *  1. **Inline (event-driven)**: before delivering an event, every
+  *     pending timer with due ≤ event-time fires first, exactly as in
+  *     batch replay. This keeps per-key virtual-time order regardless of
+  *     micro-batch boundaries.
+  *  2. **Watermark (push)**: timers also register with
+  *     `StatefulProcessorHandle.registerTimer`, so a key with NO further
+  *     events still gets its callbacks when the watermark passes the due
+  *     time (`handleExpiredTimer`). A timer already fired inline is a
+  *     no-op on expiry.
+  *
+  * Divergences from the reference (documented): due times are floored to
+  * ms for the store (the µs remainder only matters for timer-vs-event
+  * ordering within one ms); a live stream never "ends", so the
+  * end-of-replay timer drain has no live analogue — quiescent keys drain
+  * via the watermark path instead.
+  *
+  * State layout: the machine object (arbitrary user fields, like the
+  * reference's callback objects) + pending timer tags, java-serialized
+  * into one binary ValueState per key (RocksDB provider required by
+  * transformWithState; see `Tables.configure`-style session setup in
+  * tests).
+  */
+object AspStream {
+
+  private def ser(m: Any): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(m); oos.close(); bos.toByteArray
+  }
+  private def deser(b: Array[Byte]): Any = {
+    val ois = new ObjectInputStream(new ByteArrayInputStream(b)) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+        Class.forName(desc.getName, false, Thread.currentThread.getContextClassLoader)
+    }
+    val r = ois.readObject(); ois.close(); r
+  }
+
+  final class Processor[K, I, O](factory: K => KeyedStateMachine[K, I, O],
+                                 ts: I => Long)
+      extends StatefulProcessor[K, I, O] {
+
+    @transient private var blob: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      blob = getHandle.getValueState[Array[Byte]]("aspMachine", Encoders.BINARY, TTLConfig.NONE)
+
+    /** Pending timers as persisted: due-ms → tags (FIFO within a due). */
+    private type Pending = Vector[(Long, String)]
+
+    /** Load machine + seed the ctx schedule from persisted pending timers
+      * (insertion order preserved → FIFO tie-breaks survive restarts). */
+    private def load(key: K, t0: Long): (KeyedStateMachine[K, I, O], Set[Long], ReplayCtx[O]) = {
+      val ctx = new ReplayCtx[O](t0)
+      if (blob.exists()) {
+        val (m, p) = deser(blob.get()).asInstanceOf[(KeyedStateMachine[K, I, O], Pending)]
+        p.foreach { case (dueMs, tag) => ctx.callAt(dueMs * 1000, tag) }
+        (m, p.map(_._1).toSet, ctx)
+      } else {
+        val m = factory(key)
+        m.onStart(key, ctx)
+        (m, Set.empty, ctx)
+      }
+    }
+
+    /** Persist machine + remaining schedule; sync store timers (register
+      * new dues, delete consumed ones). */
+    private def flush(m: KeyedStateMachine[K, I, O], registered: Set[Long], ctx: ReplayCtx[O]): Unit = {
+      val pending = mutable.ArrayBuffer.empty[(Long, String)]
+      while (ctx.timers.nonEmpty) {
+        val (dueUs, _, tag) = ctx.timers.dequeue() // (due, fifo) order
+        pending += ((dueUs / 1000, tag))
+      }
+      val p: Pending = pending.toVector
+      val dues = p.map(_._1).toSet
+      (dues diff registered).foreach(getHandle.registerTimer)
+      (registered diff dues).foreach(getHandle.deleteTimer)
+      blob.update(ser((m, p)))
+    }
+
+    private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Unit =
+      while (ctx.timers.nonEmpty && ctx.timers.head._1 <= upTo) {
+        val (due, _, tag) = ctx.timers.dequeue()
+        ctx.nowMicros = due
+        m.onTimer(due, tag, ctx)
+      }
+
+    override def handleInputRows(key: K, rows: Iterator[I], timerValues: TimerValues): Iterator[O] = {
+      // micro-batch rows are not globally ordered: restore event-time
+      // order within the batch (the replay guarantee, amortized per batch)
+      val sorted = rows.toVector.sortBy(ts)
+      if (sorted.isEmpty) return Iterator.empty
+      val (m, registered, ctx) = load(key, ts(sorted.head))
+      sorted.foreach { row =>
+        fireDue(m, ctx, ts(row)) // inline path: due timers precede the event
+        ctx.nowMicros = ts(row)
+        m.onEvent(ts(row), row, ctx)
+      }
+      flush(m, registered, ctx)
+      ctx.drain().iterator
+    }
+
+    override def handleExpiredTimer(key: K, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
+      val dueUs = expiredTimerInfo.getExpiryTimeInMs * 1000
+      val (m, registered, ctx) = load(key, dueUs)
+      fireDue(m, ctx, upTo = dueUs) // no-op if already consumed inline
+      flush(m, registered, ctx)
+      ctx.drain().iterator
+    }
+  }
+
+  /** Run `ds` (a streaming Dataset with an event-time watermark already
+    * set) through per-key machines. Append output, event-time timers. */
+  def run[I, K: Encoder, O: Encoder](ds: Dataset[I])(
+      key: I => K, ts: I => Long)(
+      factory: K => KeyedStateMachine[K, I, O]): Dataset[O] =
+    ds.groupByKey(key)
+      .transformWithState(new Processor(factory, ts), TimeMode.EventTime(), OutputMode.Append())
+}

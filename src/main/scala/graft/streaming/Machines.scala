@@ -1,0 +1,139 @@
+package graft.streaming
+
+/** The reference's example workloads as [[KeyedStateMachine]]s — each runs
+  * unchanged under batch replay ([[Replay.run]]) and live streaming
+  * ([[AspStream.run]]). Semantics studied from the reference (cited);
+  * implementations are original Scala.
+  */
+object Machines {
+
+  // ---------- W8: retail cart with timer-based discount expiry ----------
+  // reference: examples/csp/01_basics/e5_retail_cart.py:34-68 (manager),
+  // :71-112 (driver: discount removed at start_time+60 s via on_start →
+  // call_later). Expected totals 9.00 → 36.00 → 22.50 → 42.50.
+
+  final case class CartItem(name: String, cost: Double, qty: Int)
+  final case class CartUpdate(user_id: Long, ts_us: Long, seq: Long,
+                              name: String, cost: Double, qty: Int, add: Boolean)
+  final case class CartTotal(user_id: Long, ts_us: Long, total: Double, num_items: Long)
+
+  /** @param discountExpiryUs absolute expiry (the reference schedules it
+    *   relative to simulation start, not first cart activity — see the
+    *   comment at e5_retail_cart.py:46-48). */
+  final class CartMachine(userId: Long, discountExpiryUs: Long)
+      extends KeyedStateMachine[Long, CartUpdate, CartTotal] {
+    private var items = Vector.empty[CartItem]
+    private var discount = 0.9
+
+    override def onStart(key: Long, ctx: ReplayCtx[CartTotal]): Unit =
+      ctx.callAt(discountExpiryUs, "discount_off")
+
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[CartTotal]): Unit =
+      if (tag == "discount_off") discount = 1.0
+
+    override def onEvent(ts: Long, u: CartUpdate, ctx: ReplayCtx[CartTotal]): Unit = {
+      if (u.add) {
+        items :+= CartItem(u.name, u.cost * discount, u.qty)
+      } else {
+        // remove u.qty units of u.name across lots, oldest first
+        var remaining = u.qty
+        items = items.flatMap { it =>
+          if (it.name == u.name && remaining > 0) {
+            if (it.qty > remaining) { val r = it.copy(qty = it.qty - remaining); remaining = 0; Some(r) }
+            else { remaining -= it.qty; None }
+          } else Some(it)
+        }
+      }
+      val total = items.map(it => it.cost * it.qty).sum
+      val n = items.map(_.qty.toLong).sum
+      ctx.emit(CartTotal(userId, ts, total, n))
+    }
+  }
+
+  // ---------- W9: cyclic feedback (order ⇄ exchange) in ONE machine ----------
+  // reference: examples/csp/02_intermediate/e1_feedback.py:27-66 — MyAlgo
+  // sends orders, Exchange ACKs with 0.3 s + 0.7 s latencies, ACK triggers
+  // the next order, stop after order id 10 (→ 10 orders, 9 ACKs). Spark
+  // DAGs are acyclic, so the closed loop lives inside one keyed state
+  // machine with both parties' state (SURVEY §7.4 hard-part #2).
+
+  final case class SessionSeed(session_id: Long, ts_us: Long, seq: Long)
+  final case class FeedbackEvent(session_id: Long, ts_us: Long, kind: String,
+                                 order_id: Long, price: Double)
+
+  final class FeedbackMachine(sessionId: Long)
+      extends KeyedStateMachine[Long, SessionSeed, FeedbackEvent] {
+    private var lastId = 1L
+    private var lastPrice = 100.0
+    private val toExchangeUs = 300000L // 0.3 s
+    private val toAlgoUs     = 700000L // 0.7 s
+
+    private def sendOrder(ctx: ReplayCtx[FeedbackEvent]): Unit = {
+      ctx.emit(FeedbackEvent(sessionId, ctx.now, "order", lastId, lastPrice))
+      val id = lastId
+      lastId += 1; lastPrice += 0.01
+      if (lastId <= 10) ctx.callLater(toExchangeUs, s"order:$id")
+    }
+
+    override def onEvent(ts: Long, seed: SessionSeed, ctx: ReplayCtx[FeedbackEvent]): Unit =
+      sendOrder(ctx)
+
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[FeedbackEvent]): Unit =
+      tag.split(':') match {
+        case Array("order", id) => // exchange receives the order, ACKs later
+          ctx.callLater(toAlgoUs, s"ack:$id")
+        case Array("ack", id) =>   // algo receives the exec report → next order
+          ctx.emit(FeedbackEvent(sessionId, ts, "exec_report", id.toLong, 0.0))
+          sendOrder(ctx)
+        case _ => ()
+      }
+  }
+
+  // ---------- W1/W2: greeter with deferred greeting ----------
+  // reference: examples/common.py:25-38 — first-seen set membership decides
+  // "Hello" vs "Hello again"; greet_later schedules the greeting at
+  // event_time + 1 s (the timer's due time becomes the output's time).
+
+  final case class NameEvent(name: String, ts_us: Long, seq: Long)
+  final case class Greeting(name: String, ts_us: Long, text: String)
+
+  final class GreeterMachine(name: String, delayUs: Long = 0L)
+      extends KeyedStateMachine[String, NameEvent, Greeting] {
+    private var seen = false
+    private var pending = List.empty[String] // FIFO texts awaiting timers
+
+    override def onEvent(ts: Long, e: NameEvent, ctx: ReplayCtx[Greeting]): Unit = {
+      val text = if (seen) s"Hello again $name" else s"Hello $name"
+      seen = true
+      if (delayUs == 0L) ctx.emit(Greeting(name, ts, text))
+      else { pending :+= text; ctx.callLater(delayUs, "greet") }
+    }
+
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[Greeting]): Unit =
+      pending match {
+        case h :: t => pending = t; ctx.emit(Greeting(name, ts, h))
+        case Nil    => ()
+      }
+  }
+
+  // ---------- P6: periodic timer ----------
+  // reference: processor.py:140-150 — first tick at start+step, then every
+  // step while tick <= end; event_time = fire time; exactly 10 ticks over
+  // 10 s at 1 s step (tests/test_past.py:104-119).
+
+  final case class TimerSeed(timer_id: Long, ts_us: Long, seq: Long)
+  final case class Tick(timer_id: Long, ts_us: Long, n: Long)
+
+  final class PeriodicTimerMachine(timerId: Long, startUs: Long, stepUs: Long, endUs: Long)
+      extends KeyedStateMachine[Long, TimerSeed, Tick] {
+    private var n = 0L
+    override def onStart(key: Long, ctx: ReplayCtx[Tick]): Unit =
+      if (startUs + stepUs <= endUs) ctx.callAt(startUs + stepUs, "tick")
+    override def onEvent(ts: Long, seed: TimerSeed, ctx: ReplayCtx[Tick]): Unit = ()
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[Tick]): Unit = {
+      n += 1
+      ctx.emit(Tick(timerId, ts, n))
+      if (ts + stepUs <= endUs) ctx.callAt(ts + stepUs, "tick")
+    }
+  }
+}
