@@ -32,4 +32,14 @@ object PortableHash {
 
   def md5ModSql(expr: String): String =
     s"(${md5LongSql(expr)} % $P)"
+
+  /** JVM-local evaluation of [[md5Long]]/[[md5Mod]] — bit-identical to
+    * the column/SQL forms; used to pre-compute constants (e.g. LSH plane
+    * weights) that both the Spark plan and the oracle re-derive. */
+  def md5LongLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+  def md5ModLocal(s: String): Long = md5LongLocal(s) % P
 }

@@ -67,15 +67,23 @@ object LlmQueries {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("sh"))
 
-  /** 16-permutation MinHash signature: min over shingles of a salted
-    * portable hash — 16 `min` aggregates in ONE pass (single shuffle on
-    * doc_id, partial min map-side). */
+  /** MinHash permutation constants: h_j(x) = (a_j·x + b_j) mod P over the
+    * base md5 hash — one md5 per shingle, 16 cheap affine transforms
+    * (16× fewer digest computations than salting the input per
+    * permutation; the classic universal-hash construction). */
+  private val MhA: IndexedSeq[Long] = (0 until 16).map(j => (2654435761L * (2 * j + 1)) % P)
+  private val MhB: IndexedSeq[Long] = (0 until 16).map(j => (2654435789L * (j + 7) + 40503L * j) % P)
+
+  /** 16-permutation MinHash signature: 16 `min` aggregates in ONE pass
+    * (single shuffle on doc_id, partial min map-side). */
   private def minhashSig(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id"))
+    shingles(docs)
+      .withColumn("h", PortableHash.md5Mod(col("sh")))
+      .groupBy(col("doc_id"))
       .agg(
-        min(PortableHash.md5Mod(concat(lit("0|"), col("sh")))).as("h0"),
+        min((col("h") * MhA(0) + MhB(0)) % P).as("h0"),
         (1 until 16).map(j =>
-          min(PortableHash.md5Mod(concat(lit(s"$j|"), col("sh")))).as(s"h$j")): _*)
+          min((col("h") * MhA(j) + MhB(j)) % P).as(s"h$j")): _*)
 
   // ---------- shared SQL fragments (DuckDB side) ----------
 
@@ -89,9 +97,10 @@ object LlmQueries {
 
   private val sigSql = {
     val mins = (0 until 16)
-      .map(j => s"  min(${md5ModSql(s"concat('$j|', sh)")}) AS h$j").mkString(",\n")
+      .map(j => s"  min((h * ${MhA(j)} + ${MhB(j)}) % $P) AS h$j").mkString(",\n")
     s"""$shinglesSql,
-       |sig AS (SELECT doc_id,\n$mins\n  FROM sh GROUP BY doc_id)""".stripMargin
+       |shh AS (SELECT doc_id, ${md5ModSql("sh")} AS h FROM sh),
+       |sig AS (SELECT doc_id,\n$mins\n  FROM shh GROUP BY doc_id)""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -287,6 +296,93 @@ object LlmQueries {
       Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 5)
         .select($"q_id", $"c_id", $"cosine", $"rnk".cast("long").as("rnk"))
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- LSH-bucketed ANN — the 100 TB similarity path: 8 random-
+    // hyperplane sign bits bucket the vectors; search touches only the
+    // query's bucket (candidate count ~ n/256 instead of n). Plane
+    // weights derive from the portable hash, so the oracle re-computes
+    // them independently; the Spark side folds them in as literals via
+    // codegen'd array HOFs (no join against a plane table). ----
+    QuerySpec.sql("q48_ann_lsh", {
+      val planeSql =
+        s"""pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
+           |  FROM (SELECT unnest(generate_series(0, 7)) AS j),
+           |       (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $QScale, 0) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         |$planeSql,
+         |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
+         |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
+         |buckets AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cand AS (SELECT qb.vec_id AS q_id, cb.vec_id AS c_id, qb.bucket AS bucket
+         |  FROM buckets qb JOIN buckets cb
+         |    ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id < 10),
+         |dots AS (SELECT cand.q_id, cand.c_id, cand.bucket, sum(a.xq * b.xq) AS dot
+         |  FROM cand JOIN e a ON a.vec_id = cand.q_id
+         |            JOIN e b ON b.vec_id = cand.c_id AND b.i = a.i
+         |  GROUP BY cand.q_id, cand.c_id, cand.bucket),
+         |cos AS (SELECT q_id, c_id, bucket,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id)
+         |SELECT q_id, c_id, bucket, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, c_id, bucket, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cos) WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      // plane weights pre-computed locally from the SAME portable hash
+      val planes: IndexedSeq[Seq[Long]] = (0 until 8).map(j =>
+        (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000).toSeq)
+      def planeDot(j: Int): Column =
+        aggregate(zip_with($"embedding", typedLit(planes(j)),
+          (x, w) => quant(x) * w), lit(0L), (a, v) => a + v)
+      val bucketed = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        sqNormQ($"embedding").as("nrm"),
+        (0 until 8).map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+      val queries = bucketed.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
+      val pairs = bucketed.join(broadcast(queries),
+          $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), $"bucket",
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id", $"bucket", $"cosine", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- multimodal frame plumbing, oracle-checkable flavor: binary
+    // blob → fixed-width frame chunks → per-frame digest (the
+    // [[Multimodal]] module does the same shape via mapPartitions with a
+    // pluggable decoder; this query proves the chunk/digest pipeline is
+    // engine-portable over base64 text) ----
+    QuerySpec.sql("q50_frame_hashes",
+      """SELECT doc_id, frame_id, md5(chunk) AS frame_md5 FROM (
+        |  SELECT doc_id, gs AS frame_id,
+        |    substring(hx, CAST(gs * 64 + 1 AS INT), 64) AS chunk
+        |  FROM (
+        |    SELECT doc_id, hex(encode(text)) AS hx,
+        |      unnest(generate_series(0, CAST(floor((length(hex(encode(text))) - 1) / 64) AS BIGINT))) AS gs
+        |    FROM documents))
+        |ORDER BY doc_id, frame_id""".stripMargin) { (s, d) =>
+      // hex, not base64: Spark's base64 is MIME-chunked (CRLF every 76
+      // chars) and engine-specific; hex(binary) is byte-identical
+      // everywhere. 64 hex chars = a 32-byte frame.
+      Tables.documents(s, d)
+        .select($"doc_id", hex(encode($"text", "UTF-8")).as("hx"))
+        .select($"doc_id",
+          explode(sequence(lit(0L), floor((length($"hx") - 1) / 64).cast("long"))).as("frame_id"),
+          $"hx")
+        .select($"doc_id", $"frame_id",
+          expr("md5(substring(hx, CAST(frame_id * 64 + 1 AS INT), 64))").as("frame_md5"))
+        .orderBy($"doc_id", $"frame_id")
     }
   )
 }

@@ -290,6 +290,30 @@ object AspSemantics {
             "hello").otherwise("hello_again"))
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"greeting")
         .orderBy($"event_id")
+    },
+
+    // ---- P7 unpack_kwargs: dict payload → struct → column expansion
+    // (processor.py:153-166; the `$"value.*"` mapping of SURVEY §1.4) ----
+    QuerySpec.sql("q33_struct_unpack",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_id",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("payload"))
+        .select($"event_id", $"payload.*") // struct expansion = unpack_kwargs
+        .orderBy($"event_id")
+    },
+
+    // ---- distinct / sort-based aggregation over the stream ----
+    QuerySpec.sql("q34_distinct_agg",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").cast("long").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
     }
   )
 }
