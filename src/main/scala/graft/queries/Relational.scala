@@ -248,6 +248,31 @@ object Relational {
         .agg(count(lit(1)).as("n")).orderBy($"k_mod")
     },
 
+    // ---- theta / nested-loop join: cross product with a non-equi
+    // residual predicate (no equi key at all → BroadcastNestedLoopJoin;
+    // the small side MUST be the broadcast one at scale) ----
+    QuerySpec.sql("q16_theta_join",
+      """SELECT s.s_suppkey, count(*) AS n_cheaper
+        |FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal / 3
+        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d); val p = broadcast(Tables.part(s, d))
+      sup.join(p, p("p_retailprice") < sup("s_acctbal") / 3)
+        .groupBy($"s_suppkey").agg(count(lit(1)).as("n_cheaper"))
+        .orderBy($"s_suppkey")
+    },
+
+    // ---- intersect (completes the set-op family with q8) ----
+    QuerySpec.sql("q17_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        .intersect(c.filter($"c_acctbal" > 1000).select($"c_custkey"))
+        .orderBy($"c_custkey")
+    },
+
     // ---- array higher-order functions over embeddings (sequential folds
     // on both sides → bit-identical doubles) ----
     QuerySpec.sql("q15_array_hof",

@@ -55,4 +55,75 @@ class StreamingParitySpec extends AnyFunSuite {
         == Seq(9.00, 36.00, 22.50, 42.50))
     } finally q.stop()
   }
+
+  test("W12 dynamic demux: a key first seen mid-stream spawns its machine on the fly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val mem = MemoryStream[CartUpdate]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[CartUpdate]
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(Fixtures.cartFactory)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("dyn_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(updates(0)) // only user 42 exists
+      q.processAllAvailable()
+      // user 99 appears later — new subgraph, no restart (e1_dynamic.py)
+      mem.addData(updates(1).copy(user_id = 99L))
+      q.processAllAvailable()
+      val byUser = sp.sql("SELECT * FROM dyn_stream").as[CartTotal]
+        .collect().groupBy(_.user_id)
+      assert(byUser.keySet == Set(42L, 99L))
+      assert(byUser(99L).map(_.total).toSeq == Seq(27.0)) // 2×15 × 0.9 discount
+    } finally q.stop()
+  }
+
+  test("W10 VWAP: batch window aggregation ≡ AvailableNow streaming with watermark") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q28_vwap_tumbling")(sp, dir)
+      .collect().map(_.toSeq).toSeq
+
+    // same plan over a file STREAM, drained with AvailableNow; the raw
+    // parquet schema (ts as nanos long) feeds the same µs conversion
+    val schema = graft.core.Tables.table(sp, dir, "events").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-vwap-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet")) // file stream sources read directories
+    val streamEv = sp.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+      .withColumn("weight", get_json_object(col("props"), "$.k").cast("long"))
+    val agg = graft.operators.Windows.hoppingAgg(streamEv, "1 day", "1 day", Nil,
+        Seq((sum((col("value") * col("weight")).cast("decimal(18,2)")).cast("double") /
+          sum(col("weight")).cast("double")).as("vwap"),
+          sum(col("weight")).cast("long").as("total_weight"),
+          count(lit(1)).as("n_events")))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("vwap"), col("total_weight"), col("n_events"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("vwap_stream")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // append mode finalizes a window only once the watermark passes its
+    // end; the stream's final (incomplete-by-watermark) day stays held
+    // back — compare the completed prefix, which must match batch exactly
+    val streamed = sp.sql(
+      "SELECT * FROM vwap_stream WHERE total_weight > 0 ORDER BY w_start_us")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch.take(streamed.size))
+    assert(batch.size - streamed.size <= 1)
+  }
 }
