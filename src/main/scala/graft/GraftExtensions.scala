@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.QuantizedDot
+
+/** SQL-surface registration for the engine's native expressions:
+  * `spark.sql.extensions=graft.GraftExtensions` makes
+  * `quantized_dot(a, b)` available to `spark.sql(...)` users alongside
+  * the Column API ([[graft.functions.VectorOps]]). This is the
+  * SparkSessionExtensions hook of the build plan (SURVEY §7.3) — used for
+  * function injection only; plans/strategies stay stock Catalyst. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"quantized_dot requires exactly 2 arguments, got ${children.size}")
+        QuantizedDot(children(0), children(1))
+      }))
+  }
+}

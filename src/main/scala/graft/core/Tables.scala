@@ -35,7 +35,8 @@ object Tables {
   /** Session config every entry point needs: UTC semantics, ns-parquet
     * compatibility, fixture-scale shuffle parallelism. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

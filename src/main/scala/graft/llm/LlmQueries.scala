@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries._
 import graft.core.Tables
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, VectorOps}
 import graft.operators.Windows
 
 /** LLM-training-data pipeline operators (mandated extension — not in the
@@ -33,23 +33,29 @@ object LlmQueries {
   private val P = PortableHash.P // 2^31 - 1, sketch hash domain
 
   /** Integer quantization for cross-engine-exact vector math: components
-    * are scaled to 1e-7 resolution and rounded to int64, so dot products
-    * and norms are EXACT integer sums (order-free, shuffle-safe), and the
-    * final cosine is a fixed sequence of IEEE double ops (int64→double,
-    * ·, sqrt, ÷ — all correctly rounded everywhere). 1e-7 relative error
-    * is far below any similarity threshold that matters. */
+    * are scaled to 1e-7 resolution and TRUNCATED to int64 (toward zero —
+    * the one rounding Java `(long)`, Spark `CAST AS LONG` and DuckDB
+    * `trunc()::BIGINT` all agree on), so dot products and norms are EXACT
+    * integer sums (order-free, shuffle-safe), and the final cosine is a
+    * fixed sequence of IEEE double ops. 1e-7 relative error is far below
+    * any similarity threshold that matters.
+    *
+    * Hot path: [[graft.functions.QuantizedDot]] — a native codegen'd
+    * Expression (one JIT'd long loop per pair, no HOF lambda dispatch). */
   private val QScale = 10000000L // 1e7
 
-  private def quant(x: Column): Column =
-    round(x.cast("double") * QScale, 0).cast("long")
+  /** Column-level truncation quantization (plane-dot HOF path). */
+  private def quant(x: Column): Column = (x.cast("double") * QScale).cast("long")
 
   /** Σ q(xᵢ)·q(yᵢ) — exact int64 (64 dims × (3e7)² ≈ 6e16 < 2⁶³). */
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => quant(x) * quant(y)), lit(0L), (s, v) => s + v)
+  private def dotQ(a: Column, b: Column): Column = VectorOps.dotQ(a, b)
 
   /** Σ q(xᵢ)² — exact int64. */
-  private def sqNormQ(a: Column): Column =
-    aggregate(transform(a, x => quant(x) * quant(x)), lit(0L), (s, v) => s + v)
+  private def sqNormQ(a: Column): Column = VectorOps.sqNormQ(a)
+
+  /** DuckDB rendering of the same quantization. */
+  private def quantSql(x: String): String =
+    s"CAST(trunc(CAST($x AS DOUBLE) * $QScale) AS BIGINT)"
 
   /** Quantized cosine from exact integer dot/norms; the int64 norms are
     * cast to double BEFORE multiplying (their product overflows int64). */
@@ -268,7 +274,7 @@ object LlmQueries {
     // broadcast — the candidate scan streams through executors once. ----
     QuerySpec.sql("q47_cosine_topk",
       s"""WITH e AS (SELECT vec_id,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $QScale, 0) AS BIGINT) AS xq,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
          |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
          |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
          |dots AS (
@@ -310,7 +316,7 @@ object LlmQueries {
            |  FROM (SELECT unnest(generate_series(0, 7)) AS j),
            |       (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
       s"""WITH e AS (SELECT vec_id,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * $QScale, 0) AS BIGINT) AS xq,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
          |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
          |$planeSql,
          |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location tools for the 100 TB path.
+  *
+  * AQE (`spark.sql.adaptive.skewJoin.enabled`, on by default) already
+  * splits skewed SHUFFLE JOIN partitions at runtime; these helpers cover
+  * the two places AQE doesn't reach:
+  *
+  *  - **Skewed aggregation** ([[saltedAgg]]): a groupBy where one key
+  *    holds a large share of all rows bottlenecks on a single reducer.
+  *    Two-phase aggregation over a salted key fixes it for any
+  *    algebraic aggregate (sum/count/min/max — anything with a merge).
+  *  - **Co-located joins** ([[writeBucketed]]): repeated large-fact joins
+  *    on the same key should not re-shuffle per query; bucketed tables
+  *    join with ZERO Exchange when bucket specs match.
+  *
+  * Salting is schema discipline, not an engine change (SURVEY §4): the
+  * salt column is ordinary data, Catalyst plans both phases as standard
+  * partial/final hash aggregates.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: Σ-style aggregates grouped by `keys`,
+    * computed as groupBy(keys :+ salt) → partial, then groupBy(keys) →
+    * merge. `aggs` maps output column name → (partialExpr, mergeExpr)
+    * where mergeExpr operates on the partial column.
+    *
+    * {{{
+    * Skew.saltedAgg(df, Seq("user_id"), 16, Map(
+    *   "total" -> (sum($"value"),  s => sum(s)),
+    *   "n"     -> (count(lit(1)),  s => sum(s))))
+    * }}}
+    *
+    * The salt fans the hot key across `saltBuckets` reducers in phase 1;
+    * phase 2 merges `saltBuckets` rows per key — negligible. Rows per
+    * reducer drop from O(hotKeyCount) to O(hotKeyCount / saltBuckets).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                aggs: Map[String, (Column, Column => Column)]): DataFrame = {
+    // deterministic salt: spread rows without rand() (replayable plans)
+    val salt = (abs(hash(monotonically_increasing_id())) % saltBuckets).as("_salt")
+    val partial = df.withColumn("_salt", salt)
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(aggs.head._2._1.as("_p_" + aggs.head._1),
+        aggs.tail.map { case (n, (p, _)) => p.as("_p_" + n) }.toSeq: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(aggs.head._2._2(col("_p_" + aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m(col("_p_" + n)).as(n) }.toSeq: _*)
+  }
+
+  /** Persist `df` bucketed+sorted by `key` so subsequent equi-joins and
+    * aggregations on `key` between co-bucketed tables plan with NO
+    * Exchange (verified by [[graft.operators]] specs via `.explain`).
+    * This is the ahead-of-time co-location strategy for fact-fact joins
+    * repeated across a workload — shuffle once at write time, never
+    * again. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+}
