@@ -364,6 +364,68 @@ object LlmQueries {
         .orderBy($"q_id", $"rnk")
     },
 
+    // ---- language identification: marker-word profile scoring with a
+    // deterministic argmax (the n-gram-profile heuristic at word level;
+    // one explode + one grouped pass) ----
+    QuerySpec.sql("q49_lang_id",
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |scores AS (
+        |  SELECT doc_id, any_value(lang) AS lang_meta,
+        |    sum(CASE WHEN w IN ('the','and','of','to','a','is') THEN 1 ELSE 0 END) AS s_en,
+        |    sum(CASE WHEN w IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de,
+        |    sum(CASE WHEN w IN ('el','la','los','de','y','es') THEN 1 ELSE 0 END) AS s_es
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, lang_meta, CAST(s_en AS BIGINT) AS s_en,
+        |  CAST(s_de AS BIGINT) AS s_de, CAST(s_es AS BIGINT) AS s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess
+        |FROM scores ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val en = Seq("the", "and", "of", "to", "a", "is")
+      val de = Seq("der", "die", "das", "und", "ist", "ein")
+      val es = Seq("el", "la", "los", "de", "y", "es")
+      def score(ws: Seq[String]) =
+        sum(when($"w".isin(ws: _*), 1).otherwise(0))
+      val scores = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+        .groupBy($"doc_id")
+        .agg(first($"lang").as("lang_meta"),
+          score(en).cast("long").as("s_en"),
+          score(de).cast("long").as("s_de"),
+          score(es).cast("long").as("s_es"))
+      scores.select($"doc_id", $"lang_meta", $"s_en", $"s_de", $"s_es",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
+            .when($"s_de" >= $"s_es", "de").otherwise("es").as("lang_guess"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- document fingerprinting: k smallest shingle hashes per doc
+    // (winnowing-style content fingerprint; two docs sharing fingerprint
+    // rows are near-dup candidates — joins on (rank, h) at scale) ----
+    QuerySpec.sql("q51_fingerprint",
+      s"""WITH $shinglesSql,
+         |h AS (SELECT DISTINCT doc_id, ${md5ModSql("sh")} AS h FROM sh),
+         |ranked AS (SELECT doc_id, h,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rank
+         |  FROM h)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, h FROM ranked WHERE rank <= 4
+         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val h = shingles(Tables.documents(s, d))
+        .select($"doc_id", PortableHash.md5Mod($"sh").as("h")).distinct()
+      Windows.topKPerGroup(h, Seq("doc_id"), Seq($"h".asc), 4)
+        .select($"doc_id", $"rnk".cast("long").as("rank"), $"h")
+        .orderBy($"doc_id", $"rank")
+    },
+
+    // ---- approximate distinct (HLL sketch): engine-specific estimates,
+    // so no hash oracle — the driver records a rows-only check; exact
+    // count rides along for plausibility ----
+    QuerySpec.rowsOnly("q52_approx_distinct") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .agg(approx_count_distinct($"w").as("approx_vocab"),
+          countDistinct($"w").as("exact_vocab"))
+    },
+
     // ---- multimodal frame plumbing, oracle-checkable flavor: binary
     // blob → fixed-width frame chunks → per-frame digest (the
     // [[Multimodal]] module does the same shape via mapPartitions with a

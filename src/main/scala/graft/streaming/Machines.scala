@@ -116,6 +116,47 @@ object Machines {
       }
   }
 
+  // ---------- W10: sliding-window VWAP sampled on a periodic timer ----------
+  // reference: examples/csp/02_intermediate/e2_stats.py — MovingAverage
+  // keeps (ts, value, weight) rows within the trailing `interval`, a 1-min
+  // timer prints Σv·w/Σw plus cumulative volume. The reference evicts
+  // against `asp.now()` (virtual time + wall-clock callback drift, µs
+  // noise at exact window boundaries); this machine uses exact virtual
+  // time: boundary events (ts == now − interval) are included, and at a
+  // timer/event tie the timer fires first (engine-wide rule).
+  // NOTE: the declarative form (Windows.vwap / q28/q29) is the preferred
+  // Spark-first VWAP; this machine exists for reference-shape parity
+  // (timer-driven sampling interleaved with stream state).
+
+  final case class PriceVol(series_id: Long, ts_us: Long, seq: Long,
+                            value: Double, weight: Double)
+  final case class VwapSample(series_id: Long, ts_us: Long, vwap: Double, cum_volume: Double)
+
+  final class VwapMachine(seriesId: Long, intervalUs: Long, stepUs: Long,
+                          startUs: Long, endUs: Long)
+      extends KeyedStateMachine[Long, PriceVol, VwapSample] {
+    private var buf = Vector.empty[(Long, Double, Double)] // (ts, value, weight)
+    private var cumVolume = 0.0
+
+    override def onStart(key: Long, ctx: ReplayCtx[VwapSample]): Unit =
+      if (startUs + stepUs <= endUs) ctx.callAt(startUs + stepUs, "sample")
+
+    override def onEvent(ts: Long, e: PriceVol, ctx: ReplayCtx[VwapSample]): Unit = {
+      buf = buf.filter(_._1 >= ts - intervalUs) :+ ((ts, e.value, e.weight))
+      cumVolume += e.weight
+    }
+
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[VwapSample]): Unit = {
+      if (cumVolume > 0) {
+        val w = buf.filter(_._1 >= ts - intervalUs)
+        if (w.nonEmpty)
+          ctx.emit(VwapSample(seriesId, ts,
+            w.map(r => r._2 * r._3).sum / w.map(_._3).sum, cumVolume))
+      }
+      if (ts + stepUs <= endUs) ctx.callAt(ts + stepUs, "sample")
+    }
+  }
+
   // ---------- P6: periodic timer ----------
   // reference: processor.py:140-150 — first tick at start+step, then every
   // step while tick <= end; event_time = fire time; exactly 10 ticks over
