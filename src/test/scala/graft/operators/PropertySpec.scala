@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Property-style checks (SURVEY §5 item 4) — seeded random event
+  * streams, invariants the operators must hold regardless of data:
+  *  - as-of join equals the per-row brute-force definition (most recent
+  *    right row at-or-before, per key);
+  *  - zip-merge truncates to the shorter stream and stamps the first
+  *    stream's timestamps;
+  *  - replay sequence is input-order invariant.
+  * Deterministic seed; 12 random cases per property (each case is a
+  * full Spark job). Duplicate (k, ts) pairs occur by construction
+  * (ts ∈ [0, 50]) so tie behavior is exercised.
+  */
+object PropertySpec {
+  // top-level-ish so Spark can derive an Encoder (inner classes need scope)
+  final case class Ev(k: Long, ts: Long, id: Long, v: Double)
+}
+
+class PropertySpec extends AnyFunSuite {
+  import PropertySpec.Ev
+  private lazy val spark = TestSpark.spark
+
+  private def genEvents(rnd: scala.util.Random): List[Ev] =
+    List.tabulate(rnd.nextInt(41)) { i =>
+      Ev(rnd.nextInt(4).toLong, rnd.nextInt(51).toLong, i.toLong,
+        (rnd.nextInt(201) - 100).toDouble)
+    }
+
+  test("asOf == brute-force most-recent-at-or-before, per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val ls = genEvents(rnd); val rs = genEvents(rnd)
+      val left = spark.createDataset(ls).toDF("k", "ts", "id", "lv")
+      val right = spark.createDataset(rs).toDF("k", "ts", "id", "rv").drop("id")
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+        .select("id", "rv").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got.size == ls.size) // every left row survives exactly once
+      ls.foreach { e =>
+        // the operator picks SOME row among equal (k, maxTs) candidates —
+        // assert membership in that candidate set
+        val elig = rs.filter(r => r.k == e.k && r.ts <= e.ts)
+        val want: Set[Option[Double]] =
+          if (elig.isEmpty) Set(None)
+          else { val mts = elig.map(_.ts).max; elig.filter(_.ts == mts).map(r => Option(r.v)).toSet }
+        assert(want.contains(got(e.id)), s"event $e got ${got(e.id)} want one of $want")
+      }
+    }
+  }
+
+  test("zipMerge truncates to the shorter stream and keeps the first stream's ts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 12) {
+      val as = genEvents(rnd); val bs = genEvents(rnd)
+      val a = spark.createDataset(as).toDF("k", "ts", "event_id", "value")
+      val b = spark.createDataset(bs).toDF("k", "ts", "event_id", "value")
+      val merged = graft.core.Events.zipMerge(Seq("a" -> a, "b" -> b))
+        .orderBy(col("k")).collect()
+      assert(merged.length == math.min(as.size, bs.size))
+      val aSorted = as.sortBy(e => (e.ts, e.id))
+      merged.zipWithIndex.foreach { case (row, i) =>
+        assert(row.getLong(row.fieldIndex("ts")) == aSorted(i).ts)
+        assert(row.getDouble(row.fieldIndex("a")) == aSorted(i).v)
+      }
+    }
+  }
+
+  test("replaySeq is invariant under input permutation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 6) {
+      val es = genEvents(rnd)
+      if (es.nonEmpty) {
+        def seqOf(xs: List[Ev]) =
+          graft.core.Events.replaySeq(
+              spark.createDataset(xs).toDF("k", "ts", "event_id", "v"),
+              ts = "ts", tieBreak = "event_id")
+            .select("seq", "event_id").collect()
+            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(seqOf(es) == seqOf(rnd.shuffle(es)))
+      }
+    }
+  }
+}

@@ -56,6 +56,39 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W8 typed-state cart (native ListState/ValueState/timers) ≡ machine replay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val batchOut = Replay.run(sp.createDataset(updates), "user_id", "ts_us", "seq", Some(T0))(
+        _.user_id, _.ts_us)(Fixtures.cartFactory)
+      .collect().toSeq.sortBy(_.ts_us)
+
+    val mem = MemoryStream[CartUpdate]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[CartUpdate]
+    val out = withWm.groupByKey(_.user_id)
+      .transformWithState(new TypedCartProcessor(Fixtures.DiscountExpiryUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("typed_cart")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(updates(0), updates(1), updates(2))
+      q.processAllAvailable()
+      mem.addData(updates(3))
+      q.processAllAvailable()
+      val streamOut = sp.sql("SELECT * FROM typed_cart").as[CartTotal]
+        .collect().toSeq.sortBy(_.ts_us)
+      assert(streamOut == batchOut)
+    } finally q.stop()
+  }
+
   test("W12 dynamic demux: a key first seen mid-stream spawns its machine on the fly") {
     val sp = spark
     import sp.implicits._
