@@ -273,6 +273,49 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // ---- TPC-H Q3 shape: selective filters both sides of a fact-fact
+    // join, aggregate, top-10 — the classic "shipping priority" plan
+    // (filters reach both parquet scans; TakeOrderedAndProject caps the
+    // result without a full sort at scale) ----
+    QuerySpec.sql("q18_shipping_priority",
+      s"""SELECT l_orderkey, CAST(sum($discPrice) AS DOUBLE) AS revenue,
+         |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_us
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter($"l_shipdate" > "1995-03-15")
+        .join(Tables.orders(s, d).filter($"o_orderdate" < "1995-03-15"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .select($"l_orderkey", $"revenue",
+          unix_micros($"o_orderdate".cast("timestamp")).as("orderdate_us"))
+        .orderBy($"revenue".desc, $"l_orderkey").limit(10)
+    },
+
+    // ---- TPC-H Q12 shape: conditional aggregation (CASE inside sum) ----
+    QuerySpec.sql("q19_priority_by_status",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_linestatus")
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_count"))
+        .orderBy($"l_linestatus")
+    },
+
     // ---- array higher-order functions over embeddings (sequential folds
     // on both sides → bit-identical doubles) ----
     QuerySpec.sql("q15_array_hof",
