@@ -186,6 +186,21 @@ object Relational {
         .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // ---- explicit grouping sets (beyond rollup/cube): chosen set list ----
+    QuerySpec.sql("q53_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).cast("long").as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
     // ---- analytic window functions: rank / dense_rank / lag ----
     QuerySpec.sql("q11_window_rank",
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -116,6 +116,31 @@ object Machines {
       }
   }
 
+  // ---------- W5/W7: streaming as-of join as keyed last-value state ----------
+  // reference: e3_show_graph.py:11-29 / e4_trade_pnl.py:51-63 — each trade
+  // sees the most recent quote at-or-before it. Batch form is
+  // [[graft.operators.AsOfJoin.asOf]] (union + last-value window, one
+  // shuffle); this machine is the LIVE form over the same merged stream:
+  // per key, quotes update ValueState-like fields, trades emit joined
+  // rows. Equal timestamps: quotes sort before trades via the tie-break
+  // column (same rule as the batch operator's tag ordering).
+
+  final case class MarketTick(user_id: Long, ts_us: Long, seq: Long,
+                              kind: String, value: Double) // "quote" | "trade"
+  final case class AsOfRow(user_id: Long, ts_us: Long,
+                           trade_value: Double, quote_value: Option[Double])
+
+  final class AsOfMachine(userId: Long)
+      extends KeyedStateMachine[Long, MarketTick, AsOfRow] {
+    private var lastQuote: Option[Double] = None
+    override def onEvent(ts: Long, e: MarketTick, ctx: ReplayCtx[AsOfRow]): Unit =
+      e.kind match {
+        case "quote" => lastQuote = Some(e.value)
+        case "trade" => ctx.emit(AsOfRow(userId, ts, e.value, lastQuote))
+        case _       => ()
+      }
+  }
+
   // ---------- W10: sliding-window VWAP sampled on a periodic timer ----------
   // reference: examples/csp/02_intermediate/e2_stats.py — MovingAverage
   // keeps (ts, value, weight) rows within the trailing `interval`, a 1-min

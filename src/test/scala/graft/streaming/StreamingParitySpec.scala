@@ -116,6 +116,52 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W7 as-of: streaming machine ≡ batch AsOfJoin operator on the events fixture") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ev = graft.core.Tables.events(sp, "/root/testdata/sf0.001")
+
+    // batch: the declarative operator (union + last-value window)
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("trade_value"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("quote_value"))
+    val batch = graft.operators.AsOfJoin
+      .asOf(trades, quotes, Seq("user_id"), "ts", "ts", Seq("quote_value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("trade_value"), col("quote_value"))
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq.sorted
+
+    // streaming: the same merged stream through the keyed machine
+    // (quotes tie-break before trades, matching the operator's tag order)
+    val ticks = ev.filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_id") * 2 + when(col("event_type") === "view", 0).otherwise(1)).as("seq"),
+        when(col("event_type") === "view", "quote").otherwise("trade").as("kind"),
+        col("value")).as[Machines.MarketTick].collect().toSeq
+
+    val mem = MemoryStream[Machines.MarketTick]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[Machines.MarketTick]
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val (first, rest) = ticks.sortBy(t => (t.ts_us, t.seq)).splitAt(ticks.size / 2)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(rest: _*); q.processAllAvailable()
+      val streamed = sp.sql("SELECT * FROM asof_stream").as[Machines.AsOfRow]
+        .collect().toSeq
+        .map(r => (r.user_id, r.ts_us, r.trade_value, r.quote_value)).sorted
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("W10 VWAP: batch window aggregation ≡ AvailableNow streaming with watermark") {
     val sp = spark
     import sp.implicits._
