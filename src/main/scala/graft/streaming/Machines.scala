@@ -141,6 +141,50 @@ object Machines {
       }
   }
 
+  // ---------- W7: trade/quote book with running positions + PnL ----------
+  // reference: examples/csp/01_basics/e4_trade_pnl.py:19-70 — Book keeps
+  // last bid/ask (mid = (bid+ask)/2), Positions keep running Σqty and
+  // Σqty·price per side; each quote with a mid prints Mid, each trade
+  // with a mid prints PnL = buyPnl − sellPnl where
+  // pnl(mid) = qty·(mid − Σqty·price/Σqty). Cross-stream simultaneity is
+  // resolved by the explicit (ts, seq) tie-break — the caller encodes the
+  // reference's schedule-insertion order in `seq` (SURVEY §1.3.7).
+
+  final case class PnlEvent(instrument: Long, ts_us: Long, seq: Long,
+                            kind: String, // "quote" | "trade"
+                            is_bid: Boolean, price: Double, qty: Long, buy: Boolean)
+  final case class PnlOut(instrument: Long, ts_us: Long, kind: String, // "mid" | "pnl"
+                          mid: Double, pnl: Double, buy_pnl: Double, sell_pnl: Double)
+
+  final class PnlMachine(instrument: Long)
+      extends KeyedStateMachine[Long, PnlEvent, PnlOut] {
+    private var lastBid, lastAsk = Option.empty[Double]
+    private var buyQty, sellQty = 0L
+    private var buyQtyPrice, sellQtyPrice = 0.0
+
+    private def mid: Option[Double] =
+      for (b <- lastBid; a <- lastAsk) yield (a + b) / 2
+
+    private def pnl(qty: Long, qtyPrice: Double, m: Double): Double =
+      if (qty == 0) 0.0 else qty * (m - qtyPrice / qty)
+
+    override def onEvent(ts: Long, e: PnlEvent, ctx: ReplayCtx[PnlOut]): Unit =
+      e.kind match {
+        case "quote" =>
+          if (e.is_bid) lastBid = Some(e.price) else lastAsk = Some(e.price)
+          mid.foreach(m => ctx.emit(PnlOut(instrument, ts, "mid", m, 0.0, 0.0, 0.0)))
+        case "trade" =>
+          if (e.buy) { buyQty += e.qty; buyQtyPrice += e.qty * e.price }
+          else { sellQty += e.qty; sellQtyPrice += e.qty * e.price }
+          mid.foreach { m =>
+            val bp = pnl(buyQty, buyQtyPrice, m)
+            val sp = pnl(sellQty, sellQtyPrice, m)
+            ctx.emit(PnlOut(instrument, ts, "pnl", m, bp - sp, bp, sp))
+          }
+        case _ => ()
+      }
+  }
+
   // ---------- W10: sliding-window VWAP sampled on a periodic timer ----------
   // reference: examples/csp/02_intermediate/e2_stats.py — MovingAverage
   // keeps (ts, value, weight) rows within the trailing `interval`, a 1-min
