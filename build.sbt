@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from sbt stdout; the default
+// LoggedOutput strategy prefixes every forked-process line with "[info] ",
+// which breaks that parse (BENCH_r01.json: "parsed": null). StdoutOutput
+// streams the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads churning through 48 back-to-back queries need
+  // headroom: at 8g the full bench showed 10-20x GC/contention outliers
+  // (q48 23.6s full-run vs 1.5s isolated). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

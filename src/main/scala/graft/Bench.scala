@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query executed end-to-end
   * against SPARK_GRAFT_SF_DIR, full materialization through the `noop`
   * sink (unlike `.count()`, noop cannot prune projections or skip
-  * window/sort work), one JSON line on stdout. */
+  * window/sort work), one JSON line on stdout.
+  *
+  * A failed query is reported as -1 (never a near-zero wall time), and
+  * the summary carries `failed` + `failed_queries` so the driver can
+  * tell a broken query from a fast one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,21 +16,34 @@ object Bench {
     val spark = graft.core.Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = bench only these queries (isolation profiling)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // name -> (seconds, ok)
+    def pass(): Seq[(String, Double, Boolean)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     val warmup = pass().map(_._2).sum // JVM/codegen/classloading warm-up
     val results = pass()              // steady-state, reported
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
-    spark.stop()
+    val failed = results.filterNot(_._3).map(_._1)
+    val total = results.filter(_._3).map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""warmup_sec":$warmup,"sf":"$sfDir"}"""
+    spark.stop() // stop first so stray executor WARNs can't interleave mid-line
+    println(line)
   }
 }

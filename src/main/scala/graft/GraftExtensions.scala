@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.QuantizedDot
+import graft.functions.{LshPlaneBits, QuantizedDot}
 
 /** SQL-surface registration for the engine's native expressions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"quantized_dot requires exactly 2 arguments, got ${children.size}")
         QuantizedDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_plane_bits"),
+      new ExpressionInfo(classOf[LshPlaneBits].getName, "lsh_plane_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"lsh_plane_bits requires exactly 2 arguments, got ${children.size}")
+        LshPlaneBits(children(0), children(1))
       }))
   }
 }

@@ -29,14 +29,14 @@ object Events {
     * would deliver the events (processor.py:64-100 — due-time order, FIFO
     * tie-break on event_id as insertion order).
     *
-    * Scale note: a single un-partitioned `row_number` is a total order and
-    * therefore a single-task sort at the end; that is inherent to asking
-    * for a global sequence. At 100 TB you partition by key first —
-    * [[keyedSeq]] — or use `zipWithIndex`-style range offsets. The global
-    * form exists for parity tests at fixture scale.
+    * Scale note: a total order is inherently global, but it does NOT need
+    * a single-task sort — this delegates to [[graft.operators.Prefix.seq]]
+    * (range-partitioned two-phase prefix), so the sequence of a 100 TB
+    * stream is computed by every executor in parallel. Prefer [[keyedSeq]]
+    * when a per-key order is all the workload actually needs.
     */
   def replaySeq(events: DataFrame, ts: String = "ts", tieBreak: String = "event_id"): DataFrame =
-    events.withColumn("seq", row_number().over(Window.orderBy(col(ts), col(tieBreak))))
+    graft.operators.Prefix.seq(events, "seq", ts, tieBreak)
 
   /** Per-key delivery sequence — the scalable form: partitions by key, so
     * the sort is a distributed shuffle+sort, not a single task. */
@@ -74,14 +74,15 @@ object Events {
     * `merge_timeseries` (examples/common.py:18-22): takes the k-th element
     * of every stream together, stamps the FIRST stream's timestamp, and
     * truncates to the shortest stream (verified empirically, SURVEY P11).
-    * Implemented as a row_number equi-join: shuffles on the synthetic row
-    * index; both sides sort-partition in parallel.
+    * Implemented as a distributed-sequence equi-join: each stream is
+    * numbered by the two-phase [[graft.operators.Prefix.seq]] (no
+    * single-task sort), then joined on the synthetic row index.
     */
   def zipMerge(streams: Seq[(String, DataFrame)], ts: String = "ts",
                tieBreak: String = "event_id"): DataFrame = {
     val indexed = streams.map { case (name, df) =>
-      df.select(col(ts), col(tieBreak), col("value"))
-        .withColumn("k", row_number().over(Window.orderBy(col(ts), col(tieBreak))))
+      graft.operators.Prefix.seq(
+          df.select(col(ts), col(tieBreak), col("value")), "k", ts, tieBreak)
         .select(col("k"), col(ts).as(s"${name}_ts"), col("value").as(name))
     }
     val joined = indexed.reduce((a, b) => a.join(b, "k"))
@@ -113,16 +114,21 @@ object Events {
     * after a time-ordered merge, carry each source's latest value forward
     * with `last(ignoreNulls)` over an unbounded-preceding running frame.
     * Partition by `key` columns when the combine is per-instrument — that
-    * is what makes it scale (each key's timeline is independent).
+    * is what makes it scale (each key's timeline is independent). The
+    * un-keyed (global-timeline) form delegates to
+    * [[graft.operators.Prefix.lastCarry]], the two-phase distributed
+    * carry-forward, instead of a single-task global window.
     */
   def lastValueCombine(merged: DataFrame, valueCols: Seq[String],
                        partitionBy: Seq[String] = Nil,
-                       ts: String = "ts", tieBreak: String = "event_id"): DataFrame = {
-    val w0 = if (partitionBy.isEmpty) Window.orderBy(col(ts), col(tieBreak))
-             else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(ts), col(tieBreak))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(merged) { (acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+                       ts: String = "ts", tieBreak: String = "event_id"): DataFrame =
+    if (partitionBy.isEmpty)
+      graft.operators.Prefix.lastCarry(merged, valueCols, ts, tieBreak)
+    else {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(ts), col(tieBreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      valueCols.foldLeft(merged) { (acc, c) =>
+        acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
     }
-  }
 }

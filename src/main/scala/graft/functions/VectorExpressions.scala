@@ -75,6 +75,93 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucketing in one codegen'd pass: bit j of the
+  * result is set iff  Σᵢ trunc(xᵢ·1e7) · wⱼᵢ > 0  (int64-exact, same
+  * quantization contract as [[QuantizedDot]], bit-identical to the DuckDB
+  * oracle's plane join). Replaces the previous 8 interpreted
+  * `aggregate(zip_with(...))` passes per row — those allocate an
+  * intermediate array per plane per row and dispatch the lambda
+  * interpreted; this is one tight JIT'd nested loop over the row.
+  *
+  * `planes` must be a foldable `array<array<bigint>>` (the hyperplane
+  * weights, one inner array per bit) — weights are extracted once at
+  * codegen/first-eval time, never per row.
+  */
+case class LshPlaneBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_plane_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("lsh_plane_bits planes must be foldable (a literal)")
+        else if (planes.length > 63)
+          TypeCheckResult.TypeCheckFailure(s"at most 63 planes, got ${planes.length}")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"lsh_plane_bits requires (array<float>, array<array<bigint>>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  /** Plane weights, materialized once from the foldable literal. */
+  @transient private lazy val planes: Array[Array[Long]] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements()) { j =>
+      arr.getArray(j).toLongArray()
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val w = planes(j)
+      val n = math.min(x.numElements(), w.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += (x.getFloat(i).toDouble * 1.0e7).toLong * w(i)
+        i += 1
+      }
+      if (s > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $planesRef.length; $j++) {
+         |  long[] $w = $planesRef[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (long) (((double) $a.getFloat($i)) * 1.0E7) * $w[$i];
+         |  }
+         |  if ($s > 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LshPlaneBits =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the native expressions. The function is
   * registered by [[graft.GraftExtensions]] (`spark.sql.extensions`), so
   * the public `call_function` resolves it — no private Catalyst APIs on
@@ -86,4 +173,9 @@ object VectorOps {
 
   /** Σ trunc(xᵢ·1e7)² as int64. */
   def sqNormQ(a: Column): Column = dotQ(a, a)
+
+  /** Random-hyperplane sign-bit bucket; `planes` = weight rows (≤ 63). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Long]]): Column =
+    call_function("lsh_plane_bits", emb,
+      org.apache.spark.sql.functions.typedLit(planes))
 }

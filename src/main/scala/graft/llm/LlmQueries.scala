@@ -317,7 +317,8 @@ object LlmQueries {
            |       (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
       s"""WITH e AS (SELECT vec_id,
          |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
-         |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
          |$planeSql,
          |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
          |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
@@ -342,16 +343,20 @@ object LlmQueries {
          |  FROM cos) WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin
     }) { (s, d) =>
-      // plane weights pre-computed locally from the SAME portable hash
-      val planes: IndexedSeq[Seq[Long]] = (0 until 8).map(j =>
+      // plane weights pre-computed locally from the SAME portable hash;
+      // all 8 sign bits come from ONE codegen'd pass over the row
+      // (LshPlaneBits) instead of 8 interpreted zip_with/aggregate passes.
+      val planes: Seq[Seq[Long]] = (0 until 8).map(j =>
         (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000).toSeq)
-      def planeDot(j: Int): Column =
-        aggregate(zip_with($"embedding", typedLit(planes(j)),
-          (x, w) => quant(x) * w), lit(0L), (a, v) => a + v)
-      val bucketed = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      // dim guard (both sides): a short/long embedding would silently land
+      // in a prefix-truncated bucket while the oracle's i-join sums over
+      // the prefix — filter non-64-dim rows out instead of diverging
+      // (ADVICE r1).
+      val bucketed = Tables.embeddings(s, d)
+        .filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding",
         sqNormQ($"embedding").as("nrm"),
-        (0 until 8).map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("bucket"))
+        VectorOps.lshBucket($"embedding", planes).as("bucket"))
       val queries = bucketed.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))

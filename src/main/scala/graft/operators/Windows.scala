@@ -25,11 +25,14 @@ object Windows {
      else Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(tieBreak)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** Cumulative aggregate column (W6: `accum += x + y` per tick). */
+  /** Cumulative aggregate column (W6: `accum += x + y` per tick). The
+    * un-keyed (global-timeline) form routes through the two-phase
+    * distributed [[Prefix.runningSum]] instead of a single-task window. */
   def runningSum(df: DataFrame, valueCol: Column, as: String,
                  keys: Seq[String] = Nil, ts: String = "ts",
                  tieBreak: String = "event_id"): DataFrame =
-    df.withColumn(as, sum(valueCol).over(runningFrame(keys, ts, tieBreak)))
+    if (keys.isEmpty) Prefix.runningSum(df, valueCol, as, ts, tieBreak)
+    else df.withColumn(as, sum(valueCol).over(runningFrame(keys, ts, tieBreak)))
 
   /** Hopping/tumbling event-time window aggregate (W10 VWAP). `exprs` are
     * agg columns over each (window, keys...) group. Uses the built-in

@@ -148,19 +148,27 @@ object AspSemantics {
     // ---- W7 as-of join: each purchase sees the most recent view (at or
     // before it) for the same user — e4_trade_pnl.py trades↔quotes.
     // One shuffle on the key; DuckDB's native ASOF JOIN is the oracle. ----
+    // The quote side is pre-deduplicated per (user_id, ts) — max_by(value,
+    // event_id) — identically in both engines: with duplicate equal-ts
+    // quotes both Spark's union+last-value operator and DuckDB's ASOF JOIN
+    // pick an *arbitrary* survivor, so the gate would be fixture-dependent
+    // without this (ADVICE r1).
     QuerySpec.sql("q26_asof_join",
       s"""SELECT t.event_id AS event_id, t.user_id AS user_id,
          |  epoch_us(CAST(t.ts AS TIMESTAMP)) AS ts_us,
          |  t.value AS trade_value, q.value AS quote_value
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+         |ASOF LEFT JOIN (
+         |  SELECT user_id, ts, max_by(value, event_id) AS value
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
          |  ON t.user_id = q.user_id AND t.ts >= q.ts
          |ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val trades = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value".as("trade_value"))
       val quotes = ev.filter($"event_type" === "view")
-        .select($"user_id", $"ts", $"value".as("quote_value"))
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("quote_value"))
       AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts", Seq("quote_value"))
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
           $"trade_value", $"quote_value")
@@ -236,7 +244,7 @@ object AspSemantics {
     // expiry pattern as sessionization); oracle = gaps-and-islands ----
     QuerySpec.sql("q30_session_window",
       """WITH flagged AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    CASE WHEN CAST(ts AS TIMESTAMP) >=
         |      lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |        + INTERVAL 30 MINUTE
@@ -245,7 +253,7 @@ object AspSemantics {
         |  FROM events),
         |islands AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,

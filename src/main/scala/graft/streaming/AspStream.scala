@@ -30,6 +30,18 @@ import scala.collection.mutable
   * end-of-replay timer drain has no live analogue — quiescent keys drain
   * via the watermark path instead.
   *
+  * Cross-batch disorder: event-time order is restored *within* each
+  * micro-batch, but a row arriving in a later batch with an earlier
+  * (not-yet-late) timestamp cannot un-fire timers that already fired.
+  * The per-key virtual clock is therefore **monotone across batches**
+  * (`lastEventUs` persisted with the machine): a regressing row is
+  * delivered with its own event timestamp but under the already-advanced
+  * clock — precisely the reference's late-event behavior (README "events
+  * in the past are delivered late, not reordered"; processor.py:187-189
+  * applies no reordering buffer at all). Max disorder repaired is thus
+  * bounded by the micro-batch; disorder beyond it degrades to reference
+  * semantics rather than silently rewinding the clock.
+  *
   * State layout: the machine object (arbitrary user fields, like the
   * reference's callback objects) + pending timer tags, java-serialized
   * into one binary ValueState per key (RocksDB provider required by
@@ -64,23 +76,27 @@ object AspStream {
     private type Pending = Vector[(Long, String)]
 
     /** Load machine + seed the ctx schedule from persisted pending timers
-      * (insertion order preserved → FIFO tie-breaks survive restarts). */
-    private def load(key: K, t0: Long): (KeyedStateMachine[K, I, O], Set[Long], ReplayCtx[O]) = {
+      * (insertion order preserved → FIFO tie-breaks survive restarts).
+      * Returns the persisted per-key clock floor (`lastEventUs`), which
+      * keeps virtual time monotone across micro-batches. */
+    private def load(key: K, t0: Long): (KeyedStateMachine[K, I, O], Set[Long], ReplayCtx[O], Long) = {
       val ctx = new ReplayCtx[O](t0)
       if (blob.exists()) {
-        val (m, p) = deser(blob.get()).asInstanceOf[(KeyedStateMachine[K, I, O], Pending)]
+        val (m, p, lastUs) =
+          deser(blob.get()).asInstanceOf[(KeyedStateMachine[K, I, O], Pending, Long)]
         p.foreach { case (dueMs, tag) => ctx.callAt(dueMs * 1000, tag) }
-        (m, p.map(_._1).toSet, ctx)
+        (m, p.map(_._1).toSet, ctx, lastUs)
       } else {
         val m = factory(key)
         m.onStart(key, ctx)
-        (m, Set.empty, ctx)
+        (m, Set.empty, ctx, Long.MinValue)
       }
     }
 
-    /** Persist machine + remaining schedule; sync store timers (register
-      * new dues, delete consumed ones). */
-    private def flush(m: KeyedStateMachine[K, I, O], registered: Set[Long], ctx: ReplayCtx[O]): Unit = {
+    /** Persist machine + remaining schedule + clock floor; sync store
+      * timers (register new dues, delete consumed ones). */
+    private def flush(m: KeyedStateMachine[K, I, O], registered: Set[Long],
+                      ctx: ReplayCtx[O], lastEventUs: Long): Unit = {
       val pending = mutable.ArrayBuffer.empty[(Long, String)]
       while (ctx.timers.nonEmpty) {
         val (dueUs, _, tag) = ctx.timers.dequeue() // (due, fifo) order
@@ -90,7 +106,7 @@ object AspStream {
       val dues = p.map(_._1).toSet
       (dues diff registered).foreach(getHandle.registerTimer)
       (registered diff dues).foreach(getHandle.deleteTimer)
-      blob.update(ser((m, p)))
+      blob.update(ser((m, p, lastEventUs)))
     }
 
     private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Unit =
@@ -105,22 +121,27 @@ object AspStream {
       // order within the batch (the replay guarantee, amortized per batch)
       val sorted = rows.toVector.sortBy(ts)
       if (sorted.isEmpty) return Iterator.empty
-      val (m, registered, ctx) = load(key, ts(sorted.head))
+      val (m, registered, ctx, lastUs) = load(key, ts(sorted.head))
       sorted.foreach { row =>
-        fireDue(m, ctx, ts(row)) // inline path: due timers precede the event
-        ctx.nowMicros = ts(row)
+        // clock is monotone across batches: a row regressing behind the
+        // persisted floor is delivered LATE (its own ts, advanced clock)
+        // rather than rewinding past already-fired timers — the
+        // reference's no-reorder-buffer behavior (see class doc).
+        val deliverAt = math.max(ts(row), math.max(lastUs, ctx.nowMicros))
+        fireDue(m, ctx, deliverAt) // inline path: due timers precede the event
+        ctx.nowMicros = deliverAt
         m.onEvent(ts(row), row, ctx)
       }
-      flush(m, registered, ctx)
+      flush(m, registered, ctx, lastEventUs = ctx.nowMicros)
       ctx.drain().iterator
     }
 
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
       val dueUs = expiredTimerInfo.getExpiryTimeInMs * 1000
-      val (m, registered, ctx) = load(key, dueUs)
+      val (m, registered, ctx, lastUs) = load(key, dueUs)
       fireDue(m, ctx, upTo = dueUs) // no-op if already consumed inline
-      flush(m, registered, ctx)
+      flush(m, registered, ctx, lastEventUs = math.max(lastUs, dueUs))
       ctx.drain().iterator
     }
   }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** [[Prefix]] (two-phase distributed global prefix) must equal the
+  * single-task `Window.orderBy` forms row-for-row — same totals, computed
+  * without collapsing to one partition. Random data spans many range
+  * partitions (ids 0..n over multiple shuffle partitions); null runs in
+  * the carry columns exercise cross-partition carry-in. */
+object PrefixSpec {
+  final case class Row3(ts: Long, event_id: Long, v: Long, a: java.lang.Double, b: java.lang.Double)
+}
+
+class PrefixSpec extends AnyFunSuite {
+  import PrefixSpec.Row3
+  private lazy val spark = TestSpark.spark
+
+  private def data(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    List.tabulate(n) { i =>
+      Row3(rnd.nextInt(200).toLong, i.toLong, (rnd.nextInt(21) - 10).toLong,
+        if (rnd.nextInt(4) == 0) null else java.lang.Double.valueOf(rnd.nextInt(100).toDouble),
+        if (rnd.nextInt(4) == 0) null else java.lang.Double.valueOf(rnd.nextInt(100).toDouble))
+    }
+  }
+
+  private val wGlobal = Window.orderBy(col("ts"), col("event_id"))
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  test("Prefix.seq == global row_number, with many range partitions") {
+    import spark.implicits._
+    val df = spark.createDataset(data(1, 500)).toDF().repartition(8)
+    val want = df.withColumn("seq", row_number().over(wGlobal).cast("long"))
+      .select("event_id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Prefix.seq(df).select("event_id", "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("Prefix.runningSum == global running sum window") {
+    import spark.implicits._
+    val df = spark.createDataset(data(2, 500)).toDF().repartition(8)
+    val want = df.withColumn("rt", sum(col("v")).over(wGlobal))
+      .select("event_id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Prefix.runningSum(df, col("v"), "rt").select("event_id", "rt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("Prefix.lastCarry == global last(ignoreNulls) carry-forward, multi-column") {
+    import spark.implicits._
+    val df = spark.createDataset(data(3, 500)).toDF().repartition(8)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+                       (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val want = Seq("a", "b").foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(wGlobal))
+    }.select("event_id", "a", "b").collect().map(key).toMap
+    val got = Prefix.lastCarry(df, Seq("a", "b")).select("event_id", "a", "b")
+      .collect().map(key).toMap
+    assert(got == want)
+  }
+}

@@ -82,7 +82,7 @@ class PropertySpec extends AnyFunSuite {
               spark.createDataset(xs).toDF("k", "ts", "event_id", "v"),
               ts = "ts", tieBreak = "event_id")
             .select("seq", "event_id").collect()
-            .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
         assert(seqOf(es) == seqOf(rnd.shuffle(es)))
       }
     }
