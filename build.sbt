@@ -31,8 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads churning through 48 back-to-back queries need
-  // headroom: at 8g the full bench showed 10-20x GC/contention outliers
-  // (q48 23.6s full-run vs 1.5s isolated). The box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // Heap A/B on the full 51-query bench at sf0.1 (local[32]): 8g → 106s
+  // with 10-20x GC outliers (q48 23.6s full-run vs 1.5s isolated);
+  // 28g → 109s with a 3x higher per-query floor (big-heap G1 tax);
+  // 12g → 74.5s, flat profile. 12g is the measured sweet spot.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

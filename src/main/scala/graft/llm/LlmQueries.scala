@@ -109,6 +109,46 @@ object LlmQueries {
        |sig AS (SELECT doc_id,\n$mins\n  FROM shh GROUP BY doc_id)""".stripMargin
   }
 
+  // ---------- ANN shared plumbing (q48 / q54 / q55) ----------
+
+  /** 8 random-hyperplane weight rows derived from the portable hash; the
+    * oracle re-computes them independently in SQL, the Spark side folds
+    * them into the codegen'd [[graft.functions.LshPlaneBits]] pass. */
+  private val AnnPlanes: Seq[Seq[Long]] = (0 until 8).map(j =>
+    (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000).toSeq)
+
+  /** `vec_id, embedding, nrm, bucket` — the LSH-bucketed vector index.
+    * Dim guard (both sides): a short/long embedding would silently land in
+    * a prefix-truncated bucket while the oracle's i-join sums over the
+    * prefix — non-64-dim rows are filtered out instead of diverging
+    * (ADVICE r1). All 8 sign bits come from ONE codegen'd pass per row. */
+  private def bucketedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"),
+        sqNormQ(col("embedding")).as("nrm"),
+        VectorOps.lshBucket(col("embedding"), AnnPlanes).as("bucket"))
+
+  /** Shared oracle CTE prefix: quantized elements (`e`), plane weights
+    * (`pl`), sign sums (`bits`), LSH `buckets`, int64 `norms`. */
+  private val annBaseSql: String = {
+    val planeSql =
+      s"""pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS j),
+         |       (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
+    s"""e AS (SELECT vec_id,
+       |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |$planeSql,
+       |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
+       |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id)""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: content-hash groupBy; min(doc_id) survives.
@@ -220,7 +260,7 @@ object LlmQueries {
          |FROM inter
          |JOIN counts ca ON ca.doc_id = a_id
          |JOIN counts cb ON cb.doc_id = b_id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.05
+         |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.01
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val grams = shingles(Tables.documents(s, d)).filter($"doc_id" < 100).distinct()
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -234,7 +274,7 @@ object LlmQueries {
         .join(counts.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
         .join(counts.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
         .select($"a_id", $"b_id", $"n_common", $"n_a", $"n_b", jac.as("jaccard"))
-        .filter(jac >= 0.05)
+        .filter(jac >= 0.01)
         .orderBy($"a_id", $"b_id")
     },
 
@@ -310,22 +350,8 @@ object LlmQueries {
     // weights derive from the portable hash, so the oracle re-computes
     // them independently; the Spark side folds them in as literals via
     // codegen'd array HOFs (no join against a plane table). ----
-    QuerySpec.sql("q48_ann_lsh", {
-      val planeSql =
-        s"""pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
-           |  FROM (SELECT unnest(generate_series(0, 7)) AS j),
-           |       (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
-      s"""WITH e AS (SELECT vec_id,
-         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
-         |    unnest(generate_series(1, len(embedding))) AS i
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |$planeSql,
-         |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
-         |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
-         |buckets AS (SELECT vec_id,
-         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id),
-         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+    QuerySpec.sql("q48_ann_lsh",
+      s"""WITH $annBaseSql,
          |cand AS (SELECT qb.vec_id AS q_id, cb.vec_id AS c_id, qb.bucket AS bucket
          |  FROM buckets qb JOIN buckets cb
          |    ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
@@ -341,22 +367,8 @@ object LlmQueries {
          |  SELECT q_id, c_id, bucket, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
          |  FROM cos) WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin
-    }) { (s, d) =>
-      // plane weights pre-computed locally from the SAME portable hash;
-      // all 8 sign bits come from ONE codegen'd pass over the row
-      // (LshPlaneBits) instead of 8 interpreted zip_with/aggregate passes.
-      val planes: Seq[Seq[Long]] = (0 until 8).map(j =>
-        (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000).toSeq)
-      // dim guard (both sides): a short/long embedding would silently land
-      // in a prefix-truncated bucket while the oracle's i-join sums over
-      // the prefix — filter non-64-dim rows out instead of diverging
-      // (ADVICE r1).
-      val bucketed = Tables.embeddings(s, d)
-        .filter(size($"embedding") === 64)
-        .select($"vec_id", $"embedding",
-        sqNormQ($"embedding").as("nrm"),
-        VectorOps.lshBucket($"embedding", planes).as("bucket"))
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val bucketed = bucketedEmb(s, d)
       val queries = bucketed.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
@@ -366,6 +378,99 @@ object LlmQueries {
           cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
       Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
         .select($"q_id", $"c_id", $"bucket", $"cosine", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- embedding-cosine near-duplicate detection: all same-bucket
+    // pairs above a cosine threshold — the LSH bucket join bounds the
+    // pair space to ~n²/256 instead of n² (the candidate-generation
+    // discipline that makes near-dup dedup feasible at 100 TB: the join
+    // key IS the bucket, so it hash-partitions across executors). The
+    // oracle replays the identical bucket-restricted semantics. ----
+    QuerySpec.sql("q54_cosine_neardup",
+      s"""WITH $annBaseSql,
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.a_id, p.b_id, p.bucket, sum(x.xq * y.xq) AS dot
+         |  FROM pairs p JOIN e x ON x.vec_id = p.a_id
+         |               JOIN e y ON y.vec_id = p.b_id AND y.i = x.i
+         |  GROUP BY p.a_id, p.b_id, p.bucket),
+         |cos AS (SELECT a_id, b_id, bucket,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+         |SELECT a_id, b_id, bucket, cosine FROM cos WHERE cosine >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val b = bucketedEmb(s, d)
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.bucket").as("bucket"),
+          cosineQ(dotQ(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter($"cosine" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- IVF-style ANN (coarse quantizer + cell probing): centroids are
+    // a deterministic codebook (vec_id < 8); every vector is assigned to
+    // its nearest centroid's cell; a query probes its 2 nearest cells and
+    // ranks only those candidates. At 100 TB the assignment is one
+    // broadcast join + argmax (no shuffle of the big side), and the index
+    // is partitioned BY CELL — probing touches nprobe/k of the data.
+    // Recall vs the brute-force q47 baseline is the accuracy trade. ----
+    QuerySpec.sql("q55_ivf_ann",
+      s"""WITH $annBaseSql,
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
+         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |probes AS (SELECT vid AS q_id, cid AS cell FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS c_id, a.cell
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |dots AS (SELECT cand.q_id, cand.c_id, cand.cell, sum(x.xq * y.xq) AS dot
+         |  FROM cand JOIN e x ON x.vec_id = cand.q_id
+         |            JOIN e y ON y.vec_id = cand.c_id AND y.i = x.i
+         |  GROUP BY cand.q_id, cand.c_id, cand.cell),
+         |cos AS (SELECT q_id, c_id, cell,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id)
+         |SELECT q_id, c_id, cell, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, c_id, cell, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cos) WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      // nearest-centroid scores for every vector: broadcast the tiny
+      // codebook; the big side streams through once, no shuffle
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+      val probes = Windows.topKPerGroup(
+          scored.filter($"vec_id" >= 10 && $"vec_id" < 15), Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 2)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"cid".as("cell"))
+      val pairs = assign.join(broadcast(probes),
+          Seq("cell"), "inner")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), $"cell",
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id", $"cell", $"cosine", $"rnk".cast("long").as("rnk"))
         .orderBy($"q_id", $"rnk")
     },
 

@@ -322,6 +322,32 @@ object AspSemantics {
         .agg(countDistinct($"user_id").cast("long").as("n_users"),
           count(lit(1)).as("n_events"))
         .orderBy($"event_type")
+    },
+
+    // ---- custom typed UDAF surface: `Aggregator[IN, BUF, OUT]` — the
+    // reference's MovingAverage object (e2_stats.py:35-65) as a real
+    // Catalyst two-phase aggregate (partial reduce map-side, merge after
+    // the shuffle; one small decimal buffer per group per partition).
+    // Exact-decimal accumulation keeps it bit-identical to the oracle. ----
+    QuerySpec.sql("q35_typed_udaf",
+      """SELECT event_type,
+        |  CAST(sum(CAST(value * k AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(sum(CAST(k AS DECIMAL(18,2))) AS DOUBLE) AS vwap,
+        |  CAST(sum(k) AS BIGINT) AS total_weight
+        |FROM (SELECT event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL AND k > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val wm = udaf(graft.functions.TypedAggs.WeightedMean)
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .filter($"k".isNotNull && $"k" > 0)
+        .groupBy($"event_type")
+        .agg(wm($"value", $"k").as("wm"))
+        .select($"event_type", $"wm.vwap".as("vwap"),
+          $"wm.total_weight".as("total_weight"))
+        .orderBy($"event_type")
     }
   )
 }

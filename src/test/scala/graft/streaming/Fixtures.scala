@@ -21,4 +21,16 @@ object Fixtures {
     val expiry = DiscountExpiryUs
     uid => new CartMachine(uid, expiry)
   }
+
+  /** One side of the stream-stream interval join test. */
+  final case class IvEv(user_id: Long, ts_us: Long, value: Double)
+
+  /** Cross-batch late-arrival fixture (watermark 10 min, so the 30 s
+    * quote arriving after the 60 s trade is late-but-not-dropped). */
+  val lateTicks1: Seq[MarketTick] = Seq(
+    MarketTick(1L, s(10), 1, "quote", 1.0),
+    MarketTick(1L, s(60), 2, "trade", 100.0))
+  val lateTicks2: Seq[MarketTick] = Seq(
+    MarketTick(1L, s(30), 3, "quote", 2.0), // regresses behind s(60)
+    MarketTick(1L, s(90), 4, "trade", 200.0))
 }

@@ -162,6 +162,92 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-batch late row: monotone clock delivers it late (reference semantics), no rewind") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val mem = MemoryStream[Machines.MarketTick]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes") // late rows NOT dropped by Spark
+      .as[Machines.MarketTick]
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("late_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(Fixtures.lateTicks1: _*); q.processAllAvailable()
+      // batch 2 carries a quote whose ts regresses behind batch 1's trade:
+      // it must be delivered LATE (updating the book for FUTURE trades)
+      // rather than rewinding the per-key clock (ADVICE r1 / class doc)
+      mem.addData(Fixtures.lateTicks2: _*); q.processAllAvailable()
+      val rows = sp.sql("SELECT * FROM late_stream").as[Machines.AsOfRow]
+        .collect().toSeq.sortBy(_.ts_us)
+      // trade@60 saw quote@10 (the late quote@30 had not arrived yet);
+      // trade@90 sees the late quote@30's value — exactly the reference's
+      // no-reorder-buffer late delivery
+      assert(rows.map(r => (r.ts_us, r.trade_value, r.quote_value)) ==
+        Seq((Fixtures.s(60), 100.0, Some(1.0)), (Fixtures.s(90), 200.0, Some(2.0))))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join (watermarked both sides) ≡ batch range join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ev = graft.core.Tables.events(sp, "/root/testdata/sf0.001")
+
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Fixtures.IvEv].collect().toSeq
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Fixtures.IvEv].collect().toSeq
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("p_uid"), unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("v_ts")).as("v_us"), col("p_val"), col("v_val"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sorted
+
+    // batch reference: range join, view within [purchase - 10 min, purchase]
+    val pB = sp.createDataset(purchases).select(col("user_id").as("p_uid"),
+      timestamp_micros(col("ts_us")).as("p_ts"), col("value").as("p_val"))
+    val vB = sp.createDataset(views).select(col("user_id").as("v_uid"),
+      timestamp_micros(col("ts_us")).as("v_ts"), col("value").as("v_val"))
+    val cond = col("p_uid") === col("v_uid") &&
+      col("v_ts") >= col("p_ts") - expr("interval 10 minutes") &&
+      col("v_ts") <= col("p_ts")
+    val batch = shape(pB.join(vB, cond))
+
+    // streaming: same condition, both sides watermarked — Spark derives
+    // the state-eviction bound from the interval (stream-stream inner
+    // join state is bounded, the scale-correct shape)
+    val pMem = MemoryStream[Fixtures.IvEv]
+    val vMem = MemoryStream[Fixtures.IvEv]
+    val pS = pMem.toDS().select(col("user_id").as("p_uid"),
+        timestamp_micros(col("ts_us")).as("p_ts"), col("value").as("p_val"))
+      .withWatermark("p_ts", "1 minute")
+    val vS = vMem.toDS().select(col("user_id").as("v_uid"),
+        timestamp_micros(col("ts_us")).as("v_ts"), col("value").as("v_val"))
+      .withWatermark("v_ts", "1 minute")
+    val joined = pS.join(vS, cond)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = joined.writeStream.format("memory").queryName("iv_join")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // ts-ordered halves: batch-2 rows stay ahead of the global watermark
+      val (p1, p2) = purchases.sortBy(_.ts_us).splitAt(purchases.size / 2)
+      val (v1, v2) = views.sortBy(_.ts_us).splitAt(views.size / 2)
+      pMem.addData(p1: _*); vMem.addData(v1: _*); q.processAllAvailable()
+      pMem.addData(p2: _*); vMem.addData(v2: _*); q.processAllAvailable()
+      val streamed = shape(sp.sql("SELECT * FROM iv_join"))
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("W10 VWAP: batch window aggregation ≡ AvailableNow streaming with watermark") {
     val sp = spark
     import sp.implicits._
