@@ -34,11 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * drains the backlog at maximum speed: the reference's past→live
   * semantics for an adapter-fed stream.
   *
-  * Scale notes: a single in-process feed is inherently one partition
-  * (like the reference's one websocket); the partition count in
-  * `planInputPartitions` is where a sharded real adapter (N consumer
-  * connections) fans out — each shard becomes an InputPartition and the
-  * offset a per-shard vector, exactly the Kafka source layout.
+  * Sharding (the Kafka layout): `option("shards", "a,b,c")` consumes N
+  * feeds as ONE streaming table — the offset is a per-shard count vector,
+  * `planInputPartitions` emits one InputPartition per advanced shard
+  * (records of different shards are read by different executor cores in
+  * parallel), and a `shard` provenance column is appended. This is how N
+  * consumer connections (N websockets, N exchange sessions) fan out on a
+  * cluster; the single-feed form keeps its scalar offsets.
   */
 object GraftFeed {
   final case class Rec(tsUs: Long, value: String, seq: Long)
@@ -64,6 +66,9 @@ object GraftFeed {
     StructField("ts", TimestampType, nullable = false),
     StructField("value", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
+
+  /** Sharded form: per-record provenance. `seq` is per-shard. */
+  val shardedSchema: StructType = schema.add(StructField("shard", StringType, nullable = false))
 }
 
 /** `format("graft-feed")` entry point (also registered for service
@@ -71,43 +76,62 @@ object GraftFeed {
   * `format(classOf[GraftFeedProvider].getName)`). */
 class GraftFeedProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-feed"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftFeed.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.containsKey("shards")) GraftFeed.shardedSchema else GraftFeed.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftFeedTable(properties.getOrDefault("feed", "default"))
+                        properties: util.Map[String, String]): Table = {
+    val shardsOpt = properties.get("shards")
+    if (shardsOpt != null)
+      new GraftFeedTable(shardsOpt.split(",").map(_.trim).toSeq, sharded = true)
+    else
+      new GraftFeedTable(Seq(properties.getOrDefault("feed", "default")), sharded = false)
+  }
 }
 
-class GraftFeedTable(feed: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-feed($feed)"
-  override def schema(): StructType = GraftFeed.schema
+class GraftFeedTable(shards: Seq[String], sharded: Boolean) extends Table with SupportsRead {
+  private def tableSchema = if (sharded) GraftFeed.shardedSchema else GraftFeed.schema
+  override def name(): String = s"graft-feed(${shards.mkString(",")})"
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = GraftFeed.schema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftFeedStream(feed)
+          new GraftFeedStream(shards, sharded)
       }
     }
 }
 
-final case class GraftFeedOffset(count: Int) extends Offset {
-  override def json(): String = count.toString
+/** Per-shard count vector (single-feed form serializes as the bare count
+  * so existing checkpoints stay readable). */
+final case class GraftFeedOffset(counts: Seq[Int], scalar: Boolean) extends Offset {
+  override def json(): String =
+    if (scalar) counts.head.toString else counts.mkString("[", ",", "]")
 }
 
-class GraftFeedStream(feed: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = GraftFeedOffset(0)
-  override def latestOffset(): Offset = GraftFeedOffset(GraftFeed.size(feed))
-  override def deserializeOffset(json: String): Offset = GraftFeedOffset(json.trim.toInt)
+class GraftFeedStream(shards: Seq[String], sharded: Boolean) extends MicroBatchStream {
+  private val scalar = !sharded
+  override def initialOffset(): Offset = GraftFeedOffset(shards.map(_ => 0), scalar)
+  override def latestOffset(): Offset = GraftFeedOffset(shards.map(GraftFeed.size), scalar)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("["))
+      GraftFeedOffset(t.stripPrefix("[").stripSuffix("]").split(",")
+        .filter(_.nonEmpty).map(_.trim.toInt).toSeq, scalar = false)
+    else GraftFeedOffset(Seq(t.toInt), scalar = true)
+  }
   override def commit(end: Offset): Unit = () // buffer retained: replayable
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftFeedOffset].count
-    val e = end.asInstanceOf[GraftFeedOffset].count
-    if (e <= s) Array.empty
-    else Array(GraftFeedPartition(feed, s, e)) // one shard = one partition
+    val s = start.asInstanceOf[GraftFeedOffset].counts
+    val e = end.asInstanceOf[GraftFeedOffset].counts
+    shards.indices.iterator
+      .filter(i => e(i) > s(i)) // one advanced shard = one partition
+      .map(i => GraftFeedPartition(shards(i), s(i), e(i), sharded): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -119,11 +143,15 @@ class GraftFeedStream(feed: String) extends MicroBatchStream {
         override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow = {
           val r = rows(i)
-          InternalRow(r.tsUs, UTF8String.fromString(r.value), r.seq)
+          if (gp.emitShard)
+            InternalRow(r.tsUs, UTF8String.fromString(r.value), r.seq,
+              UTF8String.fromString(gp.feed))
+          else InternalRow(r.tsUs, UTF8String.fromString(r.value), r.seq)
         }
         override def close(): Unit = ()
       }
     }
 }
 
-final case class GraftFeedPartition(feed: String, from: Int, until: Int) extends InputPartition
+final case class GraftFeedPartition(feed: String, from: Int, until: Int,
+                                    emitShard: Boolean) extends InputPartition

@@ -50,4 +50,46 @@ class GraftFeedSpec extends AnyFunSuite {
       assert(phases.asScala.toVector == Vector("live_start:3")) // backlog fully drained at boundary
     } finally { live.stop(); GraftFeed.clear(feed) }
   }
+
+  test("graft-feed sharded: N feeds = one table, vector offsets, per-shard partitions") {
+    import spark.implicits._
+    val a = "sharda-" + System.nanoTime()
+    val b = "shardb-" + System.nanoTime()
+    GraftFeed.push(a, T0 + 1000000L, "a0")
+    GraftFeed.push(a, T0 + 2000000L, "a1")
+    GraftFeed.push(b, T0 + 1500000L, "b0")
+
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String, Long, String)]())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shard-ckpt").toString
+    val q = spark.readStream.format("graft-feed").option("shards", s"$a, $b").load()
+      .selectExpr("unix_micros(ts) AS ts_us", "value", "seq", "shard")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch must carry one RDD partition per advanced shard
+        assert(df.rdd.getNumPartitions <= 2)
+        df.as[(Long, String, Long, String)].collect().foreach(got.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      GraftFeed.push(b, T0 + 3000000L, "b1") // only shard b advances
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toVector.sortBy(r => (r._4, r._3))
+      assert(rows.map(r => (r._2, r._4)) ==
+        Vector(("a0", a), ("a1", a), ("b0", b), ("b1", b)))
+      assert(rows.collect { case (_, _, seq, s) if s == b => seq } == Vector(0L, 1L))
+      // the checkpointed offset is a per-shard count vector
+      import java.nio.file.{Files, Paths}
+      val offDir = Paths.get(s"$ckpt/offsets")
+      val newest = Files.list(offDir).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
+      val lastLine = Files.readAllLines(newest).asScala.last
+      assert(lastLine == "[2,2]", s"offset line was $lastLine")
+    } finally { q.stop(); GraftFeed.clear(a); GraftFeed.clear(b) }
+  }
 }

@@ -248,6 +248,36 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W1 streaming dedup: dropDuplicatesWithinWatermark keeps first-seen, state is watermark-bounded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val mem = MemoryStream[Fixtures.IvEv]
+    // the scale-correct streaming W1: per-key dedup state is EVICTED once
+    // the watermark passes (unbounded dropDuplicates state would OOM a
+    // long-running 100 TB stream); within the watermark the first seen
+    // row wins, matching batch Windows.firstSeen on ordered arrival
+    val deduped = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("user_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(Fixtures.IvEv(1L, Fixtures.s(10), 1.0),
+        Fixtures.IvEv(1L, Fixtures.s(20), 2.0), // dup key, same batch
+        Fixtures.IvEv(2L, Fixtures.s(15), 3.0))
+      q.processAllAvailable()
+      mem.addData(Fixtures.IvEv(1L, Fixtures.s(30), 4.0)) // dup key, later batch, within watermark
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT user_id, value FROM dedup_stream ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 1.0), (2L, 3.0))) // first-seen only, across batches
+    } finally q.stop()
+  }
+
   test("W10 VWAP: batch window aggregation ≡ AvailableNow streaming with watermark") {
     val sp = spark
     import sp.implicits._
