@@ -348,6 +348,74 @@ object AspSemantics {
         .select($"event_type", $"wm.vwap".as("vwap"),
           $"wm.total_weight".as("total_weight"))
         .orderBy($"event_type")
+    },
+
+    // ---- time-series resample to a regular grid with forward-fill: the
+    // reference's timer grid (P6) + last-value combine (W5) composed —
+    // downsampling a tick stream to daily marks. Grid = users × days
+    // (broadcast bounds, one explode), fill = the as-of operator (one
+    // shuffle on user_id). The quote side is (user_id, ts)-deduped for
+    // determinism, as in q26. ----
+    QuerySpec.sql("q36_resample",
+      """WITH b AS (SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS mn,
+        |                  date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+        |grid AS (SELECT u.user_id, unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS gts
+        |         FROM (SELECT DISTINCT user_id FROM events) u, b),
+        |q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max_by(value, event_id) AS value
+        |      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT g.user_id AS user_id, epoch_us(g.gts) AS grid_us, q.value AS value
+        |FROM grid g ASOF LEFT JOIN q ON g.user_id = q.user_id AND g.gts >= q.ts
+        |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("day", min($"ts")).as("mn"),
+        date_trunc("day", max($"ts")).as("mx"))
+      val grid = ev.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id",
+          explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("gts"))
+      val quotes = ev.groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("value"))
+      AsOfJoin.asOf(grid, quotes, Seq("user_id"), "gts", "ts", Seq("value"))
+        .select($"user_id", unix_micros($"gts").as("grid_us"), $"value")
+        .orderBy($"user_id", $"grid_us")
+    },
+
+    // ---- exact interpolated percentiles per group (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, both linear interpolation over the sorted
+    // group). Exact quantiles imply a per-group sort — at 100 TB use
+    // `approx_percentile` (t-digest style, mergeable map-side sketch); the
+    // exact form is the oracle-checkable baseline. ----
+    QuerySpec.sql("q37_percentile",
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(percentile($"value", lit(0.25)).as("p25"),
+          percentile($"value", lit(0.5)).as("p50"),
+          percentile($"value", lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // ---- histogram binning: fixed-width value buckets per event_type —
+    // one hash aggregation over (type, bin); bin edges via exact integer
+    // floor so both engines bucket identically ----
+    QuerySpec.sql("q38_histogram",
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_min,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_max
+        |FROM events GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type", floor($"value" / 5.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min($"value".cast("decimal(18,2)")).cast("double").as("bin_min"),
+          max($"value".cast("decimal(18,2)")).cast("double").as("bin_max"))
+        .orderBy($"event_type", $"bin")
     }
   )
 }
