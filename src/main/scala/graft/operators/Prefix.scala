@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * and any boundary placement yields the same result (the combine step
   * only needs partition-contiguity, not balance).
   *
+  * Measured alternative (rejected): assigning the slice id from an
+  * `approx_percentile` boundary chain would drop the range shuffle
+  * (one shuffle total), but the boundary aggregate is a second full scan
+  * that Catalyst re-computes per consuming branch (no exchange to reuse),
+  * and it benched 2-3x slower at sf0.1 than this form, whose range
+  * exchange IS reused across the local-prefix and offsets branches.
+  *
   * (ts, tie) must be a unique composite key (the engine's standard
   * delivery order — SURVEY §1.3); null ordering keys are not expected.
   */
