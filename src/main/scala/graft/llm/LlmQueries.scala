@@ -180,6 +180,33 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- BPE-ish subword tokenization via regex classes (the
+    // whitespace-split complement of q41): letter runs / digit runs /
+    // single punctuation, the usual pre-tokenizer shape. Pure per-row
+    // regexp_extract_all + array math — embarrassingly parallel, no
+    // shuffle before the final sort. The simple character-class pattern
+    // behaves identically in Java regex (Spark) and RE2 (DuckDB). ----
+    QuerySpec.sql("q39_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_subtokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_token_len,
+        |  CAST(len(list_filter(toks, t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_numeric
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_subtokens"),
+          size(array_distinct($"toks")).cast("long").as("n_distinct"),
+          array_max(transform($"toks", t => length(t))).cast("long").as("max_token_len"),
+          size(filter($"toks", t => t.rlike("^[0-9]+$"))).cast("long").as("n_numeric"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality scoring: pure elementwise arithmetic (rational ops only
     // — no libm, so doubles are bit-identical across engines) ----
     QuerySpec.sql("q42_quality_score",

@@ -50,6 +50,27 @@ class PrefixSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Prefix.seq scale smoke: 2M rows, distributed, exact total order") {
+    val df = spark.range(2000000L).select(
+      col("id").as("event_id"),
+      (col("id") * 7 % 1000003L).as("ts")) // duplicate ts values; (ts, id) unique
+    val seqd = Prefix.seq(df, "seq", "ts", "event_id")
+    val agg = seqd.agg(count(lit(1)), min(col("seq")), max(col("seq")),
+      countDistinct(col("seq"))).collect()(0)
+    // a bijection onto 1..n — no gaps, no dups, computed with no
+    // single-task stage over the 2M rows
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3)) ==
+      (2000000L, 1L, 2000000L, 2000000L))
+    // order correctness: the rows numbered 1..1000 are exactly the 1000
+    // smallest (ts, event_id) pairs, in that order
+    val head = seqd.filter(col("seq") <= 1000)
+      .select("seq", "ts", "event_id").collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val want = df.orderBy(col("ts"), col("event_id")).limit(1000)
+      .select("ts", "event_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(head == want)
+  }
+
   test("Prefix.lastCarry == global last(ignoreNulls) carry-forward, multi-column") {
     import spark.implicits._
     val df = spark.createDataset(data(3, 500)).toDF().repartition(8)
