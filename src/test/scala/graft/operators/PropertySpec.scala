@@ -71,6 +71,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LshPlaneBits == independent per-row recomputation (random planes/vectors)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val planes: Seq[Seq[Long]] = Seq.fill(8)(Seq.fill(16)(rnd.nextInt(2001).toLong - 1000))
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq.tabulate(60)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val got = spark.createDataset(vecs).toDF("id", "emb")
+      .select(col("id"), graft.functions.VectorOps
+        .lshBucket(col("emb").cast("array<float>"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, emb) =>
+      val want = planes.zipWithIndex.map { case (w, j) =>
+        val s = emb.zip(w).map { case (x, wi) => (x.toDouble * 1e7).toLong * wi }.sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
   test("replaySeq is invariant under input permutation") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

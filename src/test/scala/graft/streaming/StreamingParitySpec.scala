@@ -89,6 +89,51 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart recovery: machine state + pending timer survive a stop/start from checkpoint") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val batchOut = Replay.run(sp.createDataset(updates), "user_id", "ts_us", "seq", Some(T0))(
+        _.user_id, _.ts_us)(Fixtures.cartFactory)
+      .collect().toSeq.sortBy(_.ts_us)
+
+    val mem = MemoryStream[CartUpdate]
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[CartTotal]())
+    def start(ckpt: String) = {
+      val withWm = mem.toDS()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .as[CartUpdate]
+      AspStream.run(withWm)(_.user_id, _.ts_us)(Fixtures.cartFactory)
+        .writeStream // memory sink can't recover a checkpoint; foreachBatch can
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[CartTotal], _: Long) =>
+          ds.collect().foreach(got.add)
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q1 = start(ckpt)
+    try {
+      mem.addData(updates(0), updates(1), updates(2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the serialized (machine, pending
+    // timers, clock floor) blob must round-trip — the 60 s discount
+    // expiry timer was registered BEFORE the stop and must still fire
+    // before the 75 s event after the restart
+    val q2 = start(ckpt)
+    try {
+      mem.addData(updates(3))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val streamOut = got.asScala.toSeq.sortBy(_.ts_us)
+      assert(streamOut == batchOut)
+      assert(streamOut.map(t => math.round(t.total * 100) / 100.0)
+        == Fixtures.expectedTotals) // 42.50 ⇒ Z added UNdiscounted post-restart
+    } finally q2.stop()
+  }
+
   test("W12 dynamic demux: a key first seen mid-stream spawns its machine on the fly") {
     val sp = spark
     import sp.implicits._
