@@ -348,6 +348,43 @@ object Relational {
               x => when(x.cast("double") > 0, 1.0).otherwise(0.0)),
             lit(0.0), (a, x) => a + x).as("n_pos"))
         .orderBy($"vec_id")
+    },
+
+    // ---- pivot: one column per event_type of daily DECIMAL sums — the
+    // `groupBy(ts).pivot(name)` shape SURVEY §2.1 P11 names for
+    // merge_timeseries' intended semantics. Spark's pivot with explicit
+    // values compiles to ONE conditional aggregation pass (no extra
+    // shuffle vs plain groupBy); the oracle spells the same CASEs. ----
+    QuerySpec.sql("q56_pivot",
+      """SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_us,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY day_us ORDER BY day_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(unix_micros(date_trunc("day", $"ts")).as("day_us"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double"))
+        .orderBy($"day_us")
+    },
+
+    // ---- unpivot (melt): wide → long over the lineitem money columns;
+    // Spark's Unpivot node is a zero-shuffle row expansion (narrow), the
+    // oracle is the standard UNION ALL spelling ----
+    QuerySpec.sql("q57_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("price", $"l_extendedprice")
+        .withColumn("discount", $"l_discount")
+        .withColumn("tax", $"l_tax")
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"price", $"discount", $"tax"), "metric", "val")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
     }
   )
 

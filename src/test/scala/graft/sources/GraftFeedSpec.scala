@@ -92,4 +92,38 @@ class GraftFeedSpec extends AnyFunSuite {
       assert(lastLine == "[2,2]", s"offset line was $lastLine")
     } finally { q.stop(); GraftFeed.clear(a); GraftFeed.clear(b) }
   }
+
+  test("sharded feed composes with Crossover: both backlogs drain before on_live_start") {
+    import spark.implicits._
+    val a = "xa-" + System.nanoTime()
+    val b = "xb-" + System.nanoTime()
+    GraftFeed.push(a, T0 + 1000000L, "a0")
+    GraftFeed.push(b, T0 + 2000000L, "b0")
+    GraftFeed.push(b, T0 + 3000000L, "b1")
+
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[(String, String)]())
+    val phases = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-xshard-ckpt").toString
+    def start(t: Trigger) =
+      spark.readStream.format("graft-feed").option("shards", s"$a,$b").load()
+        .selectExpr("value", "shard")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.as[(String, String)].collect().foreach(got.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(t)
+        .start()
+    val live = Crossover.run(start, Crossover.Hooks(
+        onLiveStart = () => { phases.add(s"live_start:${got.size()}"); () }),
+      liveTrigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      GraftFeed.push(a, T0 + 4000000L, "a1") // live arrival on shard a only
+      live.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toVector.sorted
+      assert(rows == Vector(("a0", a), ("a1", a), ("b0", b), ("b1", b)))
+      assert(phases.asScala.toVector == Vector("live_start:3")) // ALL shards drained at handover
+    } finally { live.stop(); GraftFeed.clear(a); GraftFeed.clear(b) }
+  }
 }
