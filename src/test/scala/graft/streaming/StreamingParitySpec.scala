@@ -323,6 +323,47 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: batch session_window agg ≡ AvailableNow streaming with watermark") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q30_session_window")(sp, dir)
+      .collect().map(_.toSeq).toSeq
+
+    val schema = graft.core.Tables.table(sp, dir, "events").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val streamEv = sp.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+    val agg = streamEv
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = agg.writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // append mode holds back sessions not yet closed by the watermark (the
+    // final session per user) — the emitted prefix must match batch exactly
+    val streamed = sp.sql(
+      "SELECT * FROM sess_stream ORDER BY user_id, session_start_us")
+      .collect().map(_.toSeq).toSeq
+    val batchSet = batch.toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(batchSet.contains), "every emitted session matches batch")
+    assert(streamed.size >= batch.size - 200) // only watermark-open tails held back
+  }
+
   test("W10 VWAP: batch window aggregation ≡ AvailableNow streaming with watermark") {
     val sp = spark
     import sp.implicits._
