@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
-import graft.operators.Windows
+import graft.operators.{Skew, Windows}
 
 /** Relational operator coverage over the TPC-H-ish star schema
   * (SURVEY §2.3): scans, projection/filter with parquet pushdown, hash
@@ -385,6 +386,29 @@ object Relational {
         .unpivot(Array($"l_orderkey", $"l_linenumber"),
           Array($"price", $"discount", $"tax"), "metric", "val")
         .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    },
+
+    // ---- skew-proof aggregation through the gate: l_returnflag has only
+    // 3 values over all of lineitem — the textbook hot-key groupBy whose
+    // single reducer bottlenecks at scale. Skew.saltedAgg fans each key
+    // over 16 salt buckets (phase 1) and merges 16 partials per key
+    // (phase 2); decimal sums make the two-phase result bit-equal to the
+    // oracle's one-phase GROUP BY regardless of fold order. ----
+    QuerySpec.sql("q58_salted_agg",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Skew.saltedAgg(Tables.lineitem(s, d), Seq("l_returnflag"), 16, Map(
+          "total_qty" -> ((sum($"l_quantity".cast("decimal(18,2)")), (c: Column) => sum(c))),
+          "total_price" -> ((sum($"l_extendedprice".cast("decimal(18,2)")), (c: Column) => sum(c))),
+          "n" -> ((count(lit(1)), (c: Column) => sum(c)))))
+        .select($"l_returnflag",
+          $"total_qty".cast("double").as("total_qty"),
+          $"total_price".cast("double").as("total_price"),
+          $"n".cast("long").as("n"))
+        .orderBy($"l_returnflag")
     }
   )
 
