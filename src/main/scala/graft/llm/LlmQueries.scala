@@ -501,6 +501,62 @@ object LlmQueries {
         .orderBy($"q_id", $"rnk")
     },
 
+    // ---- KMV (k-minimum-values) distinct-count sketch: unlike HLL
+    // (q52, engine-specific registers → rows-only check), KMV over the
+    // portable hash is EXACTLY reproducible in both engines, so the
+    // approximate estimate itself goes through the hash gate. Mergeable
+    // (union = min-k of unions) and one pass + 64 values of state per
+    // group — the sketch discipline that replaces count(DISTINCT) at
+    // 100 TB. Estimator: (k-1)·P / h_k; exact below k. ----
+    QuerySpec.sql("q59_kmv_distinct", {
+      val h = md5ModSql("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |ranked AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |k AS (SELECT event_type, max(h) AS hk, count(*) AS m
+         |      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+         |exact AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |          FROM events GROUP BY event_type)
+         |SELECT k.event_type AS event_type,
+         |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         |       ELSE (63.0 * 2147483647.0) / CAST(hk AS DOUBLE) END AS est_distinct,
+         |  n_exact
+         |FROM k JOIN exact ON exact.event_type = k.event_type
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val h = ev.select($"event_type",
+        PortableHash.md5Mod($"user_id".cast("string")).as("h")).distinct()
+      val k = Windows.topKPerGroup(h, Seq("event_type"), Seq($"h".asc), 64)
+        .groupBy($"event_type").agg(max($"h").as("hk"), count(lit(1)).as("m"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").cast("long").as("n_exact"))
+      k.join(exact, "event_type")
+        .select($"event_type",
+          when($"m" < 64, $"m".cast("double"))
+            .otherwise((lit(63.0) * lit(2147483647.0)) / $"hk".cast("double"))
+            .as("est_distinct"),
+          $"n_exact")
+        .orderBy($"event_type")
+    },
+
+    // ---- deterministic hash sampling: the reproducible alternative to
+    // TABLESAMPLE for training-data pipelines — membership depends only
+    // on the key's portable hash, so the sample is stable across runs,
+    // engines and cluster layouts, and composable (a 7% sample of a 7%
+    // sample re-samples consistently). Pure filter: pushdown-friendly,
+    // no shuffle. ----
+    QuerySpec.sql("q60_hash_sample", {
+      val h = md5ModSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE $h % 100 < 7 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(PortableHash.md5Mod($"doc_id".cast("string")) % 100 < 7)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+
     // ---- language identification: marker-word profile scoring with a
     // deterministic argmax (the n-gram-profile heuristic at word level;
     // one explode + one grouped pass) ----
