@@ -101,10 +101,13 @@ object Events {
   def timeMerge(streams: Seq[(String, DataFrame)], ts: String = "ts",
                 tieBreak: String = "event_id"): DataFrame = {
     val names = streams.map(_._1)
+    // each absent column is null of THAT stream's own value type (struct/
+    // decimal/… merge without silently collapsing to double)
+    val types = streams.map { case (n, df) => n -> df.schema("value").dataType }.toMap
     val widened = streams.map { case (name, df) =>
       val others = names.filterNot(_ == name)
       others.foldLeft(df.select(col(ts), col(tieBreak), col("value").as(name))) {
-        (acc, o) => acc.withColumn(o, lit(null).cast("double"))
+        (acc, o) => acc.withColumn(o, lit(null).cast(types(o)))
       }.select(col(ts) +: col(tieBreak) +: names.map(col): _*)
     }
     widened.reduce(_ unionByName _)

@@ -98,9 +98,18 @@ case class LshPlaneBits(left: Expression, right: Expression)
       case (ArrayType(FloatType, _), ArrayType(ArrayType(LongType, _), _)) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure("lsh_plane_bits planes must be foldable (a literal)")
-        else if (planes.length > 63)
-          TypeCheckResult.TypeCheckFailure(s"at most 63 planes, got ${planes.length}")
-        else TypeCheckResult.TypeCheckSuccess
+        else if (right.eval() == null) // guard BEFORE forcing `planes`: a
+          // foldable NULL (CAST(NULL AS ARRAY<ARRAY<BIGINT>>)) must fail
+          // analysis cleanly, not NPE in the lazy val
+          TypeCheckResult.TypeCheckFailure("lsh_plane_bits planes must be a non-null literal")
+        else {
+          val arr = right.eval().asInstanceOf[ArrayData]
+          if (arr.numElements() > 63)
+            TypeCheckResult.TypeCheckFailure(s"at most 63 planes, got ${arr.numElements()}")
+          else if ((0 until arr.numElements()).exists(arr.isNullAt))
+            TypeCheckResult.TypeCheckFailure("lsh_plane_bits plane rows must be non-null")
+          else TypeCheckResult.TypeCheckSuccess
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"lsh_plane_bits requires (array<float>, array<array<bigint>>), got " +
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")

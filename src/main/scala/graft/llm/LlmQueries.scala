@@ -111,11 +111,23 @@ object LlmQueries {
 
   // ---------- ANN shared plumbing (q48 / q54 / q55) ----------
 
-  /** 8 random-hyperplane weight rows derived from the portable hash; the
-    * oracle re-computes them independently in SQL, the Spark side folds
-    * them into the codegen'd [[graft.functions.LshPlaneBits]] pass. */
-  private val AnnPlanes: Seq[Seq[Long]] = (0 until 8).map(j =>
-    (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000).toSeq)
+  /** Hyperplane weight row j, derived from the portable hash so the
+    * oracle re-computes it independently in SQL; the Spark side folds
+    * rows into the codegen'd [[graft.functions.LshPlaneBits]] pass. */
+  private def planeRow(j: Int): Seq[Long] =
+    (0 until 64).map(i => PortableHash.md5ModLocal(s"p$j|$i") % 2001 - 1000)
+
+  /** 8 random-hyperplane weight rows (planes 0-7): the single-bucket ANN
+    * index of q48/q54. */
+  private val AnnPlanes: Seq[Seq[Long]] = (0 until 8).map(planeRow)
+
+  /** Banded near-dup parameters (q61): `NdBands` bands × `NdPlanes`
+    * planes each, consuming plane rows [0, NdBands·NdPlanes) of the same
+    * keyed family. Plane count per band is the SCALE KNOB — see q61. */
+  private val NdBands = 8
+  private val NdPlanes = 16
+  private val BandPlanes: Seq[Seq[Seq[Long]]] =
+    (0 until NdBands).map(k => (k * NdPlanes until (k + 1) * NdPlanes).map(planeRow))
 
   /** `vec_id, embedding, nrm, bucket` — the LSH-bucketed vector index.
     * Dim guard (both sides): a short/long embedding would silently land in
@@ -408,12 +420,13 @@ object LlmQueries {
         .orderBy($"q_id", $"rnk")
     },
 
-    // ---- embedding-cosine near-duplicate detection: all same-bucket
-    // pairs above a cosine threshold — the LSH bucket join bounds the
-    // pair space to ~n²/256 instead of n² (the candidate-generation
-    // discipline that makes near-dup dedup feasible at 100 TB: the join
-    // key IS the bucket, so it hash-partitions across executors). The
-    // oracle replays the identical bucket-restricted semantics. ----
+    // ---- embedding-cosine near-duplicate detection, single-code form:
+    // all same-bucket pairs above a cosine threshold. The 8-plane bucket
+    // join bounds the pair space to ~n²/256 — fine at fixture scale, but
+    // the FIXED plane count leaves the pair space quadratic as n grows;
+    // q61_neardup_banded below is the scaled shape (16-plane buckets ×
+    // OR-construction bands, plane count a parameter). The oracle replays
+    // the identical bucket-restricted semantics. ----
     QuerySpec.sql("q54_cosine_neardup",
       s"""WITH $annBaseSql,
          |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket
@@ -436,6 +449,71 @@ object LlmQueries {
           cosineQ(dotQ(col("a.embedding"), col("b.embedding")),
             col("a.nrm"), col("b.nrm")).as("cosine"))
         .filter($"cosine" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- banded embedding near-dup — the 100 TB pair space. Bucket math:
+    // each band hashes a vector to a 2^R-bucket code (R = NdPlanes = 16
+    // sign bits, one codegen'd LshPlaneBits pass per band); candidates =
+    // pairs sharing ANY band's bucket (OR-construction, recall ≈
+    // 1-(1-p^R)^B for per-bit agreement p). Expected same-bucket pairs per
+    // band on n rows ≈ n²/2^R — R IS THE SCALE KNOB: at n=10⁶ rows,
+    // R=16 → ~15k pairs/band·10⁶ rows… choose R ≈ log₂(n/c) to hold
+    // expected bucket population at c (the operator takes any R ≤ 63 via
+    // LshPlaneBits; B bands recover the recall that a deeper code costs).
+    // Contrast q54's fixed 8-plane single code, whose pair space stays
+    // n²/256 at any n. The band join hash-partitions on (band, bucket);
+    // the verify joins candidates (small) back to embeddings by id. ----
+    QuerySpec.sql("q61_neardup_banded", {
+      val nPl = NdBands * NdPlanes
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
+         |  FROM (SELECT unnest(generate_series(0, ${nPl - 1})) AS j),
+         |       (SELECT unnest(generate_series(1, 64)) AS i)),
+         |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
+         |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
+         |bands AS (SELECT vec_id, j // $NdPlanes AS band,
+         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % $NdPlanes)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM bits GROUP BY vec_id, j // $NdPlanes),
+         |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |dots AS (SELECT p.a_id, p.b_id, sum(x.xq * y.xq) AS dot
+         |  FROM pairs p JOIN e x ON x.vec_id = p.a_id
+         |               JOIN e y ON y.vec_id = p.b_id AND y.i = x.i
+         |  GROUP BY p.a_id, p.b_id),
+         |cos AS (SELECT a_id, b_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+         |SELECT a_id, b_id, cosine FROM cos WHERE cosine >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      // one 16-plane codegen'd pass per band per row (R·B plane dots/row —
+      // linear in n; LshPlaneBits takes any R ≤ 63)
+      val bandStructs = (0 until NdBands).map { k =>
+        struct(lit(k).as("band"),
+          VectorOps.lshBucket($"embedding", BandPlanes(k)).as("bucket"))
+      }
+      val banded = base.select($"vec_id", explode(array(bandStructs: _*)).as("bb"))
+        .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      pairs
+        .join(base.select($"vec_id".as("a_id"), $"embedding".as("a_emb"), $"nrm".as("a_nrm")), "a_id")
+        .join(base.select($"vec_id".as("b_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm")), "b_id")
+        .select($"a_id", $"b_id",
+          cosineQ(dotQ($"a_emb", $"b_emb"), $"a_nrm", $"b_nrm").as("cosine"))
+        .filter($"cosine" >= 0.3)
         .orderBy($"a_id", $"b_id")
     },
 

@@ -312,6 +312,25 @@ object AspSemantics {
         .orderBy($"event_id")
     },
 
+    // ---- positional unpack: the tuple → positional-args form of
+    // `unpack_args` (reference processor.py:153-166, tested
+    // tests/test_past.py:45-68) — the sibling of q33's kwargs/struct
+    // form. The payload is an ORDERED collection; each positional slot
+    // becomes a named argument by element index (element_at is 1-based
+    // in both engines). Pure per-row projection — no shuffle. ----
+    QuerySpec.sql("q63_unpack_positional",
+      """SELECT event_id, pay[1] AS arg1, pay[2] AS arg2
+        |FROM (SELECT event_id, [event_type, CAST(user_id AS VARCHAR)] AS pay
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_id", array($"event_type", $"user_id".cast("string")).as("pay"))
+        .select($"event_id",
+          element_at($"pay", 1).as("arg1"), // positional expansion =
+          element_at($"pay", 2).as("arg2")) // unpack_args
+        .orderBy($"event_id")
+    },
+
     // ---- distinct / sort-based aggregation over the stream ----
     QuerySpec.sql("q34_distinct_agg",
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -398,6 +417,24 @@ object AspSemantics {
           percentile($"value", lit(0.5)).as("p50"),
           percentile($"value", lit(0.9)).as("p90"),
           count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // ---- sketch percentile — the 100 TB path q37's exact form is traded
+    // against: `approx_percentile` (Greenwald-Khanna, mergeable partial
+    // sketches, bounded state per group vs exact percentile's full-sort).
+    // Estimates are engine-specific, so no hash oracle (rows-only, like
+    // q52/HLL); the exact value and the relative error ride along so the
+    // accuracy contract (GK ε=0.5% here) is visible in the output. ----
+    QuerySpec.rowsOnly("q62_approx_percentile") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          approx_percentile($"value", lit(0.5), lit(200)).as("p50_approx"),
+          percentile($"value", lit(0.5)).as("p50_exact"),
+          count(lit(1)).as("n"))
+        .withColumn("rel_err",
+          abs($"p50_approx" - $"p50_exact") / abs($"p50_exact"))
         .orderBy($"event_type")
     },
 

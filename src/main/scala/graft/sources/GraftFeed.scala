@@ -28,39 +28,95 @@ import org.apache.spark.unsafe.types.UTF8String
   *     // schema: ts TIMESTAMP, value STRING, seq BIGINT
   * }}}
   *
-  * Replayability: the feed retains its buffer, offsets are plain record
-  * counts — so checkpoint recovery re-reads exact ranges (the property
-  * [[graft.streaming.Crossover]] relies on), and `Trigger.AvailableNow`
-  * drains the backlog at maximum speed: the reference's past→live
-  * semantics for an adapter-fed stream.
+  * Replayability & retention (the Kafka model): offsets are absolute
+  * record sequence numbers, so checkpoint recovery re-reads exact ranges
+  * (the property [[graft.streaming.Crossover]] relies on), and
+  * `Trigger.AvailableNow` drains the backlog at maximum speed — the
+  * reference's past→live semantics for an adapter-fed stream. The buffer
+  * is NOT retained forever: `option("retention", n)` keeps at most `n`
+  * records behind the committed offset — on every epoch commit the feed
+  * trims to `committed - n`, so a long-running live query holds bounded
+  * memory. Reading below the trim point fails fast (the Kafka
+  * "offset out of range", not silent skipping). Default retention is
+  * unbounded for full from-zero replayability in tests/demos; a
+  * production deployment of this contract is a durable log (Kafka) —
+  * this adapter demonstrates the DSv2 mechanics against an in-process
+  * feed.
   *
   * Sharding (the Kafka layout): `option("shards", "a,b,c")` consumes N
-  * feeds as ONE streaming table — the offset is a per-shard count vector,
+  * feeds as ONE streaming table — the offset is a per-shard map of
+  * shard name → record count (serialized as JSON, so a restart validates
+  * the restored shard SET against the configured one and fails fast on
+  * rename/resize instead of silently misassigning counts; reordering the
+  * option is harmless since counts are looked up by name).
   * `planInputPartitions` emits one InputPartition per advanced shard
   * (records of different shards are read by different executor cores in
   * parallel), and a `shard` provenance column is appended. This is how N
   * consumer connections (N websockets, N exchange sessions) fan out on a
-  * cluster; the single-feed form keeps its scalar offsets.
+  * cluster; the single-feed form keeps its scalar offsets (pre-existing
+  * checkpoints stay readable, as do legacy positional `[2,3]` vectors).
   */
 object GraftFeed {
   final case class Rec(tsUs: Long, value: String, seq: Long)
-  private val feeds = new java.util.concurrent.ConcurrentHashMap[String, mutable.ArrayBuffer[Rec]]()
 
-  private def buf(feed: String): mutable.ArrayBuffer[Rec] =
-    feeds.computeIfAbsent(feed, _ => mutable.ArrayBuffer.empty[Rec])
+  /** A feed's live window: `base` = seq of buf.head (everything below is
+    * trimmed), absolute size = base + buf.length. */
+  private final class Feed {
+    var base: Long = 0L
+    val buf: mutable.ArrayBuffer[Rec] = mutable.ArrayBuffer.empty[Rec]
+  }
+  private val feeds = new java.util.concurrent.ConcurrentHashMap[String, Feed]()
+
+  private def feed(name: String): Feed =
+    feeds.computeIfAbsent(name, _ => new Feed)
 
   /** Producer side: append one record (thread-safe, monotone seq). */
-  def push(feed: String, tsUs: Long, value: String): Long = {
-    val b = buf(feed)
-    b.synchronized { val seq = b.length.toLong; b += Rec(tsUs, value, seq); seq }
+  def push(name: String, tsUs: Long, value: String): Long = {
+    val f = feed(name)
+    f.synchronized {
+      val seq = f.base + f.buf.length
+      f.buf += Rec(tsUs, value, seq)
+      seq
+    }
   }
 
-  private[sources] def size(feed: String): Int = { val b = buf(feed); b.synchronized(b.length) }
-  private[sources] def range(feed: String, from: Int, until: Int): Array[Rec] = {
-    val b = buf(feed); b.synchronized(b.slice(from, until).toArray)
+  /** Absolute record count ever pushed (trim does not move it). */
+  private[sources] def size(name: String): Long =
+    { val f = feed(name); f.synchronized(f.base + f.buf.length) }
+
+  /** Read [from, until) by absolute seq; fails fast if the range was
+    * trimmed past (increase retention — the Kafka offset-out-of-range). */
+  private[sources] def range(name: String, from: Long, until: Long): Array[Rec] = {
+    val f = feed(name)
+    f.synchronized {
+      if (from < f.base)
+        throw new IllegalStateException(
+          s"graft-feed '$name': records [$from, ${f.base}) already trimmed " +
+            s"(retention too small for this replay)")
+      f.buf.slice((from - f.base).toInt, (until - f.base).toInt).toArray
+    }
   }
+
+  /** Drop records with seq < keepFrom (no-op if already trimmed past). */
+  private[sources] def trimTo(name: String, keepFrom: Long): Unit = {
+    val f = feed(name)
+    f.synchronized {
+      val drop = (keepFrom - f.base).toInt
+      if (drop > 0) {
+        f.buf.remove(0, math.min(drop, f.buf.length))
+        f.base = math.max(f.base, math.min(keepFrom, f.base + drop))
+      }
+    }
+  }
+
+  /** Records currently held in memory (test hook for retention bounds). */
+  private[sources] def retained(name: String): Int =
+    { val f = feed(name); f.synchronized(f.buf.length) }
+
   /** Test hook. */
-  def clear(feed: String): Unit = { val b = buf(feed); b.synchronized(b.clear()) }
+  def clear(name: String): Unit = {
+    val f = feed(name); f.synchronized { f.buf.clear(); f.base = 0L }
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("ts", TimestampType, nullable = false),
@@ -80,15 +136,22 @@ class GraftFeedProvider extends TableProvider with DataSourceRegister {
     if (options.containsKey("shards")) GraftFeed.shardedSchema else GraftFeed.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    val retention = Option(properties.get("retention")).map(_.trim.toLong)
+      .getOrElse(Long.MaxValue)
+    require(retention > 0, s"retention must be positive, got $retention")
     val shardsOpt = properties.get("shards")
-    if (shardsOpt != null)
-      new GraftFeedTable(shardsOpt.split(",").map(_.trim).toSeq, sharded = true)
-    else
-      new GraftFeedTable(Seq(properties.getOrDefault("feed", "default")), sharded = false)
+    val (shards, sharded) =
+      if (shardsOpt != null) (shardsOpt.split(",").map(_.trim).toSeq, true)
+      else (Seq(properties.getOrDefault("feed", "default")), false)
+    // simple names keep the hand-rolled offset JSON trivially well-formed
+    shards.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
+      s"feed/shard names must match [A-Za-z0-9._-]+, got '$s'"))
+    new GraftFeedTable(shards, sharded, retention)
   }
 }
 
-class GraftFeedTable(shards: Seq[String], sharded: Boolean) extends Table with SupportsRead {
+class GraftFeedTable(shards: Seq[String], sharded: Boolean, retention: Long)
+    extends Table with SupportsRead {
   private def tableSchema = if (sharded) GraftFeed.shardedSchema else GraftFeed.schema
   override def name(): String = s"graft-feed(${shards.mkString(",")})"
   override def schema(): StructType = tableSchema
@@ -99,38 +162,73 @@ class GraftFeedTable(shards: Seq[String], sharded: Boolean) extends Table with S
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftFeedStream(shards, sharded)
+          new GraftFeedStream(shards, sharded, retention)
       }
     }
 }
 
-/** Per-shard count vector (single-feed form serializes as the bare count
-  * so existing checkpoints stay readable). */
-final case class GraftFeedOffset(counts: Seq[Int], scalar: Boolean) extends Offset {
+/** Per-shard record counts keyed by shard NAME. Serializations kept
+  * readable: single-feed = bare count (scalar), sharded = `{"a":2,...}`
+  * name→count map. */
+final case class GraftFeedOffset(counts: Seq[(String, Long)], scalar: Boolean) extends Offset {
   override def json(): String =
-    if (scalar) counts.head.toString else counts.mkString("[", ",", "]")
+    if (scalar) counts.head._2.toString
+    else counts.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
 }
 
-class GraftFeedStream(shards: Seq[String], sharded: Boolean) extends MicroBatchStream {
+class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long)
+    extends MicroBatchStream {
   private val scalar = !sharded
-  override def initialOffset(): Offset = GraftFeedOffset(shards.map(_ => 0), scalar)
-  override def latestOffset(): Offset = GraftFeedOffset(shards.map(GraftFeed.size), scalar)
+  private def offset(counts: Seq[Long]) = GraftFeedOffset(shards.zip(counts), scalar)
+
+  override def initialOffset(): Offset = offset(shards.map(_ => 0L))
+  override def latestOffset(): Offset = offset(shards.map(GraftFeed.size))
+
+  /** Restores scalar, named-map, and legacy positional-vector forms; the
+    * named form validates the shard SET (rename/resize fails fast instead
+    * of silently applying counts to the wrong shards; reorder is fine). */
   override def deserializeOffset(json: String): Offset = {
     val t = json.trim
-    if (t.startsWith("["))
-      GraftFeedOffset(t.stripPrefix("[").stripSuffix("]").split(",")
-        .filter(_.nonEmpty).map(_.trim.toInt).toSeq, scalar = false)
-    else GraftFeedOffset(Seq(t.toInt), scalar = true)
+    if (t.startsWith("{")) {
+      val m = t.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+        }.toMap
+      if (m.keySet != shards.toSet)
+        throw new IllegalStateException(
+          s"graft-feed checkpoint shards ${m.keySet.toSeq.sorted.mkString("[", ",", "]")} " +
+            s"do not match configured shards ${shards.sorted.mkString("[", ",", "]")}; " +
+            "restore with the original shard set")
+      offset(shards.map(m))
+    } else if (t.startsWith("[")) { // legacy positional vector
+      val v = t.stripPrefix("[").stripSuffix("]").split(",")
+        .filter(_.nonEmpty).map(_.trim.toLong).toSeq
+      if (v.length != shards.length)
+        throw new IllegalStateException(
+          s"graft-feed legacy checkpoint has ${v.length} shards, " +
+            s"configured ${shards.length}; counts cannot be assigned by position")
+      offset(v)
+    } else offset(Seq(t.toLong))
   }
-  override def commit(end: Offset): Unit = () // buffer retained: replayable
+
+  /** Epoch committed: everything below `committed - retention` can never
+    * be re-read by THIS query — trim it so a long-running live query
+    * holds bounded memory (no-op at the unbounded default). */
+  override def commit(end: Offset): Unit =
+    if (retention != Long.MaxValue)
+      end.asInstanceOf[GraftFeedOffset].counts.foreach { case (name, c) =>
+        GraftFeed.trimTo(name, math.max(0L, c - retention))
+      }
+
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftFeedOffset].counts
-    val e = end.asInstanceOf[GraftFeedOffset].counts
-    shards.indices.iterator
-      .filter(i => e(i) > s(i)) // one advanced shard = one partition
-      .map(i => GraftFeedPartition(shards(i), s(i), e(i), sharded): InputPartition)
+    val s = start.asInstanceOf[GraftFeedOffset].counts.toMap
+    val e = end.asInstanceOf[GraftFeedOffset].counts.toMap
+    shards.iterator
+      .filter(n => e(n) > s(n)) // one advanced shard = one partition
+      .map(n => GraftFeedPartition(n, s(n), e(n), sharded): InputPartition)
       .toArray
   }
 
@@ -153,5 +251,5 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean) extends MicroBatchS
     }
 }
 
-final case class GraftFeedPartition(feed: String, from: Int, until: Int,
+final case class GraftFeedPartition(feed: String, from: Long, until: Long,
                                     emitShard: Boolean) extends InputPartition

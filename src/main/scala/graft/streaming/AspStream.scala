@@ -82,8 +82,18 @@ object AspStream {
     private def load(key: K, t0: Long): (KeyedStateMachine[K, I, O], Set[Long], ReplayCtx[O], Long) = {
       val ctx = new ReplayCtx[O](t0)
       if (blob.exists()) {
-        val (m, p, lastUs) =
-          deser(blob.get()).asInstanceOf[(KeyedStateMachine[K, I, O], Pending, Long)]
+        // blob layout is versioned by tuple arity: a pre-clock-floor
+        // checkpoint holds (machine, pending); current holds
+        // (machine, pending, lastEventUs). Legacy blobs restore with an
+        // open clock floor instead of throwing ClassCastException.
+        val (m, p, lastUs) = deser(blob.get()) match {
+          case (m, p, last) =>
+            (m.asInstanceOf[KeyedStateMachine[K, I, O]],
+              p.asInstanceOf[Pending], last.asInstanceOf[Long])
+          case (m, p) =>
+            (m.asInstanceOf[KeyedStateMachine[K, I, O]],
+              p.asInstanceOf[Pending], Long.MinValue)
+        }
         p.foreach { case (dueMs, tag) => ctx.callAt(dueMs * 1000, tag) }
         (m, p.map(_._1).toSet, ctx, lastUs)
       } else {

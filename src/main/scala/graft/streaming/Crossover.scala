@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, StreamingQueryProgress, Trigger}
 
 /** Past→live crossover — the reference's signature move ("traveling
   * through time", README.md:105-135, examples/crossing.py; W4 in SURVEY):
@@ -42,5 +42,57 @@ object Crossover {
     backfill.awaitTermination() // fast-forward: replay ends when backlog drained
     hooks.onLiveStart()
     start(liveTrigger)
+  }
+
+  /** Continuous handover — the reference's exact shape (`on_live_start`
+    * fires BETWEEN the past and live phases of ONE run,
+    * processor.py:185-194; flagship demo examples/crossing.py): a single
+    * `StreamingQuery` starts over the backlog and never stops; a
+    * `StreamingQueryListener` watches each progress report and fires
+    * `onLiveStart` the first time every source's consumed offset has
+    * caught its latest available offset — the backlog-drained boundary —
+    * with no stop/start seam and no second query.
+    *
+    * Trade against [[run]]: the restart-based form gets
+    * `Trigger.AvailableNow`'s purpose-built backfill (and survives a
+    * driver crash mid-handover, since the checkpoint IS the boundary);
+    * this form is seamless but replays the backlog at `liveTrigger`
+    * cadence — pass `ProcessingTime(0)` to run backfill batches
+    * back-to-back. Both are exactly-once; keep [[run]] as the durable
+    * fallback.
+    *
+    * The hook fires on the listener bus thread, after the catching-up
+    * micro-batch has fully committed (so everything the hook can observe
+    * through the sink is exactly the drained backlog). */
+  def runContinuous(start: Trigger => StreamingQuery,
+                    hooks: Hooks = Hooks(),
+                    liveTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    hooks.onStart()
+    val q = start(liveTrigger)
+    val lock = new Object
+    var fired = false
+
+    def caughtUp(p: StreamingQueryProgress): Boolean =
+      p.id == q.id && p.sources.nonEmpty && p.sources.forall(s =>
+        s.latestOffset == null || s.endOffset == s.latestOffset)
+
+    lazy val listener: StreamingQueryListener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        maybeFire(e.progress)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    def maybeFire(p: StreamingQueryProgress): Unit = lock.synchronized {
+      if (!fired && caughtUp(p)) {
+        fired = true
+        hooks.onLiveStart()
+        q.sparkSession.streams.removeListener(listener)
+      }
+    }
+    q.sparkSession.streams.addListener(listener)
+    // a fast backlog may have caught up before the listener was attached:
+    // replay the progress history through the same idempotent check
+    q.recentProgress.foreach(maybeFire)
+    q
   }
 }

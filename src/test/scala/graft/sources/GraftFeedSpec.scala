@@ -83,14 +83,77 @@ class GraftFeedSpec extends AnyFunSuite {
       assert(rows.map(r => (r._2, r._4)) ==
         Vector(("a0", a), ("a1", a), ("b0", b), ("b1", b)))
       assert(rows.collect { case (_, _, seq, s) if s == b => seq } == Vector(0L, 1L))
-      // the checkpointed offset is a per-shard count vector
+      // the checkpointed offset carries shard IDENTITY, not position
       import java.nio.file.{Files, Paths}
       val offDir = Paths.get(s"$ckpt/offsets")
       val newest = Files.list(offDir).iterator().asScala.toSeq
         .filter(p => p.getFileName.toString.forall(_.isDigit)).maxBy(_.getFileName.toString.toInt)
       val lastLine = Files.readAllLines(newest).asScala.last
-      assert(lastLine == "[2,2]", s"offset line was $lastLine")
+      assert(lastLine == s"""{"$a":2,"$b":2}""", s"offset line was $lastLine")
     } finally { q.stop(); GraftFeed.clear(a); GraftFeed.clear(b) }
+  }
+
+  test("offset restore: names are validated; legacy forms stay readable") {
+    val s = new GraftFeedStream(Seq("x", "y"), sharded = true, retention = Long.MaxValue)
+    // round-trip of the named form, independent of option order
+    assert(s.deserializeOffset("""{"y":3,"x":2}""").asInstanceOf[GraftFeedOffset]
+      .counts == Seq("x" -> 2L, "y" -> 3L))
+    // renamed/resized shard set fails fast instead of misassigning counts
+    val e1 = intercept[IllegalStateException](s.deserializeOffset("""{"x":2,"z":3}"""))
+    assert(e1.getMessage.contains("do not match configured shards"))
+    // legacy positional vector: readable at matching arity, rejected otherwise
+    assert(s.deserializeOffset("[4,5]").asInstanceOf[GraftFeedOffset]
+      .counts == Seq("x" -> 4L, "y" -> 5L))
+    val e2 = intercept[IllegalStateException](s.deserializeOffset("[4,5,6]"))
+    assert(e2.getMessage.contains("cannot be assigned by position"))
+    // single-feed scalar form
+    val s1 = new GraftFeedStream(Seq("f"), sharded = false, retention = Long.MaxValue)
+    assert(s1.deserializeOffset("7").asInstanceOf[GraftFeedOffset].counts == Seq("f" -> 7L))
+  }
+
+  test("retention bounds the buffer: commits trim behind the offset") {
+    import spark.implicits._
+    val feed = "bounded-" + System.nanoTime()
+    val total = 500
+    val retention = 20
+    (0 until 100).foreach(k => GraftFeed.push(feed, T0 + k * 1000L, s"m$k"))
+
+    val got = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ret-ckpt").toString
+    val q = spark.readStream.format("graft-feed")
+      .option("feed", feed).option("retention", retention.toString).load()
+      .selectExpr("seq")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.as[Long].collect().foreach(v => got.add(v))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("20 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      (100 until total).foreach { k => // keep producing far past retention
+        GraftFeed.push(feed, T0 + k * 1000L, s"m$k")
+        if (k % 100 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      // source.commit lags one micro-batch (it fires when the NEXT batch
+      // is constructed): push a sentinel so the tail batch commits too
+      GraftFeed.push(feed, T0 + total * 1000L, "sentinel")
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      // no record lost or duplicated even as the tail is trimmed…
+      assert(got.asScala.toVector.sorted == (0L to total.toLong).toVector)
+      // …and the in-memory window stayed bounded: retention + the final
+      // not-yet-committed batch (1 sentinel record here) — NOT the 501
+      // records pushed
+      assert(GraftFeed.retained(feed) <= retention + 1,
+        s"retained ${GraftFeed.retained(feed)} > $retention + 1")
+      // reading below the trim point is a loud error, not silence
+      val e = intercept[IllegalStateException](GraftFeed.range(feed, 0L, 5L))
+      assert(e.getMessage.contains("trimmed"))
+    } finally { q.stop(); GraftFeed.clear(feed) }
   }
 
   test("sharded feed composes with Crossover: both backlogs drain before on_live_start") {
@@ -125,5 +188,72 @@ class GraftFeedSpec extends AnyFunSuite {
       assert(rows == Vector(("a0", a), ("a1", a), ("b0", b), ("b1", b)))
       assert(phases.asScala.toVector == Vector("live_start:3")) // ALL shards drained at handover
     } finally { live.stop(); GraftFeed.clear(a); GraftFeed.clear(b) }
+  }
+
+  test("external socket producer → bridge → streaming query, with crossover handover") {
+    import spark.implicits._
+    val feed = "sock-" + System.nanoTime()
+
+    // the external process of the reference demo (websocket_server.py:5-9):
+    // a line-oriented socket server emitting a backlog, then a live message
+    val server = new java.net.ServerSocket(0)
+    val goLive = new java.util.concurrent.Semaphore(0)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        s.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      (0 until 3).foreach(k => out.println(s"tick $k"))
+      goLive.acquire() // hold the live message until the handover completed
+      out.println("tick 3")
+      out.flush()
+      s.close()
+    }, "socket-producer")
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!cond) {
+        if (System.nanoTime() > deadline) fail(s"timed out waiting for $what")
+        Thread.sleep(20)
+      }
+    }
+
+    val t0Us = System.currentTimeMillis() * 1000L
+    // the reference client (e1_websocket_client.py:10-18): connect, stamp
+    // each message with its arrival time, feed the engine
+    val bridge = SocketBridge.connect("127.0.0.1", server.getLocalPort, feed)
+    try {
+      await("socket backlog")(GraftFeed.size(feed) == 3L)
+
+      val got = java.util.Collections.synchronizedList(new java.util.ArrayList[(Long, String)]())
+      val phases = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sock-ckpt").toString
+      def start(t: Trigger) =
+        spark.readStream.format("graft-feed").option("feed", feed).load()
+          .selectExpr("unix_micros(ts) AS ts_us", "value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.as[(Long, String)].collect().foreach(got.add)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(t)
+          .start()
+
+      val live = Crossover.run(start, Crossover.Hooks(
+          onLiveStart = () => { phases.add(s"live_start:${got.size()}"); () }),
+        liveTrigger = Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        goLive.release() // external producer emits the live message
+        await("live row")(GraftFeed.size(feed) == 4L)
+        live.processAllAvailable()
+
+        import scala.jdk.CollectionConverters._
+        val rows = got.asScala.toVector.sortBy(_._1)
+        assert(rows.map(_._2) == Vector("tick 0", "tick 1", "tick 2", "tick 3"))
+        assert(rows.forall(_._1 >= t0Us), "arrival timestamps must be live")
+        assert(phases.asScala.toVector == Vector("live_start:3"))
+      } finally live.stop()
+    } finally { bridge.close(); server.close(); GraftFeed.clear(feed) }
   }
 }
