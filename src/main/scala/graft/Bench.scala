@@ -48,10 +48,25 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
+    // isolated re-measure of the slowest queries: a full-pass time can be
+    // polluted by a major GC or a neighbour's spill, so the movers are
+    // re-run alone (min of 2, GC'd) — compare `isolated` vs `queries` to
+    // separate plan cost from machine noise before chasing a regression
+    val movers = results.filter(_._3).sortBy(-_._2).take(3).map(_._1)
+    val isolated = movers.map { name =>
+      System.gc()
+      val fn = selected(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      "\"" + name + "\":" + times.min
+    }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""warmup_sec":$warmup,"sf":"$sfDir"}"""
+      s""""warmup_sec":$warmup,"isolated":$isolated,"sf":"$sfDir"}"""
     spark.stop() // stop first so stray executor WARNs can't interleave mid-line
     println(line)
   }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampType}
 
 /** Distributed global prefix operators — the 100 TB form of a total-order
   * scan (the reference's single-threaded scheduler order,
@@ -10,77 +11,177 @@ import org.apache.spark.sql.functions._
   *
   * A plain `Window.orderBy(ts)` with no partition key collapses the whole
   * dataset into ONE task (Spark warns `WindowExec: No Partition Defined`).
-  * These operators compute the same totals in two distributed phases:
+  * These operators compute the same totals distributed, via an explicit
+  * shared slicing:
   *
-  *  1. `repartitionByRange(ts, tie)` — a range shuffle; each partition
-  *     holds a contiguous, disjoint slice of the global (ts, tie) order.
-  *     A per-partition window (partitioned by `spark_partition_id()`)
-  *     computes the LOCAL prefix in parallel.
-  *  2. a per-partition summary (one row per partition — tiny regardless
-  *     of data size) is prefix-combined and broadcast-joined back, turning
-  *     local prefixes into global ones.
+  *  1. **Slice boundaries are computed ONCE** — a seeded per-partition
+  *     reservoir sample of the order key (one single-stage narrow scan;
+  *     the exact discipline of Spark's own `RangePartitioner
+  *     .sketch/determineBounds`, ~20 samples per slice weighted by
+  *     partition row count) — and folded into every consumer as a
+  *     LITERAL array. Each row's slice id is `#boundaries below its
+  *     key`: monotone in the key, so each slice holds a contiguous range
+  *     of the global (ts, tie) order by construction, and every pass sees
+  *     the identical slicing because they share one literal. (The
+  *     previous `repartitionByRange`-per-branch form relied on
+  *     independent range exchanges sampling the same boundaries —
+  *     exchange reuse was defeated by per-branch column pruning, so each
+  *     branch re-scanned, re-sampled, and re-shuffled the full data, and
+  *     correctness hinged on the samplers agreeing.)
+  *  2. A **per-slice summary** (count / total / last value — ONE row per
+  *     slice regardless of data size) is computed map-side in a second
+  *     single-stage narrow scan (per-partition arrays merged in an RDD
+  *     reduce — no shuffle, no adaptive re-planning; O(#slices) values on
+  *     the driver, the same cost shape as `RDD.zipWithIndex`'s
+  *     count-collect). The exclusive prefix-combine over it is a Scala
+  *     fold, re-entering the plan as a literal array indexed by slice
+  *     id — no broadcast join, no extra stage.
+  *  3. The main pass shuffles the data ONCE (hash on the slice id), a
+  *     window per slice computes the LOCAL prefix in parallel, and the
+  *     literal offset lookup turns local prefixes into global ones.
   *
-  * Cost: one range shuffle + one hash shuffle of the same data + an
-  * O(#partitions) side plan — vs. the single-task sort whose wall-clock
-  * is unbounded in data size. Both phases scale linearly with executors.
-  * The range boundaries come from Spark's deterministic reservoir sample,
-  * and any boundary placement yields the same result (the combine step
-  * only needs partition-contiguity, not balance).
-  *
-  * Measured alternative (rejected): assigning the slice id from an
-  * `approx_percentile` boundary chain would drop the range shuffle
-  * (one shuffle total), but the boundary aggregate is a second full scan
-  * that Catalyst re-computes per consuming branch (no exchange to reuse),
-  * and it benched 2-3x slower at sf0.1 than this form, whose range
-  * exchange IS reused across the local-prefix and offsets branches.
+  * Cost: two single-stage narrow scans + one full scan + ONE full-data
+  * shuffle. All phases scale linearly with executors; boundary skew
+  * matches what a range sort would see (equal keys always share a slice).
+  * Slice assignment is a codegen'd chain of `#slices-1` comparisons —
+  * O(#slices) per row, fine at the shuffle-partition counts this engine
+  * targets (a binary-search Expression is the >1k-slice upgrade).
   *
   * (ts, tie) must be a unique composite key (the engine's standard
   * delivery order — SURVEY §1.3); null ordering keys are not expected.
+  * Summary values must be literal-expressible types (numeric, decimal,
+  * string, timestamp — the engine's payload surface).
   */
 object Prefix {
 
   private val PID = "__graft_pid"
 
-  /** Range-partition by the global order key and tag each row with its
-    * slice id. The tag is computed BEFORE any later hash shuffle, so it
-    * identifies the range slice, not the physical window partition. */
-  private def ranged(df: DataFrame, ts: String, tie: String): DataFrame =
-    df.repartitionByRange(col(ts), col(tie)).withColumn(PID, spark_partition_id())
+  /** The order key as a double for boundary math: timestamps via
+    * unix_micros (exact in a double through year ~2255), numerics by cast. */
+  private def sliceKey(df: DataFrame, ts: String): Column =
+    df.schema(ts).dataType match {
+      case TimestampType => unix_micros(col(ts)).cast("double")
+      case _             => col(ts).cast("double")
+    }
+
+  /** Slice boundaries from one single-stage sample job: per input
+    * partition a seeded reservoir (+ row count), merged on the driver into
+    * weighted quantiles — `RangePartitioner.sketch/determineBounds`
+    * re-done at the SQL layer so the boundaries can be shared as a
+    * literal. Deterministic given the input layout (seed = partition id);
+    * any boundary placement is CORRECT (the combine only needs slice
+    * contiguity), sampling only balances slice sizes. */
+  private def sampleBounds(df: DataFrame, key: Column, n: Int): Array[Double] = {
+    if (n <= 1) return Array.empty
+    val rdd = df.select(key.cast("double").as("__k")).queryExecution.toRdd
+    val perPart = math.max(8, math.min(1024,
+      math.ceil(20.0 * n / math.max(1, rdd.getNumPartitions)).toInt))
+    val sketched = rdd.mapPartitionsWithIndex { (part, it) =>
+      val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^ part)
+      val res = new Array[Double](perPart)
+      var seen = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (!r.isNullAt(0)) {
+          val v = r.getDouble(0)
+          if (seen < perPart) res(seen.toInt) = v
+          else {
+            val j = (rnd.nextDouble() * (seen + 1)).toLong
+            if (j < perPart) res(j.toInt) = v
+          }
+          seen += 1
+        }
+      }
+      if (seen == 0) Iterator.empty
+      else Iterator.single((seen, res.take(math.min(seen, perPart.toLong).toInt)))
+    }.collect()
+    val total = sketched.map(_._1).sum.toDouble
+    if (total == 0) return Array.empty
+    // weighted quantiles over the merged sample (weight = rows represented
+    // per kept sample), boundary every total/n rows
+    val weighted = sketched.flatMap { case (cnt, sample) =>
+      val w = cnt.toDouble / sample.length
+      sample.map(v => (v, w))
+    }.sortBy(_._1)
+    val step = total / n
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var cum = 0.0
+    var target = step
+    for ((v, w) <- weighted) {
+      cum += w
+      if (cum >= target && (bounds.isEmpty || v > bounds.last)) {
+        bounds += v
+        target += step
+      }
+    }
+    bounds.toArray
+  }
+
+  /** df tagged with its slice id (+ the slice count), from boundaries
+    * computed once — deterministic, shared by construction. The tag is a
+    * codegen'd comparison chain (no interpreted higher-order function). */
+  private def sliced(df: DataFrame, ts: String): (DataFrame, Int) = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val key = sliceKey(df, ts)
+    val bounds = sampleBounds(df, key, n)
+    val slice =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(key > b, 1).otherwise(0)).reduce(_ + _)
+    (df.withColumn(PID, slice), bounds.length + 1)
+  }
 
   private def localW(ts: String, tie: String) =
     Window.partitionBy(col(PID)).orderBy(col(ts), col(tie))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  /** Exclusive prefix-combine over the tiny per-partition summary frame
-    * (one row per shuffle partition): expressed as a broadcast theta-join
-    * `b.pid < a.pid` + re-aggregate — O(#partitions²) pairs, which is
-    * trivial at any data scale (32² here; 4M pairs even at 2000
-    * partitions) and, unlike an un-partitioned window, never emits a
-    * single-task WindowExec. `aggs` maps each summary column to the
-    * combine expression over the matching rows of the b side. */
-  private def prevCombine(summary: DataFrame,
-                          aggs: Seq[(String, Column => Column)]): DataFrame = {
-    val a = summary.select(col(PID))
-    val b = aggs.foldLeft(summary.withColumnRenamed(PID, "__bpid")) {
-      case (acc, (c, _)) => acc.withColumnRenamed(c, s"__b_$c")
+  /** Per-slice row counts in ONE single-stage job: a per-partition long
+    * array merged by RDD reduce — no shuffle, no adaptive re-planning. */
+  private def sliceCounts(s: DataFrame, nSlices: Int): Array[Long] = {
+    val rdd = s.select(col(PID)).queryExecution.toRdd
+    rdd.mapPartitions { it =>
+      val a = new Array[Long](nSlices)
+      while (it.hasNext) a(it.next().getInt(0)) += 1
+      Iterator.single(a)
+    }.fold(new Array[Long](nSlices)) { (x, y) =>
+      var i = 0; while (i < nSlices) { x(i) += y(i); i += 1 }; x
     }
-    a.join(broadcast(b), col("__bpid") < col(PID), "left")
-      .groupBy(col(PID))
-      .agg(aggs.head._2(col(s"__b_${aggs.head._1}")).as(aggs.head._1),
-        aggs.tail.map { case (c, f) => f(col(s"__b_$c")).as(c) }: _*)
   }
+
+  /** Widen external summary values so driver-side combine is exact. */
+  private def norm(a: Any): Any = a match {
+    case i: java.lang.Integer    => i.longValue(): java.lang.Long
+    case s: java.lang.Short      => s.longValue(): java.lang.Long
+    case b: java.lang.Byte       => b.longValue(): java.lang.Long
+    case f: java.lang.Float      => f.doubleValue(): java.lang.Double
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case x                       => x
+  }
+
+  /** Driver-side addition over the handful of summary values. */
+  private def plus(a: Any, b: Any): Any = (norm(a), norm(b)) match {
+    case (null, x)                                          => x
+    case (x, null)                                          => x
+    case (x: java.lang.Long, y: java.lang.Long)             => x + y: java.lang.Long
+    case (x: java.lang.Double, y: java.lang.Double)         => x + y: java.lang.Double
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+    case (x, y) => throw new IllegalArgumentException(
+      s"unsupported running-sum type: ${x.getClass} + ${y.getClass}")
+  }
+
+  /** `values[pid]` as a literal-array lookup column (1-based element_at). */
+  private def lookup(values: Seq[Any], tpe: DataType): Column =
+    element_at(array(values.map(v => lit(v).cast(tpe)): _*), col(PID) + 1)
 
   /** Global delivery sequence 1..n in (ts, tie) order — the scalable form
     * of `row_number() OVER (ORDER BY ts, tie)`. Output column is LongType. */
   def seq(df: DataFrame, seqCol: String = "seq",
           ts: String = "ts", tie: String = "event_id"): DataFrame = {
-    val local = ranged(df, ts, tie)
-      .withColumn("__lseq", row_number().over(localW(ts, tie)).cast("long"))
-    val counts = local.groupBy(col(PID)).agg(count(lit(1)).as("__off"))
-    val offsets = prevCombine(counts, Seq("__off" -> (c => coalesce(sum(c), lit(0L)))))
-    local.join(broadcast(offsets), PID)
-      .withColumn(seqCol, col("__off") + col("__lseq"))
-      .drop(PID, "__lseq", "__off")
+    val (s, nSlices) = sliced(df, ts)
+    val offsets = sliceCounts(s, nSlices)
+      .scanLeft(0L)(_ + _).dropRight(1) // exclusive prefix
+    s.withColumn("__lseq", row_number().over(localW(ts, tie)).cast("long"))
+      .withColumn(seqCol, element_at(typedlit(offsets.toSeq), col(PID) + 1) + col("__lseq"))
+      .drop(PID, "__lseq")
   }
 
   /** Global running (cumulative) aggregate of `value` in (ts, tie) order —
@@ -89,42 +190,90 @@ object Prefix {
     * (integer/decimal) so the two-phase combine is order-free. */
   def runningSum(df: DataFrame, value: Column, outCol: String,
                  ts: String = "ts", tie: String = "event_id"): DataFrame = {
-    val local = ranged(df, ts, tie)
-      .withColumn("__lsum", sum(value).over(localW(ts, tie)))
-    val totals = local.groupBy(col(PID)).agg(sum(value).as("__off"))
-    val offsets = prevCombine(totals, Seq("__off" -> (c => sum(c))))
-    local.join(broadcast(offsets), PID)
-      .withColumn(outCol, col("__lsum") + coalesce(col("__off"), lit(0)))
-      .drop(PID, "__lsum", "__off")
+    val (s, nSlices) = sliced(df, ts)
+    // per-slice totals in ONE single-stage job (map-side partial sums,
+    // driver fold) — external Rows only carry (pid, value)
+    val totals = Array.fill[Any](nSlices)(null)
+    s.select(col(PID), value.as("__v")).rdd
+      .mapPartitions { it =>
+        val acc = Array.fill[Any](nSlices)(null)
+        it.foreach(r => acc(r.getInt(0)) = plus(acc(r.getInt(0)), r.get(1)))
+        Iterator.single(acc)
+      }
+      .collect()
+      .foreach { part =>
+        var i = 0
+        while (i < nSlices) { totals(i) = plus(totals(i), part(i)); i += 1 }
+      }
+    val offsets = totals.scanLeft(null: Any)(plus).dropRight(1)
+    val local = s.withColumn("__lsum", sum(value).over(localW(ts, tie)))
+    val tpe = local.schema("__lsum").dataType
+    local
+      .withColumn(outCol, col("__lsum") + coalesce(lookup(offsets.toSeq, tpe), lit(0)))
+      .drop(PID, "__lsum")
   }
 
   /** Global last-non-null carry-forward of `cols` in (ts, tie) order — the
     * scalable form of `last(c, ignoreNulls=true) OVER (ORDER BY ts, tie
     * ROWS UNBOUNDED PRECEDING)` (the reference's last-value combine, W5).
-    * Each partition carries locally; the carry-in for partition p is the
-    * last non-null among partitions < p, combined over the tiny frame. */
+    * Each slice carries locally; the carry-in for slice p is the last
+    * non-null among slices < p, folded over the tiny collected summary
+    * (per-slice last non-null per column, ONE single-stage scan). */
   def lastCarry(df: DataFrame, cols: Seq[String],
                 ts: String = "ts", tie: String = "event_id"): DataFrame = {
-    val w = localW(ts, tie)
-    val local = cols.foldLeft(ranged(df, ts, tie)) { (acc, c) =>
-      acc.withColumn(s"__lc_$c", last(col(c), ignoreNulls = true).over(w))
+    val (s, nSlices) = sliced(df, ts)
+    val nCols = cols.length
+    // ordering on external (ts, tie) values via natural Comparable order
+    // (Timestamp/Long/String/…) — erasure-safe at runtime
+    def after(ts1: Any, tie1: Any, ts2: Any, tie2: Any): Boolean = {
+      val c = ts1.asInstanceOf[Comparable[Any]].compareTo(ts2)
+      c > 0 || (c == 0 && tie1.asInstanceOf[Comparable[Any]].compareTo(tie2) > 0)
     }
-    // per-partition last non-null of each col = its locally-carried value
-    // at the partition's max (ts, tie) row
-    val perPart = local.groupBy(col(PID)).agg(
-      max_by(col(s"__lc_${cols.head}"), struct(col(ts), col(tie))).as(s"__pl_${cols.head}"),
-      cols.tail.map(c =>
-        max_by(col(s"__lc_$c"), struct(col(ts), col(tie))).as(s"__pl_$c")): _*)
-    // carry-in for partition p = each col's value at the max previous
-    // partition that has one (max_by skips null ordering keys)
-    val carryIn = prevCombine(perPart,
-        cols.map(c => s"__pl_$c" -> ((v: Column) =>
-          max_by(v, when(v.isNotNull, col("__bpid"))))))
-      .select(col(PID) +: cols.map(c => col(s"__pl_$c").as(s"__ci_$c")): _*)
-    val joined = local.join(broadcast(carryIn), PID)
-    cols.foldLeft(joined) { (acc, c) =>
-      acc.withColumn(c, coalesce(col(s"__lc_$c"), col(s"__ci_$c")))
-        .drop(s"__lc_$c", s"__ci_$c")
-    }.drop(PID)
+    // best(p)(i) = (ts, tie, value) of the max-(ts,tie) row in slice p
+    // where cols(i) is non-null
+    def merge(x: Array[Array[(Any, Any, Any)]], y: Array[Array[(Any, Any, Any)]]) = {
+      var p = 0
+      while (p < nSlices) {
+        var i = 0
+        while (i < nCols) {
+          val b = y(p)(i)
+          if (b != null &&
+              (x(p)(i) == null || after(b._1, b._2, x(p)(i)._1, x(p)(i)._2)))
+            x(p)(i) = b
+          i += 1
+        }
+        p += 1
+      }
+      x
+    }
+    val best = s.select(col(PID) +: col(ts) +: col(tie) +: cols.map(col): _*).rdd
+      .mapPartitions { it =>
+        val acc = Array.fill[(Any, Any, Any)](nSlices, nCols)(null)
+        it.foreach { r =>
+          val p = r.getInt(0)
+          var i = 0
+          while (i < nCols) {
+            if (!r.isNullAt(3 + i)) {
+              val cur = acc(p)(i)
+              if (cur == null || after(r.get(1), r.get(2), cur._1, cur._2))
+                acc(p)(i) = (r.get(1), r.get(2), r.get(3 + i))
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .fold(Array.fill[(Any, Any, Any)](nSlices, nCols)(null))(merge)
+    val w = localW(ts, tie)
+    val carried = cols.zipWithIndex.foldLeft(s) { case (acc, (c, i)) =>
+      // carry-in for slice p = last non-null among slices < p
+      val carryIn = (0 until nSlices).scanLeft(null: Any) { (prev, p) =>
+        Option(best(p)(i)).map(_._3).getOrElse(prev)
+      }.dropRight(1)
+      acc.withColumn(c, coalesce(
+        last(col(c), ignoreNulls = true).over(w),
+        lookup(carryIn, df.schema(c).dataType)))
+    }
+    carried.drop(PID)
   }
 }

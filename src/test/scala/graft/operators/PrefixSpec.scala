@@ -71,6 +71,25 @@ class PrefixSpec extends AnyFunSuite {
     assert(head == want)
   }
 
+  test("Prefix.seq plan: one full-data exchange, no single-partition window") {
+    import spark.implicits._
+    val df = spark.createDataset(data(4, 500)).toDF()
+    val plan = Prefix.seq(df).queryExecution.executedPlan.toString
+    // the main branch shuffles the data exactly once (hash on the slice
+    // id); the summary branch aggregates map-side, so its exchange moves
+    // only #slices rows; no range exchange (boundaries are a literal,
+    // computed once — slicing is shared by construction, not by
+    // exchange-reuse luck) and no WindowExec without partitioning
+    assert(!plan.contains("rangepartitioning"),
+      s"unexpected range exchange (per-branch sampling is back):\n$plan")
+    val dataExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("__graft_pid")).toSeq
+    assert(dataExchanges.nonEmpty, s"expected a hash exchange on the slice id:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage over the data:\n$plan")
+  }
+
   test("Prefix.lastCarry == global last(ignoreNulls) carry-forward, multi-column") {
     import spark.implicits._
     val df = spark.createDataset(data(3, 500)).toDF().repartition(8)
