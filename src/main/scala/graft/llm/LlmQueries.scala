@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.queries._
 import graft.core.Tables
 import graft.functions.{PortableHash, VectorOps}
-import graft.operators.Windows
+import graft.operators.{ConnectedComponents, Windows}
 
 /** LLM-training-data pipeline operators (mandated extension — not in the
   * reference, which has no relational/text layer; see SURVEY §2.3 last row):
@@ -107,6 +107,39 @@ object LlmQueries {
     s"""$shinglesSql,
        |shh AS (SELECT doc_id, ${md5ModSql("sh")} AS h FROM sh),
        |sig AS (SELECT doc_id,\n$mins\n  FROM shh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q44 LSH-banding candidate-pair CTE chain (`sig` → `bands` →
+    * `pairs`), shared with the clustering queries (q64/q65). */
+  private val pairsSql = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$sigSql,
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Spark side of the q44 candidate pairs: MinHash signatures → 4×4
+    * band keys → same-bucket self-join (hash-partitioned on (band,
+    * bkey) — never all-pairs). */
+  private def lshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
   }
 
   // ---------- ANN shared plumbing (q48 / q54 / q55) ----------
@@ -256,32 +289,9 @@ object LlmQueries {
     // band key. This bounds the near-dup search to hash-bucket collisions —
     // the 100 TB path (no all-pairs). ----
     QuerySpec.sql("q44_lsh_pairs",
-      s"""WITH $sigSql,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, concat_ws('_', h0, h1, h2, h3) AS bkey FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, concat_ws('_', h4, h5, h6, h7) AS bkey FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 2 AS band, concat_ws('_', h8, h9, h10, h11) AS bkey FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 3 AS band, concat_ws('_', h12, h13, h14, h15) AS bkey FROM sig)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val sig = minhashSig(Tables.documents(s, d))
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*).as("bkey"))
-      }
-      val bands = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-        .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .orderBy($"a_id", $"b_id")
+      s"""WITH $pairsSql
+         |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      lshPairs(Tables.documents(s, d)).orderBy($"a_id", $"b_id")
     },
 
     // ---- n-gram Jaccard similarity on a bounded candidate set (doc_id <
@@ -722,6 +732,98 @@ object LlmQueries {
         .select($"doc_id", $"frame_id",
           expr("md5(substring(hx, CAST(frame_id * 64 + 1 AS INT), 64))").as("frame_md5"))
         .orderBy($"doc_id", $"frame_id")
+    },
+
+    // ---- dedup CLUSTERING: near-dup candidate pairs (q44's LSH bands) →
+    // connected components via alternating large-star/small-star
+    // ([[graft.operators.ConnectedComponents]]) — O(log n) rounds of two
+    // shuffles each, never O(diameter). The oracle recomputes the same
+    // components as a recursive reachability closure + min label (exact
+    // at fixture scale; the closure is the TEST harness, the star
+    // alternation is the 100 TB algorithm). ----
+    QuerySpec.sql("q64_dedup_clusters",
+      s"""WITH RECURSIVE $pairsSql,
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size
+         |FROM labels l JOIN (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+         |) s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val labels = ConnectedComponents
+        .run(lshPairs(Tables.documents(s, d)), "a_id", "b_id")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+      val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"cluster_size")
+        .orderBy($"doc_id")
+    },
+
+    // ---- dedup SURVIVOR SELECTION: the end-to-end near-dup pipeline —
+    // pairs → clusters → singletons unioned back → keep the
+    // highest-quality doc per cluster (ties → smallest doc_id). Quality
+    // is q42's rational score (no libm, bit-identical across engines);
+    // the argmax is a max-join, the same two cluster_id shuffles on both
+    // sides. One row per surviving document = the deduplicated corpus. ----
+    QuerySpec.sql("q65_dedup_survivors",
+      s"""WITH RECURSIVE $pairsSql,
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |labels_all AS (
+         |  SELECT doc_id, cluster_id FROM labels
+         |  UNION ALL
+         |  SELECT doc_id, doc_id AS cluster_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)),
+         |docsq AS (
+         |  SELECT la.doc_id, la.cluster_id,
+         |    least(1.0, len(string_split(text, ' ')) / 100.0)
+         |      * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |               / length(text)) AS quality
+         |  FROM labels_all la JOIN documents USING (doc_id)),
+         |best AS (SELECT cluster_id, max(quality) AS kept_quality
+         |         FROM docsq GROUP BY cluster_id),
+         |keep AS (SELECT d.cluster_id, min(d.doc_id) AS keep_id
+         |         FROM docsq d JOIN best b
+         |           ON d.cluster_id = b.cluster_id AND d.quality = b.kept_quality
+         |         GROUP BY d.cluster_id),
+         |sizes AS (SELECT cluster_id, count(*) AS n_docs
+         |          FROM labels_all GROUP BY cluster_id)
+         |SELECT k.cluster_id, k.keep_id, s.n_docs, b.kept_quality
+         |FROM keep k JOIN sizes s USING (cluster_id) JOIN best b USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = ConnectedComponents
+        .run(lshPairs(docs), "a_id", "b_id")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+      val labelsAll = labels.unionByName(
+        docs.join(labels, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"doc_id".as("cluster_id")))
+      val nTok = size(split($"text", " ")).cast("long")
+      val digitRatio =
+        length(regexp_replace($"text", "[^0-9]", "")).cast("double") / length($"text")
+      val docsq = labelsAll.join(docs, "doc_id")
+        .select($"doc_id", $"cluster_id",
+          (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)).as("quality"))
+      val best = docsq.groupBy($"cluster_id").agg(max($"quality").as("kept_quality"))
+      val keep = docsq.as("d").join(best.as("b"),
+          col("d.cluster_id") === col("b.cluster_id") &&
+            col("d.quality") === col("b.kept_quality"))
+        .groupBy(col("d.cluster_id").as("cluster_id"))
+        .agg(min(col("d.doc_id")).as("keep_id"))
+      val sizes = labelsAll.groupBy($"cluster_id").agg(count(lit(1)).as("n_docs"))
+      keep.join(sizes, "cluster_id").join(best, "cluster_id")
+        .select($"cluster_id", $"keep_id", $"n_docs", $"kept_quality")
+        .orderBy($"cluster_id")
     }
   )
 }

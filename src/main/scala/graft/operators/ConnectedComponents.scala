@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * step of a dedup pipeline (near-dup candidate PAIRS → duplicate
+  * GROUPS), sized for edge sets produced by bounded candidate generation
+  * (LSH banding), where |edges| = O(n · bucket occupancy), not O(n²).
+  *
+  * Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+  * round is two shuffles (a groupBy for per-node minima and a join to
+  * re-target edges), and the edge set converges to a star forest in
+  * O(log² n) rounds (O(log n) in practice), independent of component
+  * diameter. A label-propagation loop would need O(diameter) rounds —
+  * unbounded on chain-shaped duplicate clusters — which is why the star
+  * form is the one that survives scale.
+  *
+  *  - large-star: every node u connects its LARGER neighbors to
+  *    m = min(N(u) ∪ u) — long chains shortcut toward small ids;
+  *  - small-star: every node u connects its smaller-or-equal closure
+  *    (N(u) ∪ u, edges oriented big→small) to m — stars consolidate.
+  *
+  * Both steps only ever re-target an edge to a SMALLER endpoint, so a
+  * fixpoint (checked with an anti-join, which is exact, not a hash
+  * heuristic) is reached monotonically; at fixpoint every non-root node
+  * holds exactly the edge (node → component-min).
+  *
+  * Each round `localCheckpoint`s the edge set to truncate the iterative
+  * lineage (on a cluster with executor loss concerns, swap for a
+  * reliable `checkpoint` dir — same call shape).
+  */
+object ConnectedComponents {
+
+  /** Cluster the undirected graph `edges` (two numeric/string node
+    * columns `src`, `dst`). Returns one row per distinct node that
+    * appears in any edge: (node, component) with component = the
+    * smallest node id in its connected component. Singleton nodes never
+    * appear in an edge list — union them back at the call site. */
+  def run(edges: DataFrame, src: String = "src", dst: String = "dst",
+          maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // canonical working form: distinct, self-loop-free, small endpoint last
+    var e = edges
+      .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: symmetrize, m = min(N(u) ∪ u), re-target LARGER nbrs
+      val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+      // small-star: edges already oriented u > v; m = min neighbor;
+      // connect N(u) ∪ {u} (minus m itself) to m
+      val sMins = large.groupBy($"u").agg(min($"v").as("m"))
+      val small = large.join(sMins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(sMins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint test: same row count and nothing new ⇒ equal sets
+      converged = small.count() == e.count() &&
+        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = small
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+
+    // star forest: every non-root points at its root; roots label themselves
+    e.select($"u".as("node"), $"v".as("component"))
+      .union(e.select($"v".as("node"), $"v".as("component")).distinct())
+  }
+}
