@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.queries._
 import graft.core.Tables
 import graft.functions.{PortableHash, VectorOps}
@@ -824,6 +825,91 @@ object LlmQueries {
       keep.join(sizes, "cluster_id").join(best, "cluster_id")
         .select($"cluster_id", $"keep_id", $"n_docs", $"kept_quality")
         .orderBy($"cluster_id")
+    },
+
+    // ---- document chunking for training windows: overlapping token
+    // spans (40-token chunks, stride 30) — a narrow explode, zero
+    // shuffle before the output sort; chunk count and span math are pure
+    // integer/ceil arithmetic, identical across engines ----
+    QuerySpec.sql("q67_doc_chunks",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ck AS (SELECT doc_id, w, unnest(generate_series(0,
+        |    greatest(0, CAST(ceil((len(w) - 40) / 30.0) AS BIGINT)))) AS chunk_id
+        |  FROM ws)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(w[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(w[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk_text
+        |FROM ck ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val nChunks = greatest(lit(0L),
+        ceil((size($"w") - lit(40)).cast("double") / 30.0).cast("long"))
+      val chunk = slice(col("w"), ($"chunk_id" * 30 + 1).cast("int"), lit(40))
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", $"w", explode(sequence(lit(0L), nChunks)).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          size(chunk).cast("long").as("n_chunk_tokens"),
+          array_join(chunk, " ").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
+    // ---- TF-IDF-shaped term weighting, top-5 terms per doc. The idf is
+    // the RATIONAL form tf·N·10⁶ ÷ df in integer arithmetic (positive
+    // floor division — identical in both engines); the standard log-idf
+    // is the production variant, excluded from the gate only because
+    // libm transcendentals differ per engine (SURVEY §6 numeric
+    // discipline). Shape: one shuffle to (doc,term), one to term for df,
+    // a broadcast scalar N, a per-doc top-k window. ----
+    QuerySpec.sql("q68_tfidf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+        |nq AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, (t.tf * n.n_docs * 1000000) // d.df AS score_ppm
+        |  FROM tfq t JOIN dfq d USING (term), nq n),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, score_ppm, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
+        .select($"doc_id", $"term", $"tf",
+          expr("(tf * n_docs * 1000000) div df").as("score_ppm"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score_ppm".desc, $"term")).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"doc_id", $"term", $"tf", $"score_ppm", $"rnk")
+        .orderBy($"doc_id", $"rnk")
+    },
+
+    // ---- stratified deterministic sampling: per-stratum rates over the
+    // portable hash (q60's discipline, per event_type) — the
+    // training-mix quota pattern (upsample rare strata, downsample
+    // dominant ones). Pure filter: pushdown-friendly, reproducible
+    // across engines, layouts, and runs. ----
+    QuerySpec.sql("q69_stratified_sample", {
+      val h = md5ModSql("CAST(event_id AS VARCHAR)")
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE $h % 10000 <
+         |  CASE event_type WHEN 'purchase' THEN 5000 WHEN 'error' THEN 10000
+         |    WHEN 'signup' THEN 2500 WHEN 'click' THEN 1000 ELSE 500 END
+         |ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      val rate = when($"event_type" === "purchase", 5000)
+        .when($"event_type" === "error", 10000)
+        .when($"event_type" === "signup", 2500)
+        .when($"event_type" === "click", 1000)
+        .otherwise(500)
+      Tables.events(s, d)
+        .filter(PortableHash.md5Mod($"event_id".cast("string")) % 10000 < rate)
+        .select($"event_id", $"event_type", $"user_id")
+        .orderBy($"event_id")
     }
   )
 }

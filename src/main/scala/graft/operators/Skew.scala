@@ -64,4 +64,27 @@ object Skew {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Salted equi-join for a SKEWED probe side against a build side too
+    * big to broadcast: `big`'s hot join keys would pile onto single
+    * reducers in a plain shuffle join (and AQE's skew splitting only
+    * re-partitions the probe side — the matching build partition is
+    * still read whole by every split). Salting fans each hot key across
+    * `saltBuckets` reducers: the big side gets a deterministic
+    * per-row salt (from non-join attributes via the engine-portable
+    * pattern — any spread works, the JOIN RESULT is salt-invariant),
+    * the small-but-not-broadcastable side is replicated `saltBuckets`×
+    * (explode over a literal range — a narrow map, no shuffle), and the
+    * join runs on (key, salt). Rows per reducer drop from O(hotKeyRows)
+    * to O(hotKeyRows / saltBuckets) at the cost of a `saltBuckets`×
+    * build-side shuffle volume — the standard trade for large-large
+    * skewed joins.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int, saltSource: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(saltSource), lit(saltBuckets)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

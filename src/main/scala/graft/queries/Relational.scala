@@ -409,6 +409,26 @@ object Relational {
           $"total_price".cast("double").as("total_price"),
           $"n".cast("long").as("n"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- salted large-large join through the gate: lineitem ⋈ part on
+    // partkey with a 8-way salt — the shape for a probe side with hot
+    // keys against a build side too big to broadcast (at 100 TB `part`
+    // is ~2 TB: no broadcast). The result is salt-invariant, which is
+    // exactly what the oracle (plain join) proves. ----
+    QuerySpec.sql("q66_skew_join",
+      s"""SELECT p_brand, CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Skew.saltedJoin(
+          Tables.lineitem(s, d),
+          Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+          "l_partkey", 8, saltSource = $"l_orderkey")
+        .groupBy($"p_brand")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
     }
   )
 
