@@ -37,9 +37,18 @@ object ConnectedComponents {
     * columns `src`, `dst`). Returns one row per distinct node that
     * appears in any edge: (node, component) with component = the
     * smallest node id in its connected component. Singleton nodes never
-    * appear in an edge list — union them back at the call site. */
+    * appear in an edge list — union them back at the call site.
+    *
+    * Hybrid execution: when the deduplicated edge set fits comfortably
+    * on the driver (`driverThreshold`, default 1M edges), an exact
+    * union-find solves it in ONE collect — cheaper than even a single
+    * distributed round (a near-dup candidate graph is usually a few
+    * edges per duplicated doc, so small corpora land here). Above the
+    * threshold, the star alternation runs fully distributed; that is
+    * the 100 TB path and the spec exercises it explicitly with
+    * `driverThreshold = 0`. */
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
-          maxIter: Int = 25): DataFrame = {
+          maxIter: Int = 25, driverThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -49,6 +58,8 @@ object ConnectedComponents {
       .filter($"u" =!= $"v")
       .distinct()
       .localCheckpoint()
+
+    if (e.count() <= driverThreshold) return driverUnionFind(e)
 
     var converged = false
     var iter = 0
@@ -81,5 +92,38 @@ object ConnectedComponents {
     // star forest: every non-root points at its root; roots label themselves
     e.select($"u".as("node"), $"v".as("component"))
       .union(e.select($"v".as("node"), $"v".as("component")).distinct())
+  }
+
+  /** Exact union-find over a collected edge list (path compression +
+    * union-by-min so each root is its component's smallest id — node ids
+    * compared via their natural Comparable order). One pass, O(E α(E)). */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    e.collect().foreach { row =>
+      val (ru, rv) = (find(row.get(0)), find(row.get(1)))
+      if (ru != rv) {
+        if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+      // seed both endpoints so pure roots still appear in the key set
+      parent.putIfAbsent(row.get(0), find(row.get(0)))
+      parent.putIfAbsent(row.get(1), find(row.get(1)))
+    }
+    val nodeType = e.schema("u").dataType
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    parent.keySet().forEach(n => rows += org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("component", nodeType))))
   }
 }
