@@ -125,17 +125,43 @@ object LlmQueries {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Spark side of the q44 candidate pairs: MinHash signatures → 4×4
-    * band keys → same-bucket self-join (hash-partitioned on (band,
-    * bkey) — never all-pairs). */
-  private def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
+  /** Stateless per-ROW MinHash signature: the same 16 permutation minima
+    * as [[minhashSig]], computed with array higher-order functions over
+    * each document alone (no groupBy). Identical values — q70's oracle
+    * hash-proves it against the aggregation-form `sigSql` — but usable
+    * where a shuffle is wrong: inside a STREAMING pipeline (keeps the
+    * signature step stateless so the only stateful operator is the
+    * band-key store — [[graft.streaming.IncrementalNearDup]]), or to
+    * trade shuffle for per-row CPU in a batch plan. */
+  def rowSignature(docs: DataFrame): DataFrame = {
+    val shs = transform(
+      sequence(lit(1), size(col("w")) - 2),
+      i => concat_ws(" ", slice(col("w"), i, lit(3))))
+    val hs = transform(col("shs"), s => PortableHash.md5Mod(s))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shs.as("shs"))
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id") +:
+        (0 until 16).map(j =>
+          array_min(transform(col("hs"), h => (h * MhA(j) + MhB(j)) % P)).as(s"h$j")): _*)
+  }
+
+  /** 4×4 band keys from a signature frame — one row per (doc, band). */
+  def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Spark side of the q44 candidate pairs: MinHash signatures → 4×4
+    * band keys → same-bucket self-join (hash-partitioned on (band,
+    * bkey) — never all-pairs). */
+  private def lshPairs(docs: DataFrame): DataFrame = {
+    val bands = bandKeys(minhashSig(docs))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -910,6 +936,29 @@ object LlmQueries {
         .filter(PortableHash.md5Mod($"event_id".cast("string")) % 10000 < rate)
         .select($"event_id", $"event_type", $"user_id")
         .orderBy($"event_id")
+    },
+
+    // ---- incremental near-dup: arrival-order dedup (doc_id = arrival
+    // order) — each doc's dup_of = the SMALLEST earlier doc sharing any
+    // LSH band key; unique docs don't emit. This is the "new crawl batch
+    // vs existing corpus" operator: the streaming form
+    // ([[graft.streaming.IncrementalNearDup]], parity-spec'd against
+    // this query) keeps one band→min-doc state entry per seen band key
+    // and never rescans the corpus. The batch side computes signatures
+    // with the stateless per-ROW form ([[rowSignature]]); the oracle
+    // recomputes them via the aggregation form — the hash match proves
+    // the two formulations identical. ----
+    QuerySpec.sql("q70_incremental_neardup",
+      s"""WITH $pairsSql
+         |SELECT b_id AS doc_id, min(a_id) AS dup_of
+         |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bands = bandKeys(rowSignature(Tables.documents(s, d)))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("b.doc_id").as("doc_id"))
+        .agg(min(col("a.doc_id")).as("dup_of"))
+        .orderBy($"doc_id")
     }
   )
 }
