@@ -5,14 +5,19 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{LshPlaneBits, QuantizedDot}
 
-/** SQL-surface registration for the engine's native expressions:
+/** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
-  * `quantized_dot(a, b)` available to `spark.sql(...)` users alongside
-  * the Column API ([[graft.functions.VectorOps]]). This is the
-  * SparkSessionExtensions hook of the build plan (SURVEY §7.3) — used for
-  * function injection only; plans/strategies stay stock Catalyst. */
+  * `quantized_dot(a, b)` / `lsh_plane_bits` available to `spark.sql(...)`
+  * users alongside the Column API ([[graft.functions.VectorOps]]), and
+  * installs the whole-operator path (SURVEY §7.3 option c): the
+  * [[graft.plans.RewriteGlobalRowNumber]] optimizer rule +
+  * [[graft.plans.GlobalSeqStrategy]] planner strategy that replace
+  * single-task global `row_number()` windows with the distributed
+  * [[graft.plans.DistributedSeqExec]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalRowNumber)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalSeqStrategy)
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
