@@ -10,13 +10,13 @@ import graft.functions.{LshPlaneBits, QuantizedDot}
   * `quantized_dot(a, b)` / `lsh_plane_bits` available to `spark.sql(...)`
   * users alongside the Column API ([[graft.functions.VectorOps]]), and
   * installs the whole-operator path (SURVEY §7.3 option c): the
-  * [[graft.plans.RewriteGlobalRowNumber]] optimizer rule +
+  * [[graft.plans.RewriteGlobalRankWindow]] optimizer rule +
   * [[graft.plans.GlobalSeqStrategy]] planner strategy that replace
-  * single-task global `row_number()` windows with the distributed
-  * [[graft.plans.DistributedSeqExec]]. */
+  * single-task global ranking windows (`row_number` / `rank` / `dense_rank`) with the distributed
+  * [[graft.plans.DistributedRankExec]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalRowNumber)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalRankWindow)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalSeqStrategy)
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),

@@ -15,71 +15,115 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * operator, registered through `SparkSessionExtensions`
   * ([[graft.GraftExtensions]]).
   *
-  * The operator it implements is the engine's signature total-order
-  * primitive: `row_number() OVER (ORDER BY …)` with NO partition key —
-  * the reference's global delivery sequence (processor.py:64-100). Stock
-  * Spark plans this as a single-task `WindowExec` ("No Partition
+  * The operators it implements are the global ranking windows —
+  * `row_number()` / `rank()` / `dense_rank()` `OVER (ORDER BY …)` with
+  * NO partition key — the engine's total-order primitives (the
+  * reference's global delivery sequence, processor.py:64-100). Stock
+  * Spark plans these as a single-task `WindowExec` ("No Partition
   * Defined … serious performance degradation"): every row moves to ONE
-  * task, unbounded at scale. [[RewriteGlobalRowNumber]] intercepts
-  * exactly that shape and replaces it with [[DistributedSeqExec]], which
-  * computes identical numbers fully distributed. Users keep writing the
-  * stock Window API; the fix is transparent — the same discipline AQE
-  * applies to skew, extended to the global-window trap.
+  * task, unbounded at scale. [[RewriteGlobalRankWindow]] intercepts
+  * exactly that shape and replaces it with [[DistributedRankExec]],
+  * which computes identical numbers fully distributed. Users keep
+  * writing the stock Window API; the fix is transparent — the same
+  * discipline AQE applies to skew, extended to the global-window trap.
+  *
+  * Tie correctness for rank/dense_rank rests on a `RangePartitioner`
+  * guarantee: partitioning is a binary search of the key against the
+  * sampled bounds, so EQUAL keys always land in the SAME partition — a
+  * tie group is never split, and per-partition (row count, distinct-key
+  * count) offsets make local ranks global.
   *
   * The [[graft.operators.Prefix]] API remains the richer programmatic
   * form (running sums, last-carry, shared slicing); this plan-level path
   * covers the SQL/Window surface where the engine cannot assume callers
   * know about `Prefix`.
   */
-case class GlobalSeq(order: Seq[SortOrder], seqAttr: Attribute, child: LogicalPlan)
+sealed trait GlobalRankFunction
+case object GlobalRowNumber extends GlobalRankFunction
+case object GlobalRank extends GlobalRankFunction
+case object GlobalDenseRank extends GlobalRankFunction
+
+/** `funcs`: every ranking expression of the collapsed Window node —
+  * all computed in ONE shuffle pass. */
+case class GlobalSeq(funcs: Seq[(GlobalRankFunction, Attribute)],
+                     order: Seq[SortOrder], child: LogicalPlan)
   extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ seqAttr
-  override def producedAttributes: AttributeSet = AttributeSet(seqAttr :: Nil)
+  override def output: Seq[Attribute] = child.output ++ funcs.map(_._2)
+  override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_._2))
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalSeq =
     copy(child = newChild)
 }
 
-/** Optimizer rule: a Window node computing ONLY `row_number()` over a
-  * global (un-partitioned) order becomes [[GlobalSeq]]. The rewrite
-  * preserves the output attribute (same exprId), so parents resolve
-  * unchanged. Partitioned windows, other window functions, and
-  * multi-function windows are left to stock planning. */
-object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
-  private def rowFrame(f: Expression): Boolean = f match {
-    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
-    case UnspecifiedFrame                                               => true
-    case _                                                              => false
+/** Optimizer rule: a Window node computing ONLY ranking functions over
+  * a global (un-partitioned) order becomes [[GlobalSeq]] — including
+  * collapsed multi-function nodes (row_number + rank + dense_rank over
+  * one order compute in one pass). The rewrite preserves each output
+  * attribute (same exprId), so parents resolve unchanged. Partitioned
+  * windows and non-ranking functions are left to stock planning. */
+object RewriteGlobalRankWindow extends Rule[LogicalPlan] {
+  // row_number carries ROWS UNBOUNDED PRECEDING..CURRENT ROW; rank-like
+  // functions carry the RANGE form; both fixed frames are value-identical
+  // to the whole-order computation these functions define
+  private def fixedFrame(f: Expression): Boolean = f match {
+    case SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow) => true
+    case UnspecifiedFrame                                        => true
+    case _                                                       => false
   }
+  private def rankFunc(e: Expression): Option[GlobalRankFunction] = e match {
+    case RowNumber()  => Some(GlobalRowNumber)
+    case Rank(_)      => Some(GlobalRank)
+    case DenseRank(_) => Some(GlobalDenseRank)
+    case _            => None
+  }
+  // a collapsed Window node may carry several ranking expressions —
+  // rewrite only when EVERY expression qualifies (all become one pass)
+  private def qualifies(e: NamedExpression): Option[(GlobalRankFunction, Attribute)] =
+    e match {
+      case a @ Alias(WindowExpression(f, spec), _)
+          if spec.partitionSpec.isEmpty && fixedFrame(spec.frameSpecification) =>
+        rankFunc(f).map(_ -> a.toAttribute)
+      case _ => None
+    }
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Window(Seq(a @ Alias(WindowExpression(RowNumber(), spec), _)), Nil, order, child, _)
-        if order.nonEmpty && spec.partitionSpec.isEmpty && rowFrame(spec.frameSpecification) =>
-      GlobalSeq(order, a.toAttribute, child)
+    case Window(exprs, Nil, order, child, _)
+        if order.nonEmpty && exprs.nonEmpty &&
+          exprs.forall(qualifies(_).isDefined) =>
+      GlobalSeq(exprs.map(qualifies(_).get), order, child)
   }
 }
 
 /** Planner strategy for [[GlobalSeq]]. */
 object GlobalSeqStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalSeq(order, seqAttr, child) =>
-      DistributedSeqExec(order, seqAttr, planLater(child)) :: Nil
+    case GlobalSeq(funcs, order, child) =>
+      DistributedRankExec(funcs, order, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-/** Distributed global row numbering: an RDD-level range shuffle (sampled
-  * boundaries, sorted shuffle read), ONE extra lightweight job to count
-  * rows per partition (its map stage is the shuffle write, which the
-  * main pass then reuses — Spark skips completed map stages of the same
-  * `ShuffledRDD`), and a streaming zip with the per-partition offset.
+/** Distributed global ranking: an RDD-level range shuffle (sampled
+  * boundaries, sorted shuffle read), ONE extra lightweight job per query
+  * computing each partition's (row count, distinct-key count) — its map
+  * stage is the shuffle write, which the main pass then reuses (Spark
+  * skips completed map stages of the same `ShuffledRDD`) — and a
+  * streaming zip with the per-partition offsets:
+  *
+  *   row_number = row-offset + local position
+  *   rank       = row-offset + local rank  (ties intact: equal keys
+  *                co-locate, so a group's first row's local position IS
+  *                its rank within the partition)
+  *   dense_rank = distinct-offset + local dense rank
+  *
   * The same dataflow as `RDD.zipWithIndex`, keyed by the window's sort
   * order instead of arrival order. Wall-clock scales with
   * rows/partitions; nothing ever lands on a single task. */
-case class DistributedSeqExec(order: Seq[SortOrder], seqAttr: Attribute, child: SparkPlan)
+case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute)],
+                               order: Seq[SortOrder], child: SparkPlan)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ seqAttr
-  override def producedAttributes: AttributeSet = AttributeSet(seqAttr :: Nil)
+  override def output: Seq[Attribute] = child.output ++ funcs.map(_._2)
+  override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_._2))
   // rows leave sorted by the window order within range-ordered partitions
   override def outputOrdering: Seq[SortOrder] = order
   override def outputPartitioning: Partitioning = UnknownPartitioning(0)
@@ -101,25 +145,53 @@ case class DistributedSeqExec(order: Seq[SortOrder], seqAttr: Attribute, child: 
     val part = new RangePartitioner(n, keyed, ascending = true)
     val shuffled = new ShuffledRDD[UnsafeRow, UnsafeRow, UnsafeRow](keyed, part)
       .setKeyOrdering(ord)
-    // count job: map stage = the shuffle write, reused by the main pass
-    val counts = shuffled
-      .mapPartitions(it => Iterator.single(it.length.toLong), preservesPartitioning = true)
-      .collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
+    // count job: (rows, distinct keys) per partition; map stage = the
+    // shuffle write, reused by the main pass
+    val counts = shuffled.mapPartitions({ it =>
+      var rows = 0L
+      var distinct = 0L
+      var prev: UnsafeRow = null
+      while (it.hasNext) {
+        val k = it.next()._1
+        rows += 1
+        if (prev == null || ord.compare(prev, k) != 0) { distinct += 1; prev = k.copy() }
+      }
+      Iterator.single((rows, distinct))
+    }, preservesPartitioning = true).collect()
+    val rowOffsets = counts.map(_._1).scanLeft(0L)(_ + _)
+    val distinctOffsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val outAttrs = output
+    val fs = funcs.map(_._1).toArray
     shuffled.mapPartitionsWithIndex { (pid, it) =>
       val join = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      val seqRow = new SpecificInternalRow(Seq(seqAttr.dataType))
-      var i = offsets(pid)
-      it.map { case (_, row) =>
-        i += 1
-        seqRow.setInt(0, i.toInt) // RowNumber is IntegerType, as in stock Spark
+      val seqRow = new SpecificInternalRow(fs.map(_ => org.apache.spark.sql.types.IntegerType).toSeq)
+      var pos = 0L
+      var denseLocal = 0L
+      var groupStartPos = 0L
+      var prev: UnsafeRow = null
+      it.map { case (k, row) =>
+        pos += 1
+        if (prev == null || ord.compare(prev, k) != 0) {
+          denseLocal += 1
+          groupStartPos = pos
+          prev = k.copy()
+        }
+        var i = 0
+        while (i < fs.length) {
+          val value = fs(i) match {
+            case GlobalRowNumber => rowOffsets(pid) + pos
+            case GlobalRank      => rowOffsets(pid) + groupStartPos
+            case GlobalDenseRank => distinctOffsets(pid) + denseLocal
+          }
+          seqRow.setInt(i, value.toInt) // ranking fns are IntegerType in Spark
+          i += 1
+        }
         proj(join(row, seqRow))
       }
     }
   }
 
-  override protected def withNewChildInternal(newChild: SparkPlan): DistributedSeqExec =
+  override protected def withNewChildInternal(newChild: SparkPlan): DistributedRankExec =
     copy(child = newChild)
 }

@@ -5,28 +5,31 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.TestSpark
 
-/** The extension path end-to-end: a user-written global row_number()
-  * window plans as DistributedSeqExec (no single-task WindowExec), and
-  * the numbers are exactly the stock semantics. */
+/** The extension path end-to-end: user-written global ranking windows
+  * (row_number / rank / dense_rank with no partition key) plan as
+  * DistributedRankExec (no single-task WindowExec), with exactly the
+  * stock semantics — including tie groups, which range partitioning
+  * keeps intact by construction. */
 class GlobalSeqSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def fixture = {
     val sp = spark
     import sp.implicits._
-    // keys deliberately interleaved across partitions
-    sp.createDataset((1 to 5000).map(i => ((i * 2654435761L) % 100003, i.toLong)))
+    // duplicate keys (k has ~1000 distinct values over 5000 rows) force
+    // tie groups; interleaved across 16 input partitions
+    sp.createDataset((1 to 5000).map(i => ((i * 2654435761L) % 997, i.toLong)))
       .toDF("k", "payload")
       .repartition(16)
   }
 
-  test("global row_number window plans as DistributedSeqExec, correct values") {
+  test("global row_number window plans as DistributedRankExec, correct values") {
     val sp = spark
     import sp.implicits._
     val df = fixture.withColumn("rn",
       row_number().over(Window.orderBy($"k", $"payload")))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("DistributedSeq"), s"rewrite did not fire:\n$plan")
+    assert(plan.contains("DistributedRank"), s"rewrite did not fire:\n$plan")
     assert(!plan.contains("Window"), s"stock WindowExec still present:\n$plan")
 
     val got = df.orderBy($"rn").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -36,20 +39,48 @@ class GlobalSeqSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("partitioned and non-row_number windows are NOT rewritten") {
+  test("global rank/dense_rank rewritten, tie groups exact across partitions") {
+    val sp = spark
+    import sp.implicits._
+    // order by k ALONE → real ties (several rows per k)
+    val df = fixture
+      .withColumn("rk", rank().over(Window.orderBy($"k")))
+      .withColumn("dr", dense_rank().over(Window.orderBy($"k")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DistributedRank"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"stock WindowExec still present:\n$plan")
+
+    val rows = fixture.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sortedKeys = rows.map(_._1).sorted
+    val rankOf = sortedKeys.zipWithIndex.groupBy(_._1)
+      .map { case (k, g) => k -> (g.map(_._2).min + 1) }
+    val denseOf = sortedKeys.distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1) }.toMap
+
+    val got = df.select($"k", $"payload", $"rk", $"dr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val want = rows.map { case (k, p) => (k, p, rankOf(k), denseOf(k)) }.toSet
+    assert(got == want)
+  }
+
+  test("partitioned and non-ranking windows are NOT rewritten") {
     val sp = spark
     import sp.implicits._
     val partitioned = fixture.withColumn("rn",
       row_number().over(Window.partitionBy($"k" % 7).orderBy($"payload")))
-    assert(!partitioned.queryExecution.executedPlan.toString.contains("DistributedSeq"))
-    val ranked = fixture.withColumn("rk",
-      rank().over(Window.orderBy($"k", $"payload")))
-    assert(!ranked.queryExecution.executedPlan.toString.contains("DistributedSeq"))
+    assert(!partitioned.queryExecution.executedPlan.toString.contains("DistributedRank"))
+    val lagged = fixture.withColumn("lg",
+      lag($"payload", 1).over(Window.orderBy($"k", $"payload")))
+    assert(!lagged.queryExecution.executedPlan.toString.contains("DistributedRank"))
   }
 
-  test("downstream operators compose (filter + projection over the seq)") {
+  test("empty input and downstream composition") {
     val sp = spark
     import sp.implicits._
+    val empty = fixture.filter($"payload" < 0).withColumn("rn",
+      row_number().over(Window.orderBy($"k")))
+    assert(empty.count() == 0)
+
     val out = fixture.withColumn("rn",
         row_number().over(Window.orderBy($"k", $"payload")))
       .filter($"rn" <= 10)
