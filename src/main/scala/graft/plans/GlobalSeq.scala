@@ -143,8 +143,12 @@ case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute)],
     implicit val ord: Ordering[UnsafeRow] =
       new LazilyGeneratedOrdering(boundOrder).asInstanceOf[Ordering[UnsafeRow]]
     val part = new RangePartitioner(n, keyed, ascending = true)
+    // Kryo, not the default Java serializer: UnsafeRow's KryoSerializable
+    // writes length+bytes — the closest accessible analogue of SQL's own
+    // UnsafeRowSerializer for an RDD-level exchange
     val shuffled = new ShuffledRDD[UnsafeRow, UnsafeRow, UnsafeRow](keyed, part)
       .setKeyOrdering(ord)
+      .setSerializer(new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf))
     // count job: (rows, distinct keys) per partition; map stage = the
     // shuffle write, reused by the main pass
     val counts = shuffled.mapPartitions({ it =>

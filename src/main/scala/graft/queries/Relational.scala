@@ -411,6 +411,28 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // ---- global ranking windows through the gate: written with the
+    // STOCK Window API (no partition key — Spark's single-task WindowExec
+    // trap), planned by the engine's extension path as
+    // [[graft.plans.DistributedRankExec]] (GraftExtensions rewrite; plan
+    // shape asserted in GlobalSeqSpec). l_quantity has ~50 distinct
+    // values over all of lineitem — maximal tie groups, so the oracle
+    // hash-checks the distributed rank/dense_rank tie math exactly. ----
+    QuerySpec.sql("q71_global_rank",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER (ORDER BY l_quantity) AS INT) AS rnk,
+        |  CAST(dense_rank() OVER (ORDER BY l_quantity) AS INT) AS drnk,
+        |  CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS rn
+        |FROM lineitem ORDER BY rn""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("rnk", rank().over(Window.orderBy($"l_quantity")))
+        .withColumn("drnk", dense_rank().over(Window.orderBy($"l_quantity")))
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"rnk", $"drnk", $"rn")
+        .orderBy($"rn")
+    },
+
     // ---- salted large-large join through the gate: lineitem ⋈ part on
     // partkey with a 8-way salt — the shape for a probe side with hot
     // keys against a build side too big to broadcast (at 100 TB `part`
