@@ -938,6 +938,48 @@ object LlmQueries {
         .orderBy($"event_id")
     },
 
+    // ---- corpus n-gram statistics: global top-20 word 3-grams — one
+    // hash-partitioned count + a distributed top-k (TakeOrderedAndProject,
+    // never a global sort of the full gram table) ----
+    QuerySpec.sql("q72_top_ngrams",
+      s"""WITH $shinglesSql
+         |SELECT sh AS ngram, count(*) AS n FROM sh
+         |GROUP BY sh ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+      shingles(Tables.documents(s, d))
+        .groupBy($"sh".as("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"ngram")
+        .limit(20)
+    },
+
+    // ---- training-mix assembly: per-language quotas (the q69 hash
+    // discipline) + a deterministic pseudo-random epoch order (md5 of the
+    // id — the portable "global shuffle"). The epoch position is a STOCK
+    // global row_number window, planned by the engine's extension as
+    // [[graft.plans.DistributedRankExec]] — the mix never serializes
+    // through one task. ----
+    QuerySpec.sql("q73_training_mix", {
+      val h = md5ModSql("CAST(doc_id AS VARCHAR)")
+      val o = PortableHash.md5LongSql("'mix' || doc_id")
+      s"""WITH sampled AS (
+         |  SELECT doc_id, lang FROM documents
+         |  WHERE $h % 100 < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+         |    WHEN 'zh' THEN 50 ELSE 25 END)
+         |SELECT doc_id, lang,
+         |  CAST(row_number() OVER (ORDER BY $o, doc_id) AS INT) AS mix_pos
+         |FROM sampled ORDER BY mix_pos""".stripMargin
+    }) { (s, d) =>
+      val quota = when($"lang" === "en", 100)
+        .when($"lang" === "de", 50).when($"lang" === "zh", 50).otherwise(25)
+      Tables.documents(s, d)
+        .filter(PortableHash.md5Mod($"doc_id".cast("string")) % 100 < quota)
+        .select($"doc_id", $"lang",
+          row_number().over(Window.orderBy(
+            PortableHash.md5Long(concat(lit("mix"), $"doc_id".cast("string"))),
+            $"doc_id")).as("mix_pos"))
+        .orderBy($"mix_pos")
+    },
+
     // ---- incremental near-dup: arrival-order dedup (doc_id = arrival
     // order) — each doc's dup_of = the SMALLEST earlier doc sharing any
     // LSH band key; unique docs don't emit. This is the "new crawl batch
