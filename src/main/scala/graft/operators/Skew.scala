@@ -40,7 +40,11 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                 aggs: Map[String, (Column, Column => Column)]): DataFrame = {
-    // deterministic salt: spread rows without rand() (replayable plans)
+    // deterministic salt: spread rows without rand() (replayable plans).
+    // The salt value depends on the physical partition layout, so the
+    // GROUPING of partial rows can differ across runs — the merged RESULT
+    // cannot (phase-2 re-aggregates; salt only fans out; q58's oracle
+    // hash proves run-invariance).
     val salt = (abs(hash(monotonically_increasing_id())) % saltBuckets).as("_salt")
     val partial = df.withColumn("_salt", salt)
       .groupBy((keys :+ "_salt").map(col): _*)

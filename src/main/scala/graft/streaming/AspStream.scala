@@ -128,7 +128,11 @@ object AspStream {
 
     override def handleInputRows(key: K, rows: Iterator[I], timerValues: TimerValues): Iterator[O] = {
       // micro-batch rows are not globally ordered: restore event-time
-      // order within the batch (the replay guarantee, amortized per batch)
+      // order within the batch (the replay guarantee, amortized per batch).
+      // This buffers ONE key's slice of ONE micro-batch — bounded by the
+      // trigger interval, not the stream; a pathologically hot key in a
+      // huge batch pays memory here, and the mitigation is a shorter
+      // trigger (smaller batches), not a reorder buffer.
       val sorted = rows.toVector.sortBy(ts)
       if (sorted.isEmpty) return Iterator.empty
       val (m, registered, ctx, lastUs) = load(key, ts(sorted.head))
