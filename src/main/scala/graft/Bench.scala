@@ -56,12 +56,19 @@ object Bench {
     val isolated = movers.map { name =>
       System.gc()
       val fn = selected(name)
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      "\"" + name + "\":" + times.min
+      // a transient failure here must not lose the already-measured totals
+      val best =
+        try {
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min.toString
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+          "-1"
+        }
+      "\"" + name + "\":" + best
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

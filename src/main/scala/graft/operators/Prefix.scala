@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, Decimal, DecimalType, NumericType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed global prefix operators — the 100 TB form of a total-order
   * scan (the reference's single-threaded scheduler order,
@@ -57,11 +58,18 @@ object Prefix {
   private val PID = "__graft_pid"
 
   /** The order key as a double for boundary math: timestamps via
-    * unix_micros (exact in a double through year ~2255), numerics by cast. */
+    * unix_micros (exact in a double through year ~2255), dates via
+    * unix_date, numerics by cast. Other types fail fast — a silent cast
+    * (strings → lexically-inconsistent doubles or all-null) would break
+    * slice contiguity and return wrong prefixes with no error. */
   private def sliceKey(df: DataFrame, ts: String): Column =
     df.schema(ts).dataType match {
-      case TimestampType => unix_micros(col(ts)).cast("double")
-      case _             => col(ts).cast("double")
+      case TimestampType  => unix_micros(col(ts)).cast("double")
+      case DateType       => unix_date(col(ts)).cast("double")
+      case _: NumericType => col(ts).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"Prefix order key '$ts' must be timestamp, date, or numeric (got " +
+          s"$other): slicing needs an order-preserving numeric key")
     }
 
   /** Slice boundaries from one single-stage sample job: per input
@@ -147,6 +155,25 @@ object Prefix {
     }
   }
 
+  /** Internal-row value → external summary value (the engine's payload
+    * surface: numeric, decimal, string, timestamp, date). Summary scans
+    * read `queryExecution.toRdd` — no per-row external-Row conversion —
+    * so the handful of values that survive into the collected summary are
+    * converted here instead. */
+  private def external(v: Any, dt: DataType): Any = v match {
+    case null              => null
+    case d: Decimal        => d.toJavaBigDecimal
+    case u: UTF8String     => u.toString
+    case l: java.lang.Long if dt == TimestampType =>
+      val micros = l.longValue()
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    case i: java.lang.Integer if dt == DateType =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case x                 => x
+  }
+
   /** Widen external summary values so driver-side combine is exact. */
   private def norm(a: Any): Any = a match {
     case i: java.lang.Integer    => i.longValue(): java.lang.Long
@@ -192,12 +219,17 @@ object Prefix {
                  ts: String = "ts", tie: String = "event_id"): DataFrame = {
     val (s, nSlices) = sliced(df, ts)
     // per-slice totals in ONE single-stage job (map-side partial sums,
-    // driver fold) — external Rows only carry (pid, value)
+    // driver fold) over internal rows — no per-row external conversion
+    val proj = s.select(col(PID), value.as("__v"))
+    val vType = proj.schema("__v").dataType
     val totals = Array.fill[Any](nSlices)(null)
-    s.select(col(PID), value.as("__v")).rdd
+    proj.queryExecution.toRdd
       .mapPartitions { it =>
         val acc = Array.fill[Any](nSlices)(null)
-        it.foreach(r => acc(r.getInt(0)) = plus(acc(r.getInt(0)), r.get(1)))
+        it.foreach { r =>
+          val p = r.getInt(0)
+          acc(p) = plus(acc(p), external(r.get(1, vType), vType))
+        }
         Iterator.single(acc)
       }
       .collect()
@@ -208,8 +240,25 @@ object Prefix {
     val offsets = totals.scanLeft(null: Any)(plus).dropRight(1)
     val local = s.withColumn("__lsum", sum(value).over(localW(ts, tie)))
     val tpe = local.schema("__lsum").dataType
+    // a decimal carry-in that overflows the sum type would cast to null in
+    // the plan and be indistinguishable from "no earlier values" — fail
+    // loudly on the driver instead of producing a plausible wrong sum
+    tpe match {
+      case dt: DecimalType => offsets.foreach {
+        case d: java.math.BigDecimal
+          if !Decimal(scala.math.BigDecimal(d)).changePrecision(dt.precision, dt.scale) =>
+          throw new ArithmeticException(
+            s"running-sum slice carry-in $d overflows $dt; widen the value column")
+        case _ => ()
+      }
+      case _ => ()
+    }
+    // null semantics match the global window exactly: offset is null iff
+    // no earlier slice holds a non-null value, __lsum is null iff this
+    // slice holds none at or before the row — sum is null only when both are
+    val off = lookup(offsets.toSeq, tpe)
     local
-      .withColumn(outCol, col("__lsum") + coalesce(lookup(offsets.toSeq, tpe), lit(0)))
+      .withColumn(outCol, coalesce(col("__lsum") + off, col("__lsum"), off))
       .drop(PID, "__lsum")
   }
 
@@ -246,17 +295,28 @@ object Prefix {
       }
       x
     }
-    val best = s.select(col(PID) +: col(ts) +: col(tie) +: cols.map(col): _*).rdd
+    val proj = s.select(col(PID) +: col(ts) +: col(tie) +: cols.map(col): _*)
+    val dts = proj.schema.fields.map(_.dataType)
+    val best = proj.queryExecution.toRdd
       .mapPartitions { it =>
         val acc = Array.fill[(Any, Any, Any)](nSlices, nCols)(null)
         it.foreach { r =>
           val p = r.getInt(0)
+          // convert (ts, tie) lazily — only rows carrying a non-null value
+          // pay it; internal buffers may be reused, so values are
+          // externalized before they outlive the row
+          var tsV: Any = null; var tieV: Any = null; var got = false
           var i = 0
           while (i < nCols) {
             if (!r.isNullAt(3 + i)) {
+              if (!got) {
+                tsV = external(r.get(1, dts(1)), dts(1))
+                tieV = external(r.get(2, dts(2)), dts(2))
+                got = true
+              }
               val cur = acc(p)(i)
-              if (cur == null || after(r.get(1), r.get(2), cur._1, cur._2))
-                acc(p)(i) = (r.get(1), r.get(2), r.get(3 + i))
+              if (cur == null || after(tsV, tieV, cur._1, cur._2))
+                acc(p)(i) = (tsV, tieV, external(r.get(3 + i, dts(3 + i)), dts(3 + i)))
             }
             i += 1
           }

@@ -209,7 +209,17 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long)
           s"graft-feed legacy checkpoint has ${v.length} shards, " +
             s"configured ${shards.length}; counts cannot be assigned by position")
       offset(v)
-    } else offset(Seq(t.toLong))
+    } else {
+      // legacy scalar form carries one unnamed feed's count — restoring it
+      // onto a multi-shard config would zip-truncate and fail later with an
+      // opaque lookup error; fail fast like the named/positional forms
+      if (shards.length != 1)
+        throw new IllegalStateException(
+          s"graft-feed scalar legacy checkpoint (offset $t) cannot be " +
+            s"restored onto ${shards.length} configured shards " +
+            s"${shards.sorted.mkString("[", ",", "]")}; restore with a single shard")
+      offset(Seq(t.toLong))
+    }
   }
 
   /** Epoch committed: everything below `committed - retention` can never

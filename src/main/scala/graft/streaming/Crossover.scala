@@ -80,7 +80,11 @@ object Crossover {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         maybeFire(e.progress)
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      // the query can stop/fail before ever catching up; without this the
+      // listener (and the hooks closure it captures) would stay registered
+      // on the session-wide manager for the life of the session
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) q.sparkSession.streams.removeListener(listener)
     }
     def maybeFire(p: StreamingQueryProgress): Unit = lock.synchronized {
       if (!fired && caughtUp(p)) {
