@@ -1001,6 +1001,126 @@ object LlmQueries {
         .groupBy(col("b.doc_id").as("doc_id"))
         .agg(min(col("a.doc_id")).as("dup_of"))
         .orderBy($"doc_id")
+    },
+
+    // ---- benchmark decontamination: training docs sharing any word
+    // 3-gram with the held-out benchmark set (here a deterministic ~5%
+    // hash slice of the corpus standing in for an eval suite) are
+    // reported with their overlap count; the training pipeline drops
+    // them. Shape: the benchmark shingle set is DISTINCT'd then
+    // broadcast (eval suites are tiny next to a 100 TB corpus), so the
+    // training side streams once with a map-side hash probe — the only
+    // shuffle is the per-doc distinct-hit count. ----
+    QuerySpec.sql("q74_decontaminate", {
+      val h = md5ModSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $shinglesSql,
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE $h % 20 = 0),
+         |tsh AS (SELECT doc_id, sh FROM sh WHERE $h % 20 <> 0)
+         |SELECT t.doc_id, CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hits
+         |FROM tsh t JOIN bsh b USING (sh)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+      val sh = shingles(Tables.documents(s, d))
+      val isBench = PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0
+      val bsh = sh.filter(isBench).select($"sh").distinct()
+      sh.filter(!isBench)
+        .join(broadcast(bsh), "sh")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"sh").as("n_hits"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- Gopher-style repetition rules: duplicate-token fraction and
+    // top-bigram fraction per doc (integer ppm — floor division on
+    // non-negative values agrees across engines), with the keep/drop
+    // verdict the quality filter applies. Two hash aggregations per
+    // doc-local key; nothing global. ----
+    QuerySpec.sql("q75_repetition_rules",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 2),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+        |ts AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct
+        |       FROM toks GROUP BY doc_id),
+        |bg AS (SELECT doc_id, array_to_string(w[gs:gs+1], ' ') AS bg FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS gs FROM ws)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |bt AS (SELECT doc_id, max(c) AS top_bg FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tok,
+        |  ((t.n_tok - t.n_distinct) * 1000000) // t.n_tok AS dup_tok_ppm,
+        |  (b.top_bg * 1000000) // (t.n_tok - 1) AS top_bigram_ppm,
+        |  CAST(CASE WHEN ((t.n_tok - t.n_distinct) * 1000000) // t.n_tok < 300000
+        |    AND (b.top_bg * 1000000) // (t.n_tok - 1) < 200000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM ts t JOIN bt b USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+      val tokStats = ws.select($"doc_id", explode($"w").as("tok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_distinct"))
+      val bgTop = ws.select($"doc_id",
+          explode(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
+      tokStats.join(bgTop, "doc_id")
+        .select($"doc_id", $"n_tok",
+          expr("((n_tok - n_distinct) * 1000000) div n_tok").as("dup_tok_ppm"),
+          expr("(top_bg * 1000000) div (n_tok - 1)").as("top_bigram_ppm"))
+        .withColumn("pass",
+          when($"dup_tok_ppm" < 300000 && $"top_bigram_ppm" < 200000, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    },
+
+    // ---- per-language quality quantile filter: keep the top half of
+    // each language by token count — the "train on the best X% per
+    // stratum" operator. One window per lang partition (bounded
+    // cardinality; a skewed stratum at 100 TB swaps the exact rank for a
+    // broadcast approx_percentile threshold, the q37 sketch path). ----
+    QuerySpec.sql("q76_quantile_filter",
+      """WITH nt AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rnk,
+        |  count(*) OVER (PARTITION BY lang) AS n_lang FROM nt)
+        |SELECT doc_id, lang, n_tok FROM rk WHERE rnk * 2 <= n_lang
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val nt = Tables.documents(s, d)
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+      val byLang = Window.partitionBy($"lang")
+      nt.withColumn("rnk",
+          row_number().over(byLang.orderBy($"n_tok".desc, $"doc_id")).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter($"rnk" * 2 <= $"n_lang")
+        .select($"doc_id", $"lang", $"n_tok")
+        .orderBy($"lang", $"doc_id")
+    },
+
+    // ---- sequence packing: concatenate the corpus in doc_id order and
+    // split at 512-token context boundaries — each doc gets its global
+    // token offset, sequence id, and offset within the sequence. The
+    // global running sum is [[graft.operators.Prefix.runningSum]] (the
+    // distributed-slice form — never a single-task window), exercising
+    // its numeric order-key path under the oracle gate. ----
+    QuerySpec.sql("q77_pack_sequences",
+      """WITH nt AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |cums AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM nt)
+        |SELECT doc_id, n_tok, cum_tok,
+        |  cum_tok - n_tok AS start_off,
+        |  (cum_tok - n_tok) // 512 AS seq_id,
+        |  (cum_tok - n_tok) % 512 AS seq_off
+        |FROM cums ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nt = Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      graft.operators.Prefix.runningSum(nt, $"n_tok", "cum_tok",
+          ts = "doc_id", tie = "doc_id")
+        .select($"doc_id", $"n_tok", $"cum_tok",
+          ($"cum_tok" - $"n_tok").as("start_off"),
+          expr("(cum_tok - n_tok) div 512").as("seq_id"),
+          expr("(cum_tok - n_tok) % 512").as("seq_off"))
+        .orderBy($"doc_id")
     }
   )
 }
