@@ -90,6 +90,49 @@ class PrefixSpec extends AnyFunSuite {
       s"single-partition stage over the data:\n$plan")
   }
 
+  test("Prefix.runningSum null semantics == global window (leading-null slices)") {
+    import spark.implicits._
+    // value null for the first ~40% of the global order: whole leading
+    // slices hold no values, so their carry-in is "no earlier value" —
+    // rows there must be NULL (not 0), and the first non-null slice must
+    // pick up a null-free carry-in; values are decimal to cover the
+    // decimal combine
+    val df = spark.range(1000L).select(
+        col("id").as("ts"), col("id").as("event_id"),
+        when(col("id") < 400, lit(null))
+          .otherwise(col("id") % 7).cast("decimal(10,2)").as("v"))
+      .repartition(8)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDecimal(1))
+    val want = df.withColumn("rt", sum(col("v")).over(wGlobal))
+      .select("event_id", "rt").collect().map(key).toMap
+    val got = Prefix.runningSum(df, col("v"), "rt", ts = "ts")
+      .select("event_id", "rt").collect().map(key).toMap
+    assert(got == want)
+    assert(want(0L) == null) // the leading run really is null, not 0
+  }
+
+  test("Prefix rejects non-orderable slice-key types instead of mis-slicing") {
+    import spark.implicits._
+    val df = Seq(("9", 1L, 1L), ("10", 2L, 1L)).toDF("ts", "event_id", "v")
+    val e = intercept[IllegalArgumentException](Prefix.seq(df, ts = "ts"))
+    assert(e.getMessage.contains("timestamp, date, or numeric"))
+  }
+
+  test("Prefix.runningSum decimal carry-in overflow fails loudly, not as 0") {
+    import spark.implicits._
+    // sum type of decimal(38,0) is capped at decimal(38,0) — per-slice
+    // local sums (~31 rows × 9e36) fit, but the cross-slice carry-in
+    // crosses 1e38 partway through; the plan-side cast would null it and
+    // the old coalesce would have substituted 0 silently
+    val df = spark.range(1000L).select(
+      col("id").as("ts"), col("id").as("event_id"),
+      lit(new java.math.BigDecimal("9" + "0" * 36)).cast("decimal(38,0)").as("v"))
+    val e = intercept[ArithmeticException](
+      Prefix.runningSum(df, col("v"), "rt", ts = "ts").collect())
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("Prefix.lastCarry == global last(ignoreNulls) carry-forward, multi-column") {
     import spark.implicits._
     val df = spark.createDataset(data(3, 500)).toDF().repartition(8)
