@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,6 +55,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * consumer connections (N websockets, N exchange sessions) fan out on a
   * cluster; the single-feed form keeps its scalar offsets (pre-existing
   * checkpoints stay readable, as do legacy positional `[2,3]` vectors).
+  *
+  * Admission control: `option("maxPerTrigger", n)` bounds each
+  * micro-batch to `n` records across shards (`SupportsAdmissionControl`
+  * — the Kafka `maxOffsetsPerTrigger` model), so recovering from a long
+  * outage never builds one batch sized by the outage. The source also
+  * implements `SupportsTriggerAvailableNow`: `Trigger.AvailableNow`
+  * freezes the drain target at query start and backfills it in bounded
+  * batches — [[graft.streaming.Crossover]]'s replay phase at scale.
   */
 object GraftFeed {
   final case class Rec(tsUs: Long, value: String, seq: Long)
@@ -139,6 +147,9 @@ class GraftFeedProvider extends TableProvider with DataSourceRegister {
     val retention = Option(properties.get("retention")).map(_.trim.toLong)
       .getOrElse(Long.MaxValue)
     require(retention > 0, s"retention must be positive, got $retention")
+    val maxPerTrigger = Option(properties.get("maxPerTrigger")).map(_.trim.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxPerTrigger > 0, s"maxPerTrigger must be positive, got $maxPerTrigger")
     val shardsOpt = properties.get("shards")
     val (shards, sharded) =
       if (shardsOpt != null) (shardsOpt.split(",").map(_.trim).toSeq, true)
@@ -146,11 +157,12 @@ class GraftFeedProvider extends TableProvider with DataSourceRegister {
     // simple names keep the hand-rolled offset JSON trivially well-formed
     shards.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
       s"feed/shard names must match [A-Za-z0-9._-]+, got '$s'"))
-    new GraftFeedTable(shards, sharded, retention)
+    new GraftFeedTable(shards, sharded, retention, maxPerTrigger)
   }
 }
 
-class GraftFeedTable(shards: Seq[String], sharded: Boolean, retention: Long)
+class GraftFeedTable(shards: Seq[String], sharded: Boolean, retention: Long,
+                     maxPerTrigger: Long = Long.MaxValue)
     extends Table with SupportsRead {
   private def tableSchema = if (sharded) GraftFeed.shardedSchema else GraftFeed.schema
   override def name(): String = s"graft-feed(${shards.mkString(",")})"
@@ -162,7 +174,7 @@ class GraftFeedTable(shards: Seq[String], sharded: Boolean, retention: Long)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftFeedStream(shards, sharded, retention)
+          new GraftFeedStream(shards, sharded, retention, maxPerTrigger)
       }
     }
 }
@@ -176,10 +188,56 @@ final case class GraftFeedOffset(counts: Seq[(String, Long)], scalar: Boolean) e
     else counts.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
 }
 
-class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long)
-    extends MicroBatchStream {
+class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
+                      maxPerTrigger: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val scalar = !sharded
   private def offset(counts: Seq[Long]) = GraftFeedOffset(shards.zip(counts), scalar)
+
+  /** `Trigger.AvailableNow`: the drain target is FROZEN at query start
+    * (records pushed after this are for the next run) and the backlog is
+    * consumed in admission-controlled micro-batches up to it — the
+    * engine's native incremental backfill, not one giant batch. */
+  @volatile private var availableNowBound: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(shards.map(n => n -> GraftFeed.size(n)).toMap)
+
+  private def available(name: String): Long = {
+    val s = GraftFeed.size(name)
+    availableNowBound.map(b => math.min(s, b(name))).getOrElse(s)
+  }
+
+  /** Admission control (the Kafka `maxOffsetsPerTrigger` model): a huge
+    * backlog on the live path is consumed in bounded micro-batches
+    * instead of one batch sized by the outage — bounded executor memory,
+    * steady checkpoint cadence. The cap is spread greedily in shard
+    * order (deterministic; per-batch fairness matters less than the
+    * bound — every shard drains within finitely many batches). */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
+
+  private def maxRowsOf(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows       => r.maxRows()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case r: ReadMaxRows => r.maxRows() }
+        .getOrElse(Long.MaxValue)
+    case _                    => Long.MaxValue
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftFeedOffset].counts.toMap
+    var remaining = maxRowsOf(limit)
+    offset(shards.map { n =>
+      val take = math.max(0L, math.min(available(n) - from(n), remaining))
+      remaining -= take
+      from(n) + take
+    })
+  }
+
+  /** True head of each feed, uncapped — backlog metrics in progress
+    * reports stay honest while admission control paces consumption. */
+  override def reportLatestOffset(): Offset = offset(shards.map(GraftFeed.size))
 
   override def initialOffset(): Offset = offset(shards.map(_ => 0L))
   override def latestOffset(): Offset = offset(shards.map(GraftFeed.size))
