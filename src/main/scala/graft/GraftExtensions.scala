@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{LshPlaneBits, QuantizedDot}
+import graft.functions.{LshPlaneBits, QuantizedDot, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"quantized_dot requires exactly 2 arguments, got ${children.size}")
         QuantizedDot(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrderKey(children)))
     ext.injectFunction((
       new FunctionIdentifier("lsh_plane_bits"),
       new ExpressionInfo(classOf[LshPlaneBits].getName, "lsh_plane_bits"),

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderOps
 
 /** Small-files maintenance for parquet sinks — at 100 TB a table is
   * written by thousands of tasks across thousands of micro-batches, and
@@ -18,8 +19,17 @@ import org.apache.spark.sql.functions.col
   *    re-clustering: rows are range-partitioned and sorted by the
   *    cluster key, so each output file owns a narrow min/max band and
   *    parquet row-group statistics prune file reads for selective
-  *    predicates on that key (the poor man's Z-order — exact for a
-  *    single-column key, prefix-ordered for composites).
+  *    predicates on that key (exact for a single-column key,
+  *    prefix-ordered for composites — the trailing columns span their
+  *    full range in every file);
+  *  - optional `zOrderBy` columns cluster on a space-filling curve
+  *    instead: each column is bucketed linearly over its [min, max]
+  *    (one cheap agg job for the bounds) and the bucket ids are
+  *    bit-interleaved by the codegen'd [[graft.functions.ZOrderKey]];
+  *    range-partitioning + sorting on the Morton key gives every file
+  *    narrow min/max bounds in EVERY clustered dimension, so
+  *    selective predicates on ANY of them prune files — the
+  *    multi-column pruning a lexicographic sort cannot provide.
   */
 object Compaction {
 
@@ -28,13 +38,23 @@ object Compaction {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               advisoryBytes: Long = 128L * 1024 * 1024,
               maxRecordsPerFile: Long = 0L,
-              clusterBy: Seq[String] = Nil): Long = {
+              clusterBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil): Long = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "pass clusterBy (range) or zOrderBy (space-filling curve), not both")
     val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes.toString)
     try {
       val df = spark.read.parquet(inDir)
       val shaped: DataFrame =
-        if (clusterBy.isEmpty) df.hint("rebalance")
+        if (zOrderBy.nonEmpty) {
+          val z = "__graft_z"
+          df.withColumn(z, zKey(df, zOrderBy))
+            .repartitionByRange(col(z))
+            .sortWithinPartitions(col(z))
+            .drop(z) // projection above the sort — file order/bounds keep
+        }
+        else if (clusterBy.isEmpty) df.hint("rebalance")
         else df.repartitionByRange(clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       val writer = shaped.write.mode("overwrite")
@@ -49,6 +69,33 @@ object Compaction {
         case None    => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       }
     }
+  }
+
+  /** Morton key for `cols`: each column linearly bucketed over its
+    * global [min, max] (ONE agg job for all bounds — O(cols) values on
+    * the driver), bucket count capped so every id fits its interleaved
+    * bit budget. Nulls bucket to 0 (they cluster together at the curve
+    * origin). */
+  private def zKey(df: DataFrame, cols: Seq[String]): Column = {
+    val nBuckets = 1L << math.min(16, 63 / cols.length)
+    // one pass for all columns' bounds
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"mn$i"), max(col(c).cast("double")).as(s"mx$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L) // empty/all-null
+      else {
+        val mn = row.getDouble(2 * i)
+        val mx = row.getDouble(2 * i + 1)
+        if (mx <= mn) lit(0L) // constant column: single bucket
+        else {
+          val wb = width_bucket(col(c).cast("double"), lit(mn), lit(mx), lit(nBuckets)) - 1
+          coalesce(least(greatest(wb, lit(0L)), lit(nBuckets - 1)), lit(0L))
+        }
+      }
+    }
+    ZOrderOps.zOrderKey(buckets: _*)
   }
 
   /** Parquet data files under `dir` (driver-side listing — maintenance

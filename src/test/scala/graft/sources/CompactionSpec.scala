@@ -42,4 +42,62 @@ class CompactionSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("z-order clustering bounds file min/max in EVERY dimension; linear sort does not") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val in = s"$base/in"
+    val zout = s"$base/z"
+    val lout = s"$base/linear"
+
+    // a 256×256 uniform grid: two independent dimensions, 65536 rows
+    sp.range(65536L)
+      .select(($"id" % 256).as("a"), ($"id" / 256).cast("long").as("b"))
+      .repartition(8).write.mode("overwrite").parquet(in)
+
+    def spans(dir: String): Array[(Long, Long)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      files.map { f =>
+        val r = sp.read.parquet(f)
+          .agg(max($"a") - min($"a"), max($"b") - min($"b")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+
+    // 4096-row files: written in sort order, so each owns a contiguous
+    // chunk of the cluster key even when AQE coalesces the tiny fixture
+    // into one partition
+    Compaction.compact(sp, in, zout, maxRecordsPerFile = 4096, zOrderBy = Seq("a", "b"))
+    Compaction.compact(sp, in, lout, maxRecordsPerFile = 4096, clusterBy = Seq("a", "b"))
+
+    // lexicographic (a, b): every file spans b's FULL range — a predicate
+    // on b alone prunes nothing
+    val lin = spans(lout)
+    assert(lin.forall(_._2 == 255L), s"linear spans: ${lin.toSeq}")
+
+    // z-order: every file's bounds are narrow in BOTH dimensions — a
+    // selective predicate on a alone OR b alone prunes most files. A
+    // contiguous Morton chunk of 1/32 of the grid spans ≤ 2 aligned
+    // 64×32 tiles even when boundaries misalign.
+    val zs = spans(zout)
+    assert(zs.forall { case (sa, sb) => sa <= 160 && sb <= 160 },
+      s"z-order spans: ${zs.toSeq}")
+    // and pruning a mid-range point predicate on the NON-leading dim
+    // really skips most files
+    val hitB = zs.count { case (_, _) => true }
+    val filesB = new java.io.File(zout).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val containing = filesB.count { f =>
+      val r = sp.read.parquet(f).agg(min($"b"), max($"b")).head()
+      r.getLong(0) <= 130L && 130L <= r.getLong(1)
+    }
+    assert(containing * 4 <= hitB, s"b=130 hits $containing of $hitB files")
+
+    // content preserved exactly
+    val x = sp.read.parquet(in).orderBy($"a", $"b").collect()
+    val y = sp.read.parquet(zout).orderBy($"a", $"b").collect()
+    assert(x.sameElements(y))
+  }
 }
