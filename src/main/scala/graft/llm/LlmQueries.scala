@@ -1121,6 +1121,53 @@ object LlmQueries {
           expr("(cum_tok - n_tok) div 512").as("seq_id"),
           expr("(cum_tok - n_tok) % 512").as("seq_off"))
         .orderBy($"doc_id")
+    },
+
+    // ---- sketch algebra: per-group KMV sketches MERGED into a global
+    // estimate. min-k(union of per-group min-k sets) = min-k(union) is an
+    // exact identity, so the merged estimate equals the directly-computed
+    // global sketch bit-for-bit — which is what lets 100 TB pipelines
+    // store one 64-value sketch per partition/day and answer global
+    // distinct counts by merging state instead of rescanning history.
+    // Spark-side top-64s are sort+limit (TakeOrderedAndProject —
+    // distributed), never a global row_number. ----
+    QuerySpec.sql("q78_kmv_merge", {
+      val h = md5ModSql("CAST(user_id AS VARCHAR)")
+      s"""WITH hs AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |grp AS (SELECT event_type, h FROM
+         |    (SELECT event_type, h, row_number() OVER (
+         |       PARTITION BY event_type ORDER BY h) AS rn FROM hs)
+         |    WHERE rn <= 64),
+         |mrg AS (SELECT max(h) AS hk, count(*) AS m FROM
+         |    (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+         |       (SELECT DISTINCT h FROM grp)) WHERE rn <= 64),
+         |dct AS (SELECT max(h) AS hk, count(*) AS m FROM
+         |    (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+         |       (SELECT DISTINCT h FROM hs)) WHERE rn <= 64),
+         |exact AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+         |SELECT
+         |  CASE WHEN mrg.m < 64 THEN CAST(mrg.m AS DOUBLE)
+         |       ELSE (63.0 * 2147483647.0) / CAST(mrg.hk AS DOUBLE) END AS est_merged,
+         |  CASE WHEN dct.m < 64 THEN CAST(dct.m AS DOUBLE)
+         |       ELSE (63.0 * 2147483647.0) / CAST(dct.hk AS DOUBLE) END AS est_direct,
+         |  n_exact
+         |FROM mrg, dct, exact""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hs = ev.select($"event_type",
+        PortableHash.md5Mod($"user_id".cast("string")).as("h")).distinct()
+      def est(m: Column, hk: Column): Column =
+        when(m < 64, m.cast("double"))
+          .otherwise((lit(63.0) * lit(2147483647.0)) / hk.cast("double"))
+      val grp = Windows.topKPerGroup(hs, Seq("event_type"), Seq($"h".asc), 64)
+      val merged = grp.select($"h").distinct().orderBy($"h").limit(64)
+        .agg(max($"h").as("hk_m"), count(lit(1)).as("m_m"))
+      val direct = hs.select($"h").distinct().orderBy($"h").limit(64)
+        .agg(max($"h").as("hk_d"), count(lit(1)).as("m_d"))
+      val exact = ev.agg(countDistinct($"user_id").cast("long").as("n_exact"))
+      merged.crossJoin(direct).crossJoin(exact)
+        .select(est($"m_m", $"hk_m").as("est_merged"),
+          est($"m_d", $"hk_d").as("est_direct"), $"n_exact")
     }
   )
 }
