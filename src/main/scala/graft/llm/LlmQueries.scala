@@ -1168,6 +1168,42 @@ object LlmQueries {
       merged.crossJoin(direct).crossJoin(exact)
         .select(est($"m_m", $"hk_m").as("est_merged"),
           est($"m_d", $"hk_d").as("est_direct"), $"n_exact")
+    },
+
+    // ---- the full pre-training flow COMPOSED in one plan: language
+    // filter → exact dedup (min-survivor) → repetition-quality cutoff →
+    // 512-token sequence packing. Each stage is an operator gated on its
+    // own elsewhere (q49/q40/q75/q77); this entry proves they compose —
+    // pushdown through the chain, one digest shuffle, one stats shuffle,
+    // and the distributed prefix sum at the end. ----
+    QuerySpec.sql("q79_corpus_pipeline",
+      """WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+        |surv AS (SELECT e.doc_id, e.text FROM en e JOIN keep USING (doc_id)),
+        |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM surv)
+        |  GROUP BY doc_id),
+        |q AS (SELECT doc_id, n_tok FROM st
+        |  WHERE n_tok >= 5 AND ((n_tok - n_distinct) * 1000000) // n_tok < 400000),
+        |packed AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM q)
+        |SELECT doc_id, n_tok, (cum - n_tok) // 512 AS seq_id
+        |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val en = Tables.documents(s, d).filter($"lang" === "en")
+        .select($"doc_id", $"text")
+      val keep = en.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
+      val surv = en.join(keep.select($"doc_id"), "doc_id")
+      val st = surv.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_distinct"))
+      val q = st.filter($"n_tok" >= 5 &&
+          expr("((n_tok - n_distinct) * 1000000) div n_tok") < 400000)
+        .select($"doc_id", $"n_tok")
+      graft.operators.Prefix.runningSum(q, $"n_tok", "cum",
+          ts = "doc_id", tie = "doc_id")
+        .select($"doc_id", $"n_tok", expr("(cum - n_tok) div 512").as("seq_id"))
+        .orderBy($"doc_id")
     }
   )
 }
