@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{LshPlaneBits, QuantizedDot, ZOrderKey}
+import graft.functions.{LshPlaneBits, QuantizedDot, SliceId, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"quantized_dot requires exactly 2 arguments, got ${children.size}")
         QuantizedDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("slice_id"),
+      new ExpressionInfo(classOf[SliceId].getName, "slice_id"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"slice_id requires exactly 2 arguments, got ${children.size}")
+        SliceId(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("zorder_key"),

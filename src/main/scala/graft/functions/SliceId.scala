@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Slice assignment for [[graft.operators.Prefix]]: the number of
+  * boundaries strictly below `key` — i.e. the lower-bound index of `key`
+  * in the sorted boundary array — as a codegen'd BINARY SEARCH.
+  *
+  * The boundary count tracks `spark.sql.shuffle.partitions`; on a
+  * 1000-executor cluster that is thousands of boundaries, where the
+  * O(#slices)-per-row comparison chain this replaces stops being free.
+  * O(log #slices) per row keeps slice tagging negligible at any
+  * realistic partition count.
+  *
+  * `boundaries` must be a foldable, non-null, strictly-ascending
+  * `array<double>` (the [[graft.operators.Prefix]] sampler constructs
+  * exactly that); equal keys always land in the same slice (`key > b`
+  * is false at equality — identical semantics to the chain form).
+  */
+case class SliceId(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "slice_id"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("slice_id boundaries must be foldable (a literal)")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("slice_id boundaries must be a non-null literal")
+        else {
+          val arr = right.eval().asInstanceOf[ArrayData]
+          val n = arr.numElements()
+          if ((0 until n).exists(arr.isNullAt))
+            TypeCheckResult.TypeCheckFailure("slice_id boundaries must be non-null")
+          else if ((1 until n).exists(i => arr.getDouble(i) <= arr.getDouble(i - 1)))
+            TypeCheckResult.TypeCheckFailure("slice_id boundaries must be strictly ascending")
+          else TypeCheckResult.TypeCheckSuccess
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"slice_id requires (double, array<double>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  @transient private lazy val bounds: Array[Double] =
+    right.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(k: Any, b: Any): Any = {
+    val key = k.asInstanceOf[Double]
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boundsRef = ctx.addReferenceObj("bounds", bounds, "double[]")
+    nullSafeCodeGen(ctx, ev, (k, _) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $boundsRef.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($boundsRef[$mid] < $k) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SliceId =
+    copy(left = newLeft, right = newRight)
+}

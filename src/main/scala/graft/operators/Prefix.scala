@@ -44,9 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Cost: two single-stage narrow scans + one full scan + ONE full-data
   * shuffle. All phases scale linearly with executors; boundary skew
   * matches what a range sort would see (equal keys always share a slice).
-  * Slice assignment is a codegen'd chain of `#slices-1` comparisons —
-  * O(#slices) per row, fine at the shuffle-partition counts this engine
-  * targets (a binary-search Expression is the >1k-slice upgrade).
+  * Slice assignment is the codegen'd binary-search
+  * [[graft.functions.SliceId]] — O(log #slices) per row, so the tag
+  * stays negligible at the thousands of shuffle partitions a
+  * 1000-executor cluster runs.
   *
   * (ts, tie) must be a unique composite key (the engine's standard
   * delivery order — SURVEY §1.3); null ordering keys are not expected.
@@ -126,14 +127,19 @@ object Prefix {
   }
 
   /** df tagged with its slice id (+ the slice count), from boundaries
-    * computed once — deterministic, shared by construction. The tag is a
-    * codegen'd comparison chain (no interpreted higher-order function). */
+    * computed once — deterministic, shared by construction. The tag is
+    * the codegen'd binary-search [[graft.functions.SliceId]] (O(log
+    * #slices) per row — the comparison-chain fallback, O(#slices), is
+    * kept only for sessions without [[graft.GraftExtensions]]). Null
+    * keys land in slice 0 under both forms. */
   private def sliced(df: DataFrame, ts: String): (DataFrame, Int) = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val key = sliceKey(df, ts)
     val bounds = sampleBounds(df, key, n)
     val slice =
       if (bounds.isEmpty) lit(0)
+      else if (df.sparkSession.catalog.functionExists("slice_id"))
+        coalesce(call_function("slice_id", key, typedlit(bounds.toSeq)), lit(0))
       else bounds.map(b => when(key > b, 1).otherwise(0)).reduce(_ + _)
     (df.withColumn(PID, slice), bounds.length + 1)
   }
