@@ -1204,6 +1204,24 @@ object LlmQueries {
           ts = "doc_id", tie = "doc_id")
         .select($"doc_id", $"n_tok", expr("(cum - n_tok) div 512").as("seq_id"))
         .orderBy($"doc_id")
+    },
+
+    // ---- PII-style scrubbing: mask digit runs, count redactions per
+    // doc. Pure per-row regex (identical `[0-9]+` semantics in Java
+    // regex and RE2) — shuffle-free before the output sort,
+    // pushdown-friendly; the production pattern set (emails, phones,
+    // SSNs) drops into the same shape. ----
+    QuerySpec.sql("q80_redact",
+      """SELECT doc_id,
+        |  regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_replace($"text", "[0-9]+", "#").as("redacted"),
+          size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long")
+            .as("n_redactions"))
+        .orderBy($"doc_id")
     }
   )
 }
