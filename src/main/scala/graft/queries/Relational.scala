@@ -451,6 +451,49 @@ object Relational {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"p_brand")
+    },
+
+    // ---- correlated scalar subquery: customers whose balance exceeds
+    // their nation's average. The DataFrame form is the DECORRELATED
+    // plan the optimizer produces anyway — a per-nation aggregate
+    // (25 rows) broadcast back against the fact side, no per-row
+    // re-evaluation. The oracle states it in subquery form; the hash
+    // match proves the decorrelation equivalent. The average is
+    // compared multiply-through (bal·n > Σbal) in DECIMAL so the
+    // boundary is exact — a double avg is fold-order-dependent. ----
+    QuerySpec.sql("q81_scalar_subquery",
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
+        |       WHERE i.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .withColumn("balD", $"c_acctbal".cast("decimal(18,2)"))
+      val nav = c.groupBy($"c_nationkey")
+        .agg(sum($"balD").as("tot"), count(lit(1)).as("cnt"))
+      c.join(broadcast(nav), "c_nationkey")
+        .filter($"balD" * $"cnt" > $"tot")
+        .select($"c_custkey", $"c_nationkey", $"balD".cast("double").as("bal"))
+        .orderBy($"c_custkey")
+    },
+
+    // ---- EXCEPT ALL (bag difference, multiplicity-aware — the set-op
+    // q8 doesn't cover): lineitem ship modes minus a per-key sample of
+    // them; duplicates survive by count difference. One shuffle on the
+    // value, the engine's native ExceptAll node. ----
+    QuerySpec.sql("q82_except_all",
+      """SELECT l_returnflag FROM (
+        |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
+        |  EXCEPT ALL
+        |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 48
+        |) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      l.filter($"l_quantity" > 45).select($"l_returnflag")
+        .exceptAll(l.filter($"l_quantity" > 48).select($"l_returnflag"))
+        .orderBy($"l_returnflag")
     }
   )
 
