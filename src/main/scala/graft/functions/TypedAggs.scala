@@ -50,4 +50,70 @@ object TypedAggs {
     override def bufferEncoder: Encoder[WmBuf] = Encoders.product[WmBuf]
     override def outputEncoder: Encoder[WmOut] = Encoders.product[WmOut]
   }
+
+  /** KMV (k minimum values) distinct-count sketch as a TRUE two-phase
+    * aggregate: the buffer is the k smallest DISTINCT portable hashes,
+    * `reduce` inserts map-side (so the shuffle carries ≤ k longs per
+    * group per partition — never the rows), `merge` is min-k of the
+    * union (exact: min-k(A∪B) = min-k(min-k(A) ∪ min-k(B))), and
+    * `finish` applies the (k-1)·P/h_k estimator (exact below k). The
+    * aggregation-free sibling of the q59/q78 window formulation — the
+    * form that drops into any groupBy at 100 TB.
+    *
+    * Input hashes must already be in the portable domain
+    * ([[PortableHash.md5Mod]] — uniform on [0, P)). */
+  final case class KmvBuf(hs: Array[Long])
+
+  object KmvSketch extends Aggregator[Long, KmvBuf, Double] {
+    val K = 64
+    private val P = PortableHash.P
+
+    override def zero: KmvBuf = KmvBuf(Array.empty[Long])
+
+    /** Insert h into the sorted distinct min-k array (skip if present,
+      * drop the max when over k) — O(log k) search + O(k) copy on the
+      * rare shrinking hit; the common case (h ≥ current max with a full
+      * buffer) is O(log k) with no allocation. */
+    override def reduce(buf: KmvBuf, h: Long): KmvBuf = {
+      val b = buf.hs
+      val i = java.util.Arrays.binarySearch(b, h)
+      if (i >= 0) buf // already present
+      else {
+        val ins = -i - 1
+        if (b.length >= K && ins >= K) buf // larger than the kept max
+        else {
+          val n = math.min(b.length + 1, K)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          KmvBuf(out)
+        }
+      }
+    }
+
+    override def merge(xb: KmvBuf, yb: KmvBuf): KmvBuf = {
+      // merge two sorted distinct arrays, keep the k smallest
+      val x = xb.hs; val y = yb.hs
+      val out = new Array[Long](math.min(x.length + y.length, K))
+      var i = 0; var j = 0; var o = 0
+      var last = Long.MinValue
+      while (o < out.length && (i < x.length || j < y.length)) {
+        val v =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
+          else { val v = y(j); j += 1; v }
+        if (v != last) { out(o) = v; o += 1; last = v }
+      }
+      KmvBuf(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
+
+    override def finish(buf: KmvBuf): Double = {
+      val b = buf.hs
+      if (b.length < K) b.length.toDouble
+      else ((K - 1).toDouble * P.toDouble) / b(K - 1).toDouble
+    }
+
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 }

@@ -1206,6 +1206,38 @@ object LlmQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- KMV as a TRUE two-phase UDAF ([[TypedAggs.KmvSketch]]): the
+    // same estimator as q59, but computed by a typed Aggregator whose
+    // ≤64-long buffer partial-aggregates map-side and merges by min-k
+    // union — the shuffle carries one sketch per group per partition,
+    // never the hashes. The oracle recomputes via the window
+    // formulation; the hash match proves UDAF ≡ declarative. ----
+    QuerySpec.sql("q83_kmv_udaf", {
+      val h = md5ModSql("CAST(user_id AS VARCHAR)")
+      s"""WITH h AS (SELECT DISTINCT event_type, $h AS h FROM events),
+         |ranked AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |k AS (SELECT event_type, max(h) AS hk, count(*) AS m
+         |      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+         |exact AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |          FROM events GROUP BY event_type)
+         |SELECT k.event_type AS event_type,
+         |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         |       ELSE (63.0 * 2147483647.0) / CAST(hk AS DOUBLE) END AS est_distinct,
+         |  n_exact
+         |FROM k JOIN exact ON exact.event_type = k.event_type
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val kmv = udaf(graft.functions.TypedAggs.KmvSketch)
+      val est = ev.select($"event_type",
+          PortableHash.md5Mod($"user_id".cast("string")).as("h"))
+        .groupBy($"event_type").agg(kmv($"h").as("est_distinct"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").cast("long").as("n_exact"))
+      est.join(exact, "event_type").orderBy($"event_type")
+    },
+
     // ---- PII-style scrubbing: mask digit runs, count redactions per
     // doc. Pure per-row regex (identical `[0-9]+` semantics in Java
     // regex and RE2) — shuffle-free before the output sort,
