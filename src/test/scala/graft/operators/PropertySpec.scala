@@ -123,6 +123,41 @@ class PropertySpec extends AnyFunSuite {
     assert(z.forall(_.isNullAt(0)))
   }
 
+  test("KmvSketch: any reduce/merge tree == brute-force min-k; estimate sane") {
+    import graft.functions.TypedAggs.{KmvBuf, KmvSketch => KS}
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      // even trials: small domain (duplicate-heavy — dedup coverage);
+      // odd trials: the real uniform [0, P) domain (estimator validity)
+      val domain = if (trial % 2 == 0) 1 << 10 else Int.MaxValue
+      val n = 1 + rnd.nextInt(300)
+      val hs = List.fill(n)(rnd.nextInt(domain).toLong)
+      // arbitrary partitioning into partial buffers, arbitrary merge order
+      val parts = {
+        val k = 1 + rnd.nextInt(6)
+        val grouped = hs.grouped(math.max(1, hs.size / k)).toList
+        grouped.map(g => g.foldLeft(KS.zero)(KS.reduce))
+      }
+      val merged = rnd.shuffle(parts).reduce(KS.merge)
+      val want = hs.distinct.sorted.take(KS.K)
+      assert(merged.hs.toList == want, s"trial $trial")
+      // estimate: exact below K; a loose ±50% sanity bound above K when
+      // the domain matches the estimator's uniform-[0,P) assumption —
+      // k=64 has ~13% relative std error, so tail trials can wander
+      // (the gate's real accuracy proof is q59/q78/q83 vs n_exact)
+      val est = KS.finish(merged)
+      val exact = hs.distinct.size
+      if (exact < KS.K) assert(est == exact.toDouble)
+      else if (domain == Int.MaxValue)
+        assert(math.abs(est / exact - 1.0) < 0.5, s"est $est exact $exact")
+    }
+    // degenerate cases
+    assert(KS.finish(KS.zero) == 0.0)
+    assert(KS.merge(KS.zero, KS.zero).hs.isEmpty)
+    val one = KS.reduce(KS.zero, 42L)
+    assert(KS.merge(one, one).hs.toList == List(42L)) // idempotent union
+  }
+
   test("replaySeq is invariant under input permutation") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
