@@ -453,6 +453,29 @@ object AspSemantics {
           min($"value".cast("decimal(18,2)")).cast("double").as("bin_min"),
           max($"value".cast("decimal(18,2)")).cast("double").as("bin_max"))
         .orderBy($"event_type", $"bin")
+    },
+
+    // ---- lead/lag/ntile window surface: per-user inter-event gaps and
+    // activity quartiles. One shuffle on user_id; the navigation
+    // functions are frame-free (no buffering beyond the sorted
+    // partition), ntile needs only the partition count — all scale as
+    // plain per-key windows. ----
+    QuerySpec.sql("q84_lead_lag",
+      """SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+        |  lead(event_id) OVER w AS next_event,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+          lead($"event_id", 1).over(w).as("next_event"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"user_id", $"event_id")
     }
   )
 }
