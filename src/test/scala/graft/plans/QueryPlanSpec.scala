@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape regression gate for the scale-sensitive queries: the
+  * oracle proves VALUES; these asserts pin the PLAN — a silent fallback
+  * (broadcast → shuffle join, distributed window → single task) would
+  * pass the value gate at fixture scale and fall over at 100 TB. */
+class QueryPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q74 decontamination probes a BROADCAST of the benchmark shingles") {
+    val p = plan("q74_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q77/q79 prefix-sum packing runs with no single-task stage") {
+    for (q <- Seq("q77_pack_sequences", "q79_corpus_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q has a single-partition stage:\n$p")
+      assert(p.contains("__graft_pid"), s"$q lost the slice-id window:\n$p")
+    }
+  }
+
+  test("q81 decorrelated subquery broadcasts the 25-row nation aggregate") {
+    val p = plan("q81_scalar_subquery")
+    assert(p.contains("BroadcastHashJoin"), s"nation aggregate not broadcast:\n$p")
+  }
+
+  test("q83 KMV UDAF is a two-phase aggregate (map-side partial)") {
+    val p = plan("q83_kmv_udaf")
+    // ObjectHashAggregate with partial_kmvsketch before the exchange —
+    // the sketch merges map-side; rows never cross the shuffle raw
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_kmvsketch"),
+      s"no map-side partial sketch:\n$p")
+  }
+}
