@@ -1238,6 +1238,28 @@ object LlmQueries {
       est.join(exact, "event_type").orderBy($"event_type")
     },
 
+    // ---- exact per-stratum quotas: exactly min(20, |stratum|) docs per
+    // language, selected by deterministic hash order — the other half of
+    // the training-mix toolkit next to q69's rate-based sampling (rates
+    // approximate a target size; quotas hit it exactly). Per-group
+    // top-k: WindowGroupLimit pushes the limit into the shuffle at
+    // scale. Reproducible across engines, runs, and layouts. ----
+    QuerySpec.sql("q85_quota_sample", {
+      val o = PortableHash.md5LongSql("'quota' || doc_id")
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY $o, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 20 ORDER BY lang, doc_id""".stripMargin
+    }) { (s, d) =>
+      Windows.topKPerGroup(
+          Tables.documents(s, d).select($"doc_id", $"lang",
+            PortableHash.md5Long(concat(lit("quota"), $"doc_id".cast("string"))).as("h")),
+          Seq("lang"), Seq($"h".asc, $"doc_id".asc), 20)
+        .select($"doc_id", $"lang")
+        .orderBy($"lang", $"doc_id")
+    },
+
     // ---- PII-style scrubbing: mask digit runs, count redactions per
     // doc. Pure per-row regex (identical `[0-9]+` semantics in Java
     // regex and RE2) — shuffle-free before the output sort,
