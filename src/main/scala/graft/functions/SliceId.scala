@@ -32,16 +32,19 @@ case class SliceId(left: Expression, right: Expression)
       case (DoubleType, ArrayType(DoubleType, _)) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure("slice_id boundaries must be foldable (a literal)")
-        else if (right.eval() == null)
-          TypeCheckResult.TypeCheckFailure("slice_id boundaries must be a non-null literal")
         else {
-          val arr = right.eval().asInstanceOf[ArrayData]
-          val n = arr.numElements()
-          if ((0 until n).exists(arr.isNullAt))
-            TypeCheckResult.TypeCheckFailure("slice_id boundaries must be non-null")
-          else if ((1 until n).exists(i => arr.getDouble(i) <= arr.getDouble(i - 1)))
-            TypeCheckResult.TypeCheckFailure("slice_id boundaries must be strictly ascending")
-          else TypeCheckResult.TypeCheckSuccess
+          val evaled = right.eval() // once — analysis re-runs this check
+          if (evaled == null)
+            TypeCheckResult.TypeCheckFailure("slice_id boundaries must be a non-null literal")
+          else {
+            val arr = evaled.asInstanceOf[ArrayData]
+            val n = arr.numElements()
+            if ((0 until n).exists(arr.isNullAt))
+              TypeCheckResult.TypeCheckFailure("slice_id boundaries must be non-null")
+            else if ((1 until n).exists(i => arr.getDouble(i) <= arr.getDouble(i - 1)))
+              TypeCheckResult.TypeCheckFailure("slice_id boundaries must be strictly ascending")
+            else TypeCheckResult.TypeCheckSuccess
+          }
         }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"slice_id requires (double, array<double>), got " +
@@ -53,13 +56,19 @@ case class SliceId(left: Expression, right: Expression)
 
   override protected def nullSafeEval(k: Any, b: Any): Any = {
     val key = k.asInstanceOf[Double]
-    var lo = 0
-    var hi = bounds.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (bounds(mid) < key) lo = mid + 1 else hi = mid
+    // Spark's ordering puts NaN above every value — it must land in the
+    // TOP slice (Java `<` is false for NaN, which would send it to 0 and
+    // disagree with the per-slice window's sort)
+    if (java.lang.Double.isNaN(key)) bounds.length
+    else {
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bounds(mid) < key) lo = mid + 1 else hi = mid
+      }
+      lo
     }
-    lo
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -69,13 +78,17 @@ case class SliceId(left: Expression, right: Expression)
       val hi = ctx.freshName("hi")
       val mid = ctx.freshName("mid")
       s"""
-         |int $lo = 0;
-         |int $hi = $boundsRef.length;
-         |while ($lo < $hi) {
-         |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($boundsRef[$mid] < $k) $lo = $mid + 1; else $hi = $mid;
+         |if (java.lang.Double.isNaN($k)) {
+         |  ${ev.value} = $boundsRef.length;
+         |} else {
+         |  int $lo = 0;
+         |  int $hi = $boundsRef.length;
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($boundsRef[$mid] < $k) $lo = $mid + 1; else $hi = $mid;
+         |  }
+         |  ${ev.value} = $lo;
          |}
-         |${ev.value} = $lo;
        """.stripMargin
     })
   }

@@ -97,12 +97,15 @@ object TypedAggs {
       val x = xb.hs; val y = yb.hs
       val out = new Array[Long](math.min(x.length + y.length, K))
       var i = 0; var j = 0; var o = 0
-      var last = Long.MinValue
+      // dedup via explicit first-element flag — a sentinel value would
+      // drop a legitimate hash equal to it (e.g. Long.MinValue)
+      var seen = false
+      var last = 0L
       while (o < out.length && (i < x.length || j < y.length)) {
         val v =
           if (j >= y.length || (i < x.length && x(i) <= y(j))) { val v = x(i); i += 1; v }
           else { val v = y(j); j += 1; v }
-        if (v != last) { out(o) = v; o += 1; last = v }
+        if (!seen || v != last) { out(o) = v; o += 1; last = v; seen = true }
       }
       KmvBuf(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
     }

@@ -77,6 +77,17 @@ object Compaction {
     * bit budget. Nulls bucket to 0 (they cluster together at the curve
     * origin). */
   private def zKey(df: DataFrame, cols: Seq[String]): Column = {
+    // fail fast on non-orderable-as-double columns — a silent all-null
+    // cast would drop the dimension from the curve while the caller
+    // believes files are bounded in it (same contract as Prefix.sliceKey)
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"zOrderBy column '$c' must be numeric, timestamp, or date (got $other)")
+      }
+    }
     val nBuckets = 1L << math.min(16, 63 / cols.length)
     // one pass for all columns' bounds
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>

@@ -144,16 +144,20 @@ class GraftFeedProvider extends TableProvider with DataSourceRegister {
     if (options.containsKey("shards")) GraftFeed.shardedSchema else GraftFeed.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val retention = Option(properties.get("retention")).map(_.trim.toLong)
+    // DSv2 options are case-insensitive by convention (the Kafka model
+    // this source cites) — a miscased option must not silently disable
+    // the feature it names
+    val opts = new CaseInsensitiveStringMap(properties)
+    val retention = Option(opts.get("retention")).map(_.trim.toLong)
       .getOrElse(Long.MaxValue)
     require(retention > 0, s"retention must be positive, got $retention")
-    val maxPerTrigger = Option(properties.get("maxPerTrigger")).map(_.trim.toLong)
+    val maxPerTrigger = Option(opts.get("maxPerTrigger")).map(_.trim.toLong)
       .getOrElse(Long.MaxValue)
     require(maxPerTrigger > 0, s"maxPerTrigger must be positive, got $maxPerTrigger")
-    val shardsOpt = properties.get("shards")
+    val shardsOpt = opts.get("shards")
     val (shards, sharded) =
       if (shardsOpt != null) (shardsOpt.split(",").map(_.trim).toSeq, true)
-      else (Seq(properties.getOrDefault("feed", "default")), false)
+      else (Seq(opts.getOrDefault("feed", "default")), false)
     // simple names keep the hand-rolled offset JSON trivially well-formed
     shards.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
       s"feed/shard names must match [A-Za-z0-9._-]+, got '$s'"))

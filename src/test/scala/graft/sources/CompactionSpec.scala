@@ -56,13 +56,14 @@ class CompactionSpec extends AnyFunSuite {
       .select(($"id" % 256).as("a"), ($"id" / 256).cast("long").as("b"))
       .repartition(8).write.mode("overwrite").parquet(in)
 
-    def spans(dir: String): Array[(Long, Long)] = {
+    // one read per file: (minA, maxA, minB, maxB)
+    def bounds(dir: String): Array[(Long, Long, Long, Long)] = {
       val files = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
       files.map { f =>
         val r = sp.read.parquet(f)
-          .agg(max($"a") - min($"a"), max($"b") - min($"b")).head()
-        (r.getLong(0), r.getLong(1))
+          .agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       }
     }
 
@@ -74,26 +75,20 @@ class CompactionSpec extends AnyFunSuite {
 
     // lexicographic (a, b): every file spans b's FULL range — a predicate
     // on b alone prunes nothing
-    val lin = spans(lout)
-    assert(lin.forall(_._2 == 255L), s"linear spans: ${lin.toSeq}")
+    val lin = bounds(lout)
+    assert(lin.forall(f => f._4 - f._3 == 255L), s"linear bounds: ${lin.toSeq}")
 
     // z-order: every file's bounds are narrow in BOTH dimensions — a
     // selective predicate on a alone OR b alone prunes most files. A
     // contiguous Morton chunk of 1/32 of the grid spans ≤ 2 aligned
     // 64×32 tiles even when boundaries misalign.
-    val zs = spans(zout)
-    assert(zs.forall { case (sa, sb) => sa <= 160 && sb <= 160 },
-      s"z-order spans: ${zs.toSeq}")
+    val zs = bounds(zout)
+    assert(zs.forall(f => f._2 - f._1 <= 160 && f._4 - f._3 <= 160),
+      s"z-order bounds: ${zs.toSeq}")
     // and pruning a mid-range point predicate on the NON-leading dim
     // really skips most files
-    val hitB = zs.count { case (_, _) => true }
-    val filesB = new java.io.File(zout).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-    val containing = filesB.count { f =>
-      val r = sp.read.parquet(f).agg(min($"b"), max($"b")).head()
-      r.getLong(0) <= 130L && 130L <= r.getLong(1)
-    }
-    assert(containing * 4 <= hitB, s"b=130 hits $containing of $hitB files")
+    val containing = zs.count(f => f._3 <= 130L && 130L <= f._4)
+    assert(containing * 4 <= zs.length, s"b=130 hits $containing of ${zs.length} files")
 
     // content preserved exactly
     val x = sp.read.parquet(in).orderBy($"a", $"b").collect()
