@@ -1,6 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Input row for the replay-throughput microbench (events fixture). */
+private[graft] case class BenchReplayEvent(
+    user_id: Long, ts_us: Long, event_id: Long, value: Double)
+
 /** Driver-run benchmark: every SparkEntry query executed end-to-end
   * against SPARK_GRAFT_SF_DIR, full materialization through the `noop`
   * sink (unlike `.count()`, noop cannot prune projections or skip
@@ -70,10 +74,43 @@ object Bench {
         }
       "\"" + name + "\":" + best
     }.mkString("{", ",", "}")
+    // Replay-engine throughput vs the reference's headline number
+    // (BASELINE.md: ~17k events/s — single-threaded replay with a trivial
+    // callback). Same workload shape here: every event delivered to a
+    // trivial stateful per-key callback (running count, emit each event),
+    // but through the FULL distributed replay path — hash shuffle on the
+    // key, secondary sort (key, ts, tie), machine loop per key group.
+    // min of 2 passes; events/s = rows / wall.
+    val replayPerSec = {
+      import spark.implicits._
+      val ev = graft.core.Tables.events(spark, sfDir)
+        .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id", "value")
+        .as[BenchReplayEvent]
+      val n = ev.count()
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.Replay.run(ev, "user_id", "ts_us", "event_id")(
+            _.user_id, _.ts_us) { _ =>
+            new graft.streaming.KeyedStateMachine[Long, BenchReplayEvent, Long] {
+              private var seen = 0L
+              def onEvent(ts: Long, e: BenchReplayEvent,
+                          ctx: graft.streaming.ReplayCtx[Long]): Unit = {
+                seen += 1; ctx.emit(seen)
+              }
+            }
+          }.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { val secs = math.min(onePass(), onePass()); n / secs }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] replay microbench failed: ${e.getMessage}"); -1.0
+      }
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""warmup_sec":$warmup,"isolated":$isolated,"sf":"$sfDir"}"""
+      s""""warmup_sec":$warmup,"isolated":$isolated,""" +
+      s""""replay_events_per_sec":${replayPerSec.round},"sf":"$sfDir"}"""
     spark.stop() // stop first so stray executor WARNs can't interleave mid-line
     println(line)
   }

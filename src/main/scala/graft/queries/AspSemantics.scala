@@ -476,6 +476,33 @@ object AspSemantics {
           lead($"event_id", 1).over(w).as("next_event"),
           ntile(4).over(w).cast("long").as("quartile"))
         .orderBy($"user_id", $"event_id")
+    },
+
+    // ---- windowed (TTL'd) dedup: first event per (user, type) per hour.
+    // Deliberately NOT a row_number window: `min(struct(ts, event_id))`
+    // is an algebraic aggregate, so it partial-aggregates map-side before
+    // the shuffle — at 100 TB the shuffle carries one row per
+    // (user, type, hour), not every event, and no per-group sort exists.
+    // This is the batch form of streaming dedup-with-TTL
+    // (`dropDuplicatesWithinWatermark`): state per key is bounded by the
+    // window, the reference's unbounded first-seen set (W1) made safe for
+    // endless streams. ----
+    QuerySpec.sql("q86_hourly_dedup",
+      s"""SELECT user_id, event_type,
+         |  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+         |  event_id, $tsUs AS ts_us FROM (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    row_number() OVER (
+         |      PARTITION BY user_id, event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events) WHERE rn = 1
+         |ORDER BY user_id, event_type, hour_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(min(struct($"ts", $"event_id")).as("w"))
+        .select($"user_id", $"event_type", unix_micros($"hour").as("hour_us"),
+          $"w.event_id".as("event_id"), unix_micros($"w.ts").as("ts_us"))
+        .orderBy($"user_id", $"event_type", $"hour_us")
     }
   )
 }
