@@ -41,4 +41,35 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_kmvsketch"),
       s"no map-side partial sketch:\n$p")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB shape Catalyst provides when neither join side broadcasts:
+    // a bloom filter built from the (selectively filtered) creation side is
+    // injected as a semi-join-style predicate on the probe-side SCAN, so
+    // most probe rows die before the shuffle. Off at fixture scale only
+    // because of the 10 GB application-side threshold — this pins that the
+    // rewrite actually fires for our plans once thresholds are met.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = graft.core.Tables.lineitem(spark, sf)
+      val ord = graft.core.Tables.orders(spark, sf)
+        .filter("o_orderpriority = '1-URGENT'")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no bloom-filter probe on the application side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
 }
