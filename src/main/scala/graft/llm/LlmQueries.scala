@@ -1276,6 +1276,92 @@ object LlmQueries {
           size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long")
             .as("n_redactions"))
         .orderBy($"doc_id")
+    },
+
+    // ---- ANN index quality evaluation: recall@3 of the IVF probe
+    // (q55's exact shape: 8-centroid deterministic codebook, nprobe=2)
+    // against the exact brute-force top-3 over the same universe.
+    // "Measure, don't guess": the index's scale win (touching nprobe/k
+    // of the data) is only usable if its recall is known — this is the
+    // query a pipeline runs on a sample BEFORE trusting the index at
+    // 100 TB. The exact side broadcasts the 5 probe vectors and streams
+    // candidates once (q47's shape); hits = |IVF∩exact| per query. ----
+    QuerySpec.sql("q87_ann_recall",
+      s"""WITH $annBaseSql,
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
+         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |probes AS (SELECT vid AS q_id, cid AS cell FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |anndots AS (SELECT cand.q_id, cand.c_id, sum(x.xq * y.xq) AS dot
+         |  FROM cand JOIN e x ON x.vec_id = cand.q_id
+         |            JOIN e y ON y.vec_id = cand.c_id AND y.i = x.i
+         |  GROUP BY cand.q_id, cand.c_id),
+         |anncos AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM anndots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+         |ann AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM anncos) WHERE rnk <= 3),
+         |exdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY q_id, c_id),
+         |excos AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM exdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+         |exact AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM excos) WHERE rnk <= 3)
+         |SELECT ann.q_id AS q_id,
+         |  CAST(count(exact.c_id) AS BIGINT) AS hits,
+         |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
+         |FROM ann LEFT JOIN exact
+         |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
+         |GROUP BY ann.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+      val probes = Windows.topKPerGroup(
+          scored.filter($"vec_id" >= 10 && $"vec_id" < 15), Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 2)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"cid".as("cell"))
+      val annPairs = assign.join(broadcast(probes), Seq("cell"), "inner")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"),
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      val ann = Windows.topKPerGroup(annPairs, Seq("q_id"),
+          Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id")
+      val queries = probes.select($"q_id", $"q_emb", $"q_nrm").distinct()
+      val exPairs = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"),
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      val exact = Windows.topKPerGroup(exPairs, Seq("q_id"),
+          Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id".as("e_qid"), $"c_id".as("e_cid"))
+      ann.join(broadcast(exact),
+          $"e_qid" === $"q_id" && $"e_cid" === $"c_id", "left")
+        .groupBy($"q_id")
+        .agg(count($"e_cid").as("hits"),
+          (count($"e_cid").cast("double") / 3.0).as("recall"))
+        .orderBy($"q_id")
     }
   )
 }
