@@ -1362,6 +1362,46 @@ object LlmQueries {
         .agg(count($"e_cid").as("hits"),
           (count($"e_cid").cast("double") / 3.0).as("recall"))
         .orderBy($"q_id")
+    },
+
+    // ---- count-min sketch heavy hitters: d=4 hash rows × w=256 buckets
+    // of the portable hash, estimate(x) = min over rows of its bucket
+    // counter. Like KMV (q59/q78/q83) the registers are engine-portable,
+    // so the ESTIMATE goes through the hash gate — and the sketch is the
+    // 100 TB heavy-hitter path: counters are algebraic (partial-agg
+    // map-side, 1024 cells of state total, mergeable across partitions /
+    // days / stores), where an exact per-key count of a high-cardinality
+    // column shuffles every key. Top-10 via TakeOrderedAndProject; exact
+    // counts joined alongside = the overestimate is visible. ----
+    QuerySpec.sql("q89_cms_topk", {
+      val h = (r: String, v: String) => s"(${PortableHash.md5ModSql(s"'cms' || $r || '|' || $v")} % 256)"
+      s"""WITH rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |hashed AS (SELECT e.user_id, r.r, ${h("r.r", "CAST(e.user_id AS VARCHAR)")} AS b
+         |           FROM events e, rws r),
+         |counters AS (SELECT r, b, count(*) AS c FROM hashed GROUP BY r, b),
+         |uh AS (SELECT DISTINCT user_id, r, b FROM hashed),
+         |est AS (SELECT user_id, min(c) AS est
+         |        FROM uh JOIN counters USING (r, b) GROUP BY user_id),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id)
+         |SELECT est.user_id AS user_id, est, n_exact
+         |FROM est JOIN exact ON exact.user_id = est.user_id
+         |ORDER BY est DESC, user_id LIMIT 10""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d).select($"user_id")
+      val hashed = ev.select($"user_id", explode(array((0 until 4).map { r =>
+          struct(lit(r).as("r"),
+            (PortableHash.md5Mod(concat(lit(s"cms$r|"), $"user_id".cast("string")))
+              % 256).as("b"))
+        }: _*)).as("rb"))
+        .select($"user_id", $"rb.r".as("r"), $"rb.b".as("b"))
+      val counters = hashed.groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+      val uh = hashed.distinct()
+      val est = uh.join(broadcast(counters), Seq("r", "b"))
+        .groupBy($"user_id").agg(min($"c").as("est"))
+      val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "user_id")
+        .select($"user_id", $"est", $"n_exact")
+        .orderBy($"est".desc, $"user_id").limit(10)
     }
   )
 }

@@ -66,6 +66,48 @@ object AsOfJoin {
       .drop("_asof_ts", "_asof_tag")
   }
 
+  /** As-of join in BOTH directions at once: each left row gets the most
+    * recent right value at-or-before its timestamp (`v0`/`t0`) AND the
+    * first right value strictly after it (`v1`/`t1`) — the neighbor pair
+    * linear interpolation needs. Same union trick and the same cost as
+    * [[asOf]]: ONE shuffle on the keys, one per-key sort; the backward
+    * (unbounded-preceding) and forward (unbounded-following) frames share
+    * one ordering, so Catalyst evaluates both in a single WindowExec.
+    *
+    * A right row exactly at the left timestamp sorts before it (tag
+    * 0 < 1), so it lands in the backward frame only: `t0 == leftTs`,
+    * giving the interpolation fraction 0 — the exact-match value.
+    * Pre-deduplicate the right side per (key, ts) for determinism, as
+    * with [[asOf]].
+    */
+  def asOfNeighbors(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String,
+                    valueCol: String): DataFrame = {
+    val vt = right.schema(valueCol).dataType
+    val tt = right.schema(rightTs).dataType
+    val l = left.withColumn("_asof_ts", col(leftTs)).withColumn("_asof_tag", lit(1))
+      .withColumn("_asof_v", lit(null).cast(vt))
+      .withColumn("_asof_src", lit(null).cast(tt))
+    val r0 = right.select(keys.map(col) :+ col(valueCol).as("_asof_v")
+      :+ col(rightTs).as("_asof_ts") :+ col(rightTs).as("_asof_src"): _*)
+      .withColumn("_asof_tag", lit(0))
+    val r = left.columns.filterNot(keys.contains)
+      .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val back = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_asof_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("v0", last(col("_asof_v"), ignoreNulls = true).over(back))
+      .withColumn("t0", last(col("_asof_src"), ignoreNulls = true).over(back))
+      .withColumn("v1", first(col("_asof_v"), ignoreNulls = true).over(fwd))
+      .withColumn("t1", first(col("_asof_src"), ignoreNulls = true).over(fwd))
+      .filter(col("_asof_tag") === 1)
+      .drop("_asof_ts", "_asof_tag", "_asof_v", "_asof_src")
+  }
+
   /** Range (interval) join: left rows matched to right rows whose timestamp
     * falls in [leftTs + lower, leftTs + upper]. Built-in non-equi join —
     * Catalyst plans broadcast/shuffled nested loop when no equi key exists,

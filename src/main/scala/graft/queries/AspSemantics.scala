@@ -503,6 +503,52 @@ object AspSemantics {
         .select($"user_id", $"event_type", unix_micros($"hour").as("hour_us"),
           $"w.event_id".as("event_id"), unix_micros($"w.ts").as("ts_us"))
         .orderBy($"user_id", $"event_type", $"hour_us")
+    },
+
+    // ---- linear-interpolation resample: q36's daily grid, but each grid
+    // point blends its two neighbor observations instead of holding the
+    // last one flat. `AsOfJoin.asOfNeighbors` finds BOTH neighbors in the
+    // one-shuffle union pass (backward + forward frames share one sort /
+    // one WindowExec); the blend itself is per-row arithmetic whose IEEE
+    // shape is written identically in both engines. Edges extrapolate
+    // flat from the available side. ----
+    QuerySpec.sql("q88_interpolate",
+      """WITH b AS (SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS mn,
+        |                  date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS mx FROM events),
+        |grid AS (SELECT u.user_id, unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS gts
+        |         FROM (SELECT DISTINCT user_id FROM events) u, b),
+        |q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max_by(value, event_id) AS value
+        |      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |prev AS (SELECT g.user_id, g.gts, q.ts AS t0, q.value AS v0
+        |         FROM grid g ASOF LEFT JOIN q ON g.user_id = q.user_id AND g.gts >= q.ts),
+        |nxt AS (SELECT g.user_id, g.gts, q.ts AS t1, q.value AS v1
+        |        FROM grid g ASOF LEFT JOIN q ON g.user_id = q.user_id AND g.gts < q.ts)
+        |SELECT p.user_id AS user_id, epoch_us(p.gts) AS grid_us,
+        |  epoch_us(p.t0) AS prev_us, epoch_us(n.t1) AS next_us,
+        |  CASE WHEN p.t0 IS NULL THEN n.v1 WHEN n.t1 IS NULL THEN p.v0
+        |       ELSE p.v0 + (n.v1 - p.v0) *
+        |         (CAST(epoch_us(p.gts) - epoch_us(p.t0) AS DOUBLE)
+        |          / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE)) END AS value
+        |FROM prev p JOIN nxt n ON n.user_id = p.user_id AND n.gts = p.gts
+        |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("day", min($"ts")).as("mn"),
+        date_trunc("day", max($"ts")).as("mx"))
+      val grid = ev.select($"user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"user_id",
+          explode(sequence($"mn", $"mx", expr("interval 1 day"))).as("gts"))
+      val quotes = ev.groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("value"))
+      AsOfJoin.asOfNeighbors(grid, quotes, Seq("user_id"), "gts", "ts", "value")
+        .select($"user_id", unix_micros($"gts").as("grid_us"),
+          unix_micros($"t0").as("prev_us"), unix_micros($"t1").as("next_us"),
+          when($"t0".isNull, $"v1").when($"t1".isNull, $"v0")
+            .otherwise($"v0" + ($"v1" - $"v0") *
+              ((unix_micros($"gts") - unix_micros($"t0")).cast("double") /
+               (unix_micros($"t1") - unix_micros($"t0")).cast("double")))
+            .as("value"))
+        .orderBy($"user_id", $"grid_us")
     }
   )
 }
