@@ -66,6 +66,45 @@ object AsOfJoin {
       .drop("_asof_ts", "_asof_tag")
   }
 
+  /** Zero-shuffle as-of join for a SMALL reference side: each key's
+    * reference timeline is packed into sorted parallel arrays
+    * (`sort_array(collect_list(struct(ts, v)))`), the packed table is
+    * BROADCAST, and every probe row resolves its as-of value with one
+    * codegen'd binary search ([[graft.functions.AsOfPick]], O(log m)).
+    *
+    * This is the shape for 100 TB of trades against dimension-sized
+    * marks (daily closes, instrument reference quotes): [[asOf]] shuffles
+    * and sorts BOTH streams on the key; here the probe stream never
+    * moves — no exchange, no sort, stays inside whole-stage codegen.
+    * Bound: the packed reference side must fit in a broadcast (the same
+    * judgement call as any `broadcast()` dim). Left-join semantics:
+    * probe keys with no reference rows, or probing before the first
+    * reference timestamp, get NULL.
+    *
+    * Same determinism caveat as [[asOf]]: pre-deduplicate the reference
+    * side per (key, ts); equal-ts duplicates resolve to the last packed
+    * entry (the `last()` tie-break).
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def micros(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
+      else col(c).cast("long")
+    val packed = right
+      .select(keys.map(col) :+ micros(right, rightTs).as("_t") :+ col(valueCol).as("_v"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("_t"), col("_v")))).as("_tv"))
+      .select(keys.map(col)
+        :+ col("_tv").getField("_t").as("_asof_ts_arr")
+        :+ col("_tv").getField("_v").as("_asof_val_arr"): _*)
+    left.join(broadcast(packed), keys, "left")
+      .withColumn(valueCol,
+        call_function("asof_pick",
+          col("_asof_ts_arr"), col("_asof_val_arr"), micros(left, leftTs)))
+      .drop("_asof_ts_arr", "_asof_val_arr")
+  }
+
   /** As-of join in BOTH directions at once: each left row gets the most
     * recent right value at-or-before its timestamp (`v0`/`t0`) AND the
     * first right value strictly after it (`v1`/`t1`) — the neighbor pair

@@ -549,6 +549,35 @@ object AspSemantics {
                (unix_micros($"t1") - unix_micros($"t0")).cast("double")))
             .as("value"))
         .orderBy($"user_id", $"grid_us")
+    },
+
+    // ---- broadcast as-of join: q26's semantics, ZERO shuffle of the
+    // probe stream. The quote side packs into per-key sorted arrays and
+    // broadcasts; each trade resolves its as-of quote with a codegen'd
+    // binary search (`asof_pick`). The 100 TB shape when the reference
+    // side is dimension-sized — the fact stream never moves. Oracle =
+    // the same DuckDB ASOF LEFT JOIN as q26, proving the two operator
+    // forms implement one semantics. ----
+    QuerySpec.sql("q90_asof_broadcast",
+      s"""SELECT t.event_id AS event_id, t.user_id AS user_id,
+         |  epoch_us(CAST(t.ts AS TIMESTAMP)) AS ts_us,
+         |  t.value AS trade_value, q.value AS quote_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+         |ASOF LEFT JOIN (
+         |  SELECT user_id, ts, max_by(value, event_id) AS value
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val trades = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value".as("trade_value"))
+      val quotes = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("quote_value"))
+      AsOfJoin.asOfBroadcast(trades, quotes, Seq("user_id"), "ts", "ts", "quote_value")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"trade_value", $"quote_value")
+        .orderBy($"event_id")
     }
   )
 }

@@ -42,6 +42,21 @@ class QueryPlanSpec extends AnyFunSuite {
       s"no map-side partial sketch:\n$p")
   }
 
+  test("q90 broadcast as-of join never shuffles the probe stream") {
+    val p = plan("q90_asof_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"packed quote side not broadcast:\n$p")
+    assert(p.contains("asof_pick"), s"binary-search kernel missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe stream shuffled:\n$p")
+    // the only exchanges allowed are for the small packed side's groupBy
+    // and the final presentation ORDER BY — the probe scan must feed the
+    // broadcast join directly (no hashpartitioning of the trades side)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val probeSection = p.substring(joinIdx)
+    assert(!probeSection.split("\n").exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("event_id")),
+      s"probe side re-partitioned before the join:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // The 100 TB shape Catalyst provides when neither join side broadcasts:
     // a bloom filter built from the (selectively filtered) creation side is
