@@ -1402,6 +1402,70 @@ object LlmQueries {
       est.join(exact, "user_id")
         .select($"user_id", $"est", $"n_exact")
         .orderBy($"est".desc, $"user_id").limit(10)
+    },
+
+    // ---- MinHash sketch-quality report: for every LSH candidate pair
+    // (q44's bands), the signature-estimated Jaccard (matching
+    // components / 16) next to the exact shingle Jaccard — computed ONLY
+    // on candidates (exact verify restricted to the bucketed pair space,
+    // never all-pairs, and the shingle self-join is semi-joined down to
+    // candidate docs first). This is how a pipeline calibrates its
+    // banding thresholds on a sample before committing the 100 TB run:
+    // the estimate drives candidate generation, the error distribution
+    // says whether 16 permutations are enough. ----
+    QuerySpec.sql("q91_sketch_error", {
+      val eqSum = (0 until 16)
+        .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $pairsSql,
+         |est AS (SELECT p.a_id, p.b_id, $eqSum AS n_eq
+         |  FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+         |               JOIN sig sb ON sb.doc_id = p.b_id),
+         |cand AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+         |grams AS (SELECT DISTINCT s.doc_id, s.sh FROM sh s
+         |          JOIN cand c ON c.doc_id = s.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id)
+         |SELECT e.a_id AS a_id, e.b_id AS b_id, CAST(e.n_eq AS BIGINT) AS n_eq,
+         |  CAST(e.n_eq AS DOUBLE) / 16.0 AS est_jaccard,
+         |  CAST(coalesce(i.n_common, 0) AS DOUBLE)
+         |    / CAST(ca.n + cb.n - coalesce(i.n_common, 0) AS DOUBLE) AS exact_jaccard
+         |FROM est e
+         |JOIN counts ca ON ca.doc_id = e.a_id
+         |JOIN counts cb ON cb.doc_id = e.b_id
+         |LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = lshPairs(docs)
+      val sig = minhashSig(docs)
+      val eqSum = (0 until 16)
+        .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = pairs
+        .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
+        .select($"a_id", $"b_id", eqSum.cast("long").as("n_eq"))
+      val candIds = pairs.select($"a_id".as("doc_id"))
+        .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      val grams = shingles(docs).distinct()
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      est
+        .join(counts.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+        .join(counts.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .select($"a_id", $"b_id", $"n_eq",
+          ($"n_eq".cast("double") / 16.0).as("est_jaccard"),
+          (coalesce($"n_common", lit(0L)).cast("double") /
+            ($"n_a" + $"n_b" - coalesce($"n_common", lit(0L))).cast("double"))
+            .as("exact_jaccard"))
+        .orderBy($"a_id", $"b_id")
     }
   )
 }
