@@ -1466,6 +1466,91 @@ object LlmQueries {
             ($"n_a" + $"n_b" - coalesce($"n_common", lit(0L))).cast("double"))
             .as("exact_jaccard"))
         .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- IVF codebook refinement: one Lloyd (k-means) iteration on the
+    // quantized integer domain. Per-cell means truncate through double
+    // (sums < 2^53, so the division + trunc is bit-identical in both
+    // engines); re-assignment scores every vector against the 8 REFINED
+    // centroids (broadcast, one streaming pass — the big side never
+    // shuffles for the scoring). Output = members per cell before/after,
+    // i.e. how much the codebook moved. The iteration is the missing
+    // piece between q55's static codebook and a trained IVF index; at
+    // 100 TB each iteration is one aggregation + one broadcast pass,
+    // repeated a handful of times on a sample. ----
+    QuerySpec.sql("q92_ivf_refine",
+      s"""WITH $annBaseSql,
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
+         |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |sums AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
+         |  FROM e JOIN assign0 a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
+         |newc AS (SELECT cell, i,
+         |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
+         |  FROM sums),
+         |newnorm AS (SELECT cell, sum(c * c) AS nrm FROM newc GROUP BY cell),
+         |redots AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
+         |  FROM e JOIN newc n ON n.i = e.i GROUP BY e.vec_id, n.cell),
+         |recos AS (SELECT r.vec_id, r.cell,
+         |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cosine
+         |  FROM redots r JOIN norms nv ON nv.vec_id = r.vec_id
+         |                JOIN newnorm nn ON nn.cell = r.cell),
+         |assign1 AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
+         |  FROM recos) WHERE rn = 1),
+         |bef AS (SELECT cell, count(*) AS n_before FROM assign0 GROUP BY cell),
+         |aft AS (SELECT cell, count(*) AS n_after FROM assign1 GROUP BY cell)
+         |SELECT bef.cell AS cell, bef.n_before AS n_before,
+         |  coalesce(aft.n_after, 0) AS n_after
+         |FROM bef LEFT JOIN aft ON aft.cell = bef.cell
+         |ORDER BY cell""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign0 = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+      // per-(cell, dim) integer sums → truncated-mean refined centroid
+      val exploded = assign0
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"cell", ($"pos" + 1).as("i"),
+          ($"x".cast("double") * lit(1.0e7)).cast("long").as("xq"))
+      val sums = exploded.groupBy($"cell", $"i")
+        .agg(sum($"xq").as("s"), count(lit(1)).as("cnt"))
+      val newc = sums.select($"cell", $"i",
+        expr("CAST(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS LONG)").as("c"))
+      val packed = newc.groupBy($"cell")
+        .agg(sort_array(collect_list(struct($"i", $"c"))).as("ic"),
+          sum($"c" * $"c").as("c_nrm"))
+        .select($"cell", expr("transform(ic, p -> p.c)").as("c_arr"), $"c_nrm")
+      // score every vector against the 8 refined centroids: broadcast the
+      // codebook, stream the big side once (no shuffle of the vectors)
+      val rescored = emb.crossJoin(broadcast(packed))
+        .select($"vec_id", $"nrm", $"cell",
+          expr("""aggregate(
+                 |  zip_with(embedding, c_arr, (x, c) -> CAST(CAST(x AS DOUBLE) * 1.0e7 AS LONG) * c),
+                 |  0L, (acc, v) -> acc + v)""".stripMargin).as("dot"),
+          $"c_nrm")
+        .select($"vec_id", $"cell",
+          cosineQ($"dot", $"nrm", $"c_nrm").as("cosine"))
+      val assign1 = Windows.topKPerGroup(rescored, Seq("vec_id"),
+          Seq($"cosine".desc, $"cell"), 1)
+        .select($"vec_id", $"cell")
+      val bef = assign0.groupBy($"cell").agg(count(lit(1)).as("n_before"))
+      val aft = assign1.groupBy($"cell").agg(count(lit(1)).as("n_after"))
+      bef.join(aft, Seq("cell"), "left")
+        .select($"cell", $"n_before", coalesce($"n_after", lit(0L)).as("n_after"))
+        .orderBy($"cell")
     }
   )
 }
