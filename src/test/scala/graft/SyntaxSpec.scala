@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** The fluent surface forwards to the operator objects unchanged — one
+  * chained pipeline equals the explicit calls it sugars. */
+class SyntaxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("chained asOf + runningSum + topKPerGroup ≡ explicit operator calls") {
+    val sp = spark
+    import sp.implicits._
+    val ev = graft.core.Tables.events(sp, sf)
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val quotes = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max_by($"value", $"event_id").as("quote"))
+
+    val fluent = trades
+      .asOf(quotes, Seq("user_id"), "ts", "ts", Seq("quote"))
+      .runningSum($"value", "position", Seq("user_id"))
+      .topKPerGroup(Seq("user_id"), Seq($"position".desc, $"event_id"), 3)
+
+    val explicit = graft.operators.Windows.topKPerGroup(
+      graft.operators.Windows.runningSum(
+        graft.operators.AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts", Seq("quote")),
+        $"value", "position", Seq("user_id")),
+      Seq("user_id"), Seq($"position".desc, $"event_id"), 3)
+
+    val a = fluent.orderBy($"user_id", $"rnk").collect()
+    val b = explicit.orderBy($"user_id", $"rnk").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("asOfBroadcast through syntax matches asOf") {
+    val sp = spark
+    import sp.implicits._
+    val ev = graft.core.Tables.events(sp, sf)
+    val trades = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val quotes = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max_by($"value", $"event_id").as("quote"))
+    val viaBroadcast = trades.asOfBroadcast(quotes, Seq("user_id"), "ts", "ts", "quote")
+      .orderBy($"event_id").select($"event_id", $"quote").collect()
+    val viaUnion = trades.asOf(quotes, Seq("user_id"), "ts", "ts", Seq("quote"))
+      .orderBy($"event_id").select($"event_id", $"quote").collect()
+    assert(viaBroadcast.nonEmpty && viaBroadcast.sameElements(viaUnion))
+  }
+}
