@@ -578,6 +578,53 @@ object AspSemantics {
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
           $"trade_value", $"quote_value")
         .orderBy($"event_id")
+    },
+
+    // ---- ordered-step funnel: view → click-after-view →
+    // purchase-after-that-click, per user, then stage totals +
+    // conversion rates. Each stage is one conditional aggregation
+    // joined against the previous stage's per-user anchor time — three
+    // shuffles on user_id total (and the per-user anchor tables are
+    // dimension-sized, so at 100 TB stages 2/3 are broadcast joins
+    // against the full event stream, which never moves). ----
+    QuerySpec.sql("q93_funnel",
+      """WITH s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(t1) AS BIGINT) FROM s1) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after,
+        |  CAST((SELECT count(*) FROM s2) AS DOUBLE)
+        |    / CAST((SELECT count(t1) FROM s1) AS DOUBLE) AS click_rate,
+        |  CAST((SELECT count(*) FROM s3) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS purchase_rate""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val s1 = ev.groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("t1"))
+      val s2 = ev.filter($"event_type" === "click")
+        .join(broadcast(s1), "user_id")
+        .filter($"ts" >= $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(broadcast(s2), "user_id")
+        .filter($"ts" >= $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val a = s1.agg(count($"t1").as("n_view"))
+      val b = s2.agg(count(lit(1)).as("n_click_after"))
+      val c = s3.agg(count(lit(1)).as("n_purchase_after"))
+      a.crossJoin(b).crossJoin(c)
+        .select($"n_view", $"n_click_after", $"n_purchase_after",
+          ($"n_click_after".cast("double") / $"n_view".cast("double")).as("click_rate"),
+          ($"n_purchase_after".cast("double") / $"n_click_after".cast("double")).as("purchase_rate"))
     }
   )
 }
