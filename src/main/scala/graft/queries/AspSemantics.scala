@@ -625,6 +625,72 @@ object AspSemantics {
         .select($"n_view", $"n_click_after", $"n_purchase_after",
           ($"n_click_after".cast("double") / $"n_view".cast("double")).as("click_rate"),
           ($"n_purchase_after".cast("double") / $"n_click_after".cast("double")).as("purchase_rate"))
+    },
+
+    // ---- cohort retention: users grouped by first-seen week; cell
+    // (cohort, k) = how many returned k weeks later. Two aggregations
+    // and one broadcast of the per-user cohort table — the event stream
+    // is read once and never shuffled on anything but (cohort, k)
+    // group keys. ----
+    QuerySpec.sql("q94_retention",
+      """WITH firsts AS (SELECT user_id,
+        |    date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('week', f.cohort,
+        |      date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS k
+        |  FROM events e JOIN firsts f ON f.user_id = e.user_id),
+        |cohort_size AS (SELECT cohort, count(*) AS n_users FROM firsts GROUP BY cohort)
+        |SELECT epoch_us(a.cohort) AS cohort_us, a.k AS k,
+        |  CAST(count(*) AS BIGINT) AS n_active, s.n_users AS n_users,
+        |  CAST(count(*) AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS retention
+        |FROM activity a JOIN cohort_size s ON s.cohort = a.cohort
+        |GROUP BY a.cohort, a.k, s.n_users
+        |ORDER BY cohort_us, k""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firsts = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort"))
+      val activity = ev.join(broadcast(firsts), "user_id")
+        .select($"user_id", $"cohort",
+          ((unix_date(to_date(date_trunc("week", $"ts"))) -
+            unix_date(to_date($"cohort"))) / 7).cast("long").as("k"))
+        .distinct()
+      val cohortSize = firsts.groupBy($"cohort").agg(count(lit(1)).as("n_users"))
+      activity.groupBy($"cohort", $"k")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cohortSize), "cohort")
+        .select(unix_micros($"cohort").as("cohort_us"), $"k", $"n_active", $"n_users",
+          ($"n_active".cast("double") / $"n_users".cast("double")).as("retention"))
+        .orderBy($"cohort_us", $"k")
+    },
+
+    // ---- event-sequence transition counts (first-order Markov view):
+    // per user, consecutive event-type pairs in (ts, event_id) order,
+    // counted corpus-wide with the per-source transition probability.
+    // One lag window per key + one aggregation — the sequence-mining
+    // primitive behind session-path and next-action analyses. ----
+    QuerySpec.sql("q95_transitions",
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |cnt AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+        |tot AS (SELECT from_type, sum(n) AS n_from FROM cnt GROUP BY from_type)
+        |SELECT c.from_type AS from_type, c.to_type AS to_type, c.n AS n,
+        |  CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM cnt c JOIN tot t ON t.from_type = c.from_type
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq0 = Tables.events(s, d)
+        .select($"user_id", $"event_type", lag($"event_type", 1).over(w).as("prev"))
+      val cnt = seq0.filter($"prev".isNotNull)
+        .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      cnt.join(broadcast(tot), "from_type")
+        .select($"from_type", $"to_type", $"n",
+          ($"n".cast("double") / $"n_from".cast("double")).as("p"))
+        .orderBy($"from_type", $"to_type")
     }
   )
 }
