@@ -33,12 +33,21 @@ object Tables {
   }
 
   /** Session config every entry point needs: UTC semantics, ns-parquet
-    * compatibility, fixture-scale shuffle parallelism. */
+    * compatibility, fixture-scale parallelism. Input splits are sized to
+    * the FIXTURE, not the default 128 MB: the largest sf0.1 table is one
+    * ~11 MB parquet file, which under the default is a single scan task —
+    * 31 of 32 cores idle through every scan + partial-agg stage. 1 MB
+    * splits (and a matching open-cost) fan the file out to ~11 parallel
+    * tasks. At production scale files are 128 MB–1 GB and these two
+    * revert to defaults — the knob tracks data size per the same rule
+    * (splits ≈ a few per core per file). */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.ui.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
