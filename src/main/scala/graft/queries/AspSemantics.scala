@@ -691,6 +691,31 @@ object AspSemantics {
         .select($"from_type", $"to_type", $"n",
           ($"n".cast("double") / $"n_from".cast("double")).as("p"))
         .orderBy($"from_type", $"to_type")
+    },
+
+    // ---- trailing time-RANGE frame: per event, the sum/count of the
+    // key's events in the last hour — a RANGE (value-based) frame over
+    // epoch micros, not a ROWS frame and not a grouped window()
+    // aggregation: every row gets its own trailing window. One shuffle
+    // on the key + per-key sort; the frame is evaluated incrementally
+    // (sliding endpoints), not re-scanned per row. DECIMAL accumulator
+    // for engine-exact sums. The reference's MovingAverage eviction
+    // (e2_stats.py:49-51) is exactly this frame. ----
+    QuerySpec.sql("q96_trailing_window",
+      s"""SELECT user_id, event_id, $tsUs AS ts_us,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+         |  CAST(count(*) OVER w AS BIGINT) AS hour_n
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).cast("long").as("hour_n"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
     }
   )
 }
