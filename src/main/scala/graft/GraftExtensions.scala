@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, QuantizedDot, SliceId, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, SliceId, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ZOrderKey(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_mins"),
+      new ExpressionInfo(classOf[MinhashMins].getName, "minhash_mins"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"minhash_mins requires exactly 2 arguments, got ${children.size}")
+        MinhashMins(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("asof_pick"),
       new ExpressionInfo(classOf[AsOfPick].getName, "asof_pick"),

@@ -138,13 +138,19 @@ object LlmQueries {
       sequence(lit(1), size(col("w")) - 2),
       i => concat_ws(" ", slice(col("w"), i, lit(3))))
     val hs = transform(col("shs"), s => PortableHash.md5Mod(s))
+    // all 16 affine minima in one codegen'd pass (MinhashMins) — the 16
+    // separate array_min(transform(...)) walks this replaces ran the
+    // lambda interpreted and allocated an intermediate array per
+    // permutation per row
+    val mins = call_function("minhash_mins", col("hs"),
+      typedLit(Seq(MhA.toSeq, MhB.toSeq)))
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shs.as("shs"))
       .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), mins.as("mins"))
       .select(col("doc_id") +:
-        (0 until 16).map(j =>
-          array_min(transform(col("hs"), h => (h * MhA(j) + MhB(j)) % P)).as(s"h$j")): _*)
+        (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
   }
 
   /** 4×4 band keys from a signature frame — one row per (doc, band). */
