@@ -90,6 +90,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof_pick: binary search == linear reference, codegen == eval, edges null") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType, DoubleType}
+    val rnd = new scala.util.Random(11)
+    val timeline = (1 to 50).map(_ => rnd.nextInt(1000).toLong).distinct.sorted
+    val vals = timeline.map(t => t * 1.5)
+    val probes = (-5L to 1005L by 7L).toSeq
+    def reference(t: Long): Option[Double] = {
+      val i = timeline.lastIndexWhere(_ <= t)
+      if (i < 0) None else Some(vals(i))
+    }
+    // column (codegen) path
+    val df = probes.toDF("t").select($"t",
+      org.apache.spark.sql.functions.call_function("asof_pick",
+        typedLit(timeline), typedLit(vals), $"t").as("v"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    got.foreach { case (t, v) => assert(v == reference(t), s"probe $t") }
+    // interpreted eval must agree
+    val tsLit = Literal(new GenericArrayData(timeline.toArray),
+      ArrayType(LongType, containsNull = false))
+    val vsLit = Literal(new GenericArrayData(vals.toArray),
+      ArrayType(DoubleType, containsNull = false))
+    probes.foreach { t =>
+      val r = graft.functions.AsOfPick(tsLit, vsLit, Literal(t)).eval(null)
+      assert(Option(r).map(_.asInstanceOf[Double]) == reference(t))
+    }
+  }
+
+  test("minhash_mins: one-pass minima == 16 independent array_min passes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val P = graft.functions.PortableHash.P
+    val a = (0 until 16).map(j => (2654435761L * (2 * j + 1)) % P)
+    val b = (0 until 16).map(j => (2654435789L * (j + 7) + 40503L * j) % P)
+    val rows = List.tabulate(200)(i =>
+      (i.toLong, List.fill(rnd.nextInt(30) + 1)(rnd.nextLong(P).abs)))
+    val df = spark.createDataset(rows).toDF("id", "hs")
+    val fused = df.select($"id",
+      org.apache.spark.sql.functions.call_function("minhash_mins",
+        $"hs", typedLit(Seq(a, b))).as("mins")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val naive = rows.map { case (id, hs) =>
+      (id, (0 until 16).map(j => hs.map(h => (h * a(j) + b(j)) % P).min))
+    }
+    assert(fused.toSeq.map { case (id, m) => (id, m.toSeq) } ==
+      naive.map { case (id, m) => (id, m.toSeq) })
+    // empty hashes -> null signature
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "hs")
+      .select(org.apache.spark.sql.functions.call_function("minhash_mins",
+        $"hs", typedLit(Seq(a, b))))
+      .collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("zorder_key: interleave roundtrips, orders curve-contiguously, codegen == eval") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
