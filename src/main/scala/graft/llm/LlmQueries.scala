@@ -1557,6 +1557,66 @@ object LlmQueries {
       bef.join(aft, Seq("cell"), "left")
         .select($"cell", $"n_before", coalesce($"n_after", lit(0L)).as("n_after"))
         .orderBy($"cell")
+    },
+
+    // ---- sliding-window distinct counts from MERGED per-day sketches:
+    // trailing 7-day distinct users per day, computed by unioning the 7
+    // daily KMV sketches and re-taking min-64 — the q78 merge identity
+    // (min-k of min-k unions = min-k of the union) applied to a moving
+    // window. At 100 TB this is THE shape for sliding distinct: store
+    // 64 longs per day, answer any window by merging sketches — a
+    // direct count(DISTINCT) over each window re-scans the raw stream
+    // per window (the `exact` column here exists only to make the
+    // estimate's error visible at fixture scale). ----
+    QuerySpec.sql("q97_sliding_distinct", {
+      val h = md5ModSql("CAST(user_id AS VARCHAR)")
+      s"""WITH hd AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         |    $h AS h FROM events),
+         |sk AS (SELECT d, h FROM (SELECT d, h,
+         |    row_number() OVER (PARTITION BY d ORDER BY h) AS rn FROM hd)
+         |  WHERE rn <= 64),
+         |days AS (SELECT DISTINCT d FROM hd),
+         |win AS (SELECT DISTINCT dd.d, sk.h FROM days dd
+         |  JOIN sk ON sk.d BETWEEN dd.d - INTERVAL 6 DAY AND dd.d),
+         |ranked AS (SELECT d, h,
+         |    row_number() OVER (PARTITION BY d ORDER BY h) AS rn FROM win),
+         |k AS (SELECT d, max(h) AS hk, count(*) AS m
+         |      FROM ranked WHERE rn <= 64 GROUP BY d),
+         |exact AS (SELECT dd.d, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact
+         |  FROM events e JOIN days dd
+         |    ON date_trunc('day', CAST(e.ts AS TIMESTAMP))
+         |       BETWEEN dd.d - INTERVAL 6 DAY AND dd.d
+         |  GROUP BY dd.d)
+         |SELECT epoch_us(k.d) AS day_us,
+         |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+         |       ELSE (63.0 * 2147483647.0) / CAST(hk AS DOUBLE) END AS est_7d,
+         |  n_exact
+         |FROM k JOIN exact ON exact.d = k.d
+         |ORDER BY day_us""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hd = ev.select(date_trunc("day", $"ts").as("d"),
+        PortableHash.md5Mod($"user_id".cast("string")).as("h")).distinct()
+      val sk = Windows.topKPerGroup(hd, Seq("d"), Seq($"h".asc), 64)
+        .select($"d", $"h")
+      val days = hd.select($"d").distinct()
+      val win = days.as("dd").join(broadcast(sk.as("sk")),
+          col("sk.d").between(col("dd.d") - expr("INTERVAL 6 DAYS"), col("dd.d")))
+        .select(col("dd.d").as("d"), col("sk.h").as("h")).distinct()
+      val k = Windows.topKPerGroup(win, Seq("d"), Seq($"h".asc), 64)
+        .groupBy($"d").agg(max($"h").as("hk"), count(lit(1)).as("m"))
+      val exact = ev.select(date_trunc("day", $"ts").as("ed"), $"user_id")
+        .join(broadcast(days.as("dd")),
+          $"ed".between(col("dd.d") - expr("INTERVAL 6 DAYS"), col("dd.d")))
+        .groupBy(col("dd.d").as("d"))
+        .agg(countDistinct($"user_id").cast("long").as("n_exact"))
+      k.join(exact, "d")
+        .select(unix_micros($"d").as("day_us"),
+          when($"m" < 64, $"m".cast("double"))
+            .otherwise((lit(63.0) * lit(2147483647.0)) / $"hk".cast("double"))
+            .as("est_7d"),
+          $"n_exact")
+        .orderBy($"day_us")
     }
   )
 }
