@@ -33,21 +33,25 @@ object Tables {
   }
 
   /** Session config every entry point needs: UTC semantics, ns-parquet
-    * compatibility, fixture-scale parallelism. Input splits are sized to
-    * the FIXTURE, not the default 128 MB: the largest sf0.1 table is one
-    * ~11 MB parquet file, which under the default is a single scan task —
-    * 31 of 32 cores idle through every scan + partial-agg stage. 1 MB
-    * splits (and a matching open-cost) fan the file out to ~11 parallel
-    * tasks. At production scale files are 128 MB–1 GB and these two
-    * revert to defaults — the knob tracks data size per the same rule
-    * (splits ≈ a few per core per file). */
+    * compatibility, fixture-scale parallelism. Input splits default to
+    * 1 MB because these entry points (Verify/Bench/specs) read the
+    * FIXTURES, whose largest table is one ~11 MB parquet file — under
+    * Spark's 128 MB default that is a single scan task, 31 of 32 cores
+    * idle through every scan + partial-agg stage. The rule is splits ≈ a
+    * few per core per file; for production-sized files (128 MB–1 GB) set
+    * `SPARK_GRAFT_MAX_PARTITION_BYTES=128m` (or unset via sessions built
+    * without this helper) — the override exists precisely because 1 MB
+    * splits on a 128 GB table would mean ~128k tasks of pure scheduling
+    * overhead. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "131072"))
       .config("spark.ui.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the union-window operator's `last()` tie-break; pre-deduplicate the
   * reference side for full determinism (same caveat as `asOf`).
   *
-  * `tsArr`/`valArr` come from `collect_list(sort_array(...))` per key, so
-  * elements are never null; a null ARRAY (left-join miss: key with no
-  * reference rows at all) yields NULL — the as-of LEFT join semantics.
+  * Timestamps in `tsArr` must be non-null (the packed structs are built
+  * from the right side's own `rightTs`); `valArr` MAY contain null
+  * elements (a reference row whose value column is null) — matching on
+  * one yields NULL, in both interpreted and codegen paths. A null ARRAY
+  * (left-join miss: key with no reference rows at all) also yields NULL
+  * — the as-of LEFT join semantics.
   */
 case class AsOfPick(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -60,6 +63,8 @@ case class AsOfPick(first: Expression, second: Expression, third: Expression)
       val hi = ctx.freshName("hi")
       val mid = ctx.freshName("mid")
       val getV = CodeGenerator.getValue(valA, dataType, s"$lo - 1")
+      // the matched element may itself be null (e.g. a packed struct with
+      // a null value) — must yield NULL, matching the interpreted path
       s"""
          |int $lo = 0;
          |int $hi = $tsA.numElements();
@@ -67,7 +72,7 @@ case class AsOfPick(first: Expression, second: Expression, third: Expression)
          |  int $mid = ($lo + $hi) >>> 1;
          |  if ($tsA.getLong($mid) <= $t) $lo = $mid + 1; else $hi = $mid;
          |}
-         |if ($lo == 0) {
+         |if ($lo == 0 || $valA.isNullAt($lo - 1)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $getV;

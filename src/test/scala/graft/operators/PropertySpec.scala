@@ -119,6 +119,16 @@ class PropertySpec extends AnyFunSuite {
       val r = graft.functions.AsOfPick(tsLit, vsLit, Literal(t)).eval(null)
       assert(Option(r).map(_.asInstanceOf[Double]) == reference(t))
     }
+    // null VALUE element: matching it must yield null under codegen too
+    // (the packed reference side may carry null value columns)
+    val nullable = Seq((5L, Some(1.0)), (10L, None), (20L, Some(3.0)))
+    val nv = Seq(4L, 5L, 10L, 15L, 20L, 25L).toDF("t").select($"t",
+      org.apache.spark.sql.functions.call_function("asof_pick",
+        typedLit(nullable.map(_._1)),
+        typedLit(nullable.map(_._2)), $"t").as("v")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(nv.toSeq == Seq(4L -> None, 5L -> Some(1.0), 10L -> None,
+      15L -> None, 20L -> Some(3.0), 25L -> Some(3.0)))
   }
 
   test("minhash_mins: one-pass minima == 16 independent array_min passes") {

@@ -43,18 +43,30 @@ class QueryPlanSpec extends AnyFunSuite {
   }
 
   test("q90 broadcast as-of join never shuffles the probe stream") {
-    val p = plan("q90_asof_broadcast")
-    assert(p.contains("BroadcastHashJoin"), s"packed quote side not broadcast:\n$p")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val exec0 = SparkEntry.queries("q90_asof_broadcast")(spark, sf)
+      .queryExecution.executedPlan
+    val exec = exec0 match { // AQE wrapper is opaque to collect()
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val p = exec.toString
     assert(p.contains("asof_pick"), s"binary-search kernel missing:\n$p")
     assert(!p.contains("SortMergeJoin"), s"probe stream shuffled:\n$p")
-    // the only exchanges allowed are for the small packed side's groupBy
-    // and the final presentation ORDER BY — the probe scan must feed the
-    // broadcast join directly (no hashpartitioning of the trades side)
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    val probeSection = p.substring(joinIdx)
-    assert(!probeSection.split("\n").exists(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("event_id")),
-      s"probe side re-partitioned before the join:\n$p")
+    // structural check: the STREAMED side of the broadcast join must be
+    // shuffle-free all the way to the scan (the build side's groupBy
+    // exchanges are expected and allowed)
+    val join = exec.collectFirst { case j: BroadcastHashJoinExec => j }
+      .getOrElse(fail(s"no BroadcastHashJoin in plan:\n$p"))
+    val streamed = join.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => join.left
+      case _ => join.right
+    }
+    val shuffles = streamed.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"probe side re-partitioned before the join:\n$streamed")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
