@@ -76,6 +76,41 @@ object Relational {
         .orderBy($"revenue".desc, $"n_name")
     },
 
+    // ---- TPC-H Q5 shape: star join with a CROSS-dimension correlation —
+    // customer and supplier must share a nation, so the supplier join
+    // carries both the fact key (l_suppkey) and the dim-dim constraint
+    // (c_nationkey = s_nationkey). Selective region + date filters reach
+    // the scans as pushed predicates; every dim broadcasts, so the only
+    // shuffle is lineitem⋈orders and the final tiny aggregation. ----
+    QuerySpec.sql("q98_local_supplier",
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
     // ---- top-k per group (ranking window; partial top-k pushdown) ----
     QuerySpec.sql("q3_topk_per_group",
       """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
