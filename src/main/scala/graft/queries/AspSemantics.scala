@@ -716,6 +716,45 @@ object AspSemantics {
           sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("hour_sum"),
           count(lit(1)).over(w).cast("long").as("hour_n"))
         .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- distribution window functions: percent_rank (rank-1)/(n-1)
+    // and cume_dist (peers-at-or-below)/n — the remaining ranking-family
+    // members (q11 rank/dense_rank, q84 lead/lag/ntile). Both are exact
+    // rational values of integer window state, so the doubles agree
+    // bit-for-bit across engines. ----
+    QuerySpec.sql("q99_percent_rank",
+      """SELECT user_id, event_id,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // ---- deterministic array aggregation: each user's event-type
+    // sequence packed into ONE array column, ordered by (ts, event_id) —
+    // the grouping shape that feeds sequence models (per-document token
+    // arrays, per-session action lists). Determinism discipline:
+    // collect_list order is partition-dependent, so the list is built
+    // from (sortable struct) then sorted — same rows, same array, any
+    // cluster layout. ----
+    QuerySpec.sql("q100_event_arrays",
+      s"""SELECT user_id,
+         |  list(event_type ORDER BY ts, event_id) AS types,
+         |  CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS n
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), r -> r.event_type)").as("types"),
+          count(lit(1)).as("n"))
+        .orderBy($"user_id")
     }
   )
 }
