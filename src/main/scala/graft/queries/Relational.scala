@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -109,6 +109,63 @@ object Relational {
         .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
           .cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // ---- data-quality constraint report (the deequ/expectations
+    // shape): every invariant the pipeline asserts before shipping a
+    // snapshot, evaluated in ONE pass per table as conditional
+    // aggregates, plus referential-integrity anti-join counts. Output =
+    // (check, n_violations) — a pipeline gates on sum(n_violations)=0.
+    // At 100 TB each per-table block is one scan (no shuffle beyond the
+    // single-row aggregate) and the FK checks are broadcast anti joins
+    // on the dimension side. ----
+    QuerySpec.sql("q101_quality_checks",
+      """SELECT check_name, n_violations FROM (
+        |  SELECT 'lineitem_negative_qty' AS check_name,
+        |    CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_null_orderkey',
+        |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_ship_before_order',
+        |    CAST(count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END) AS BIGINT)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_order', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'documents_empty_text',
+        |    CAST(count(CASE WHEN len(text) = 0 THEN 1 END) AS BIGINT) FROM documents
+        |) ORDER BY check_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      def check(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check_name"), $"n_violations")
+      val negQty = check("lineitem_negative_qty",
+        li.agg(count(when($"l_quantity" <= 0, 1)).as("n_violations")))
+      val nullKey = check("lineitem_null_orderkey",
+        li.agg(count(when($"l_orderkey".isNull, 1)).as("n_violations")))
+      val shipBefore = check("lineitem_ship_before_order",
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .agg(count(when($"l_shipdate" < $"o_orderdate", 1)).as("n_violations")))
+      val orphanCust = check("orders_orphan_customer",
+        ord.join(broadcast(Tables.customer(s, d)),
+            $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+      val orphanOrder = check("lineitem_orphan_order",
+        li.join(ord.select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+      val emptyDoc = check("documents_empty_text",
+        Tables.documents(s, d)
+          .agg(count(when(length($"text") === 0, 1)).as("n_violations")))
+      Seq(negQty, nullKey, shipBefore, orphanCust, orphanOrder, emptyDoc)
+        .reduce(_.unionByName(_))
+        .orderBy($"check_name")
     },
 
     // ---- top-k per group (ranking window; partial top-k pushdown) ----
