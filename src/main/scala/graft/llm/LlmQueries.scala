@@ -1455,8 +1455,11 @@ object LlmQueries {
         .select($"a_id", $"b_id", eqSum.cast("long").as("n_eq"))
       val candIds = pairs.select($"a_id".as("doc_id"))
         .union(pairs.select($"b_id".as("doc_id"))).distinct()
-      val grams = shingles(docs).distinct()
+      // semi-join BEFORE distinct: the dedup shuffle then carries only
+      // candidate docs' shingles, not the whole corpus
+      val grams = shingles(docs)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .distinct()
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
