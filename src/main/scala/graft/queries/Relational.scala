@@ -113,12 +113,13 @@ object Relational {
 
     // ---- data-quality constraint report (the deequ/expectations
     // shape): every invariant the pipeline asserts before shipping a
-    // snapshot, evaluated in ONE pass per table as conditional
-    // aggregates, plus referential-integrity anti-join counts. Output =
-    // (check, n_violations) — a pipeline gates on sum(n_violations)=0.
-    // At 100 TB each per-table block is one scan (no shuffle beyond the
-    // single-row aggregate) and the FK checks are broadcast anti joins
-    // on the dimension side. ----
+    // snapshot, into one (check, n_violations) report a pipeline gates
+    // on (sum = 0). Plan discipline at 100 TB: all of a table's
+    // single-table checks ride ONE scan (conditional aggregates
+    // unpivoted via stack), BOTH cross-table lineitem↔orders checks
+    // (date ordering + orphan FK) ride ONE left join — a fact-fact
+    // shuffle that can't broadcast — and the dimension FK check
+    // (orders→customer) is a broadcast anti join. ----
     QuerySpec.sql("q101_quality_checks",
       """SELECT check_name, n_violations FROM (
         |  SELECT 'lineitem_negative_qty' AS check_name,
@@ -143,27 +144,33 @@ object Relational {
         |) ORDER BY check_name""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
       val ord = Tables.orders(s, d)
-      def check(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("check_name"), $"n_violations")
-      val negQty = check("lineitem_negative_qty",
-        li.agg(count(when($"l_quantity" <= 0, 1)).as("n_violations")))
-      val nullKey = check("lineitem_null_orderkey",
-        li.agg(count(when($"l_orderkey".isNull, 1)).as("n_violations")))
-      val shipBefore = check("lineitem_ship_before_order",
-        li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .agg(count(when($"l_shipdate" < $"o_orderdate", 1)).as("n_violations")))
-      val orphanCust = check("orders_orphan_customer",
-        ord.join(broadcast(Tables.customer(s, d)),
-            $"o_custkey" === $"c_custkey", "left_anti")
-          .agg(count(lit(1)).as("n_violations")))
-      val orphanOrder = check("lineitem_orphan_order",
-        li.join(ord.select($"o_orderkey"),
-            $"l_orderkey" === $"o_orderkey", "left_anti")
-          .agg(count(lit(1)).as("n_violations")))
-      val emptyDoc = check("documents_empty_text",
-        Tables.documents(s, d)
-          .agg(count(when(length($"text") === 0, 1)).as("n_violations")))
-      Seq(negQty, nullKey, shipBefore, orphanCust, orphanOrder, emptyDoc)
+      // one lineitem scan for both single-table lineitem checks
+      val liChecks = li
+        .agg(count(when($"l_quantity" <= 0, 1)).as("neg_qty"),
+          count(when($"l_orderkey".isNull, 1)).as("null_key"))
+        .select(expr("""stack(2,
+          'lineitem_negative_qty', neg_qty,
+          'lineitem_null_orderkey', null_key) AS (check_name, n_violations)"""))
+      // one lineitem⋈orders LEFT join for both cross-table checks:
+      // a missing match (null o_orderkey) is the orphan; a present one
+      // feeds the date-ordering check
+      val crossChecks = li
+        .join(ord.select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey", "left")
+        .agg(count(when($"l_shipdate" < $"o_orderdate", 1)).as("ship_before"),
+          count(when($"o_orderkey".isNull, 1)).as("orphan"))
+        .select(expr("""stack(2,
+          'lineitem_ship_before_order', ship_before,
+          'lineitem_orphan_order', orphan) AS (check_name, n_violations)"""))
+      val orphanCust = ord
+        .join(broadcast(Tables.customer(s, d)),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_orphan_customer").as("check_name"), $"n_violations")
+      val emptyDoc = Tables.documents(s, d)
+        .agg(count(when(length($"text") === 0, 1)).as("n_violations"))
+        .select(lit("documents_empty_text").as("check_name"), $"n_violations")
+      Seq(liChecks, crossChecks, orphanCust, emptyDoc)
         .reduce(_.unionByName(_))
         .orderBy($"check_name")
     },
