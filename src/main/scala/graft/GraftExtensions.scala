@@ -8,8 +8,9 @@ import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, Slice
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
   * `quantized_dot(a, b)` / `lsh_plane_bits` available to `spark.sql(...)`
-  * users alongside the Column API ([[graft.functions.VectorOps]]), and
-  * installs the whole-operator path (SURVEY §7.3 option c): the
+  * users alongside the Column API ([[graft.functions.VectorOps]]), registers
+  * the `graft_timestamps` table-valued function ([[graft.plans.TimestampsTvf]]),
+  * and installs the whole-operator path (SURVEY §7.3 option c): the
   * [[graft.plans.RewriteGlobalRankWindow]] optimizer rule +
   * [[graft.plans.GlobalSeqStrategy]] planner strategy that replace
   * single-task global ranking windows (`row_number` / `rank` / `dense_rank`) with the distributed
@@ -18,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalRankWindow)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalSeqStrategy)
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.TimestampsTvf.name),
+      new ExpressionInfo(graft.plans.TimestampsTvf.getClass.getName,
+        graft.plans.TimestampsTvf.name),
+      graft.plans.TimestampsTvf.build _))
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),

@@ -755,6 +755,47 @@ object AspSemantics {
         .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), r -> r.event_type)").as("types"),
           count(lit(1)).as("n"))
         .orderBy($"user_id")
+    },
+
+    // ---- the SQL TVF surface: `graft_timestamps(start, step, n)`
+    // ([[graft.plans.TimestampsTvf]], injected table function — the
+    // reference's testing.timestamps generator, testing.py:6-10, for
+    // pure-SQL users). The whole query is spark.sql text: a 6-hourly
+    // tick grid over January joined to per-bucket event counts — the
+    // timer-driven sampling shape (W10) with the grid coming from the
+    // TVF instead of Scala. Bucketing is integer (ts-start) DIV step on
+    // epoch µs — exact on both engines; the 120-row grid side broadcasts. ----
+    QuerySpec.sql("q102_sql_tvf",
+      """WITH g AS (
+        |  SELECT (1704067200000000 + 21600000000 * i) AS tick_us
+        |  FROM range(0, 120) t(i)),
+        |b AS (
+        |  SELECT 1704067200000000 + 21600000000 *
+        |      ((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 21600000000) AS tick_us,
+        |    count(*) AS n_events
+        |  FROM events
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704067200000000
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) < 1704067200000000 + 21600000000 * 120
+        |  GROUP BY 1)
+        |SELECT g.tick_us AS tick_us, CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN b ON b.tick_us = g.tick_us
+        |ORDER BY tick_us""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_q102_events")
+      s.sql(
+        """WITH g AS (
+          |  SELECT ts_us AS tick_us
+          |  FROM graft_timestamps(1704067200000000, 21600000000, 120)),
+          |b AS (
+          |  SELECT 1704067200000000 + 21600000000 *
+          |      ((unix_micros(ts) - 1704067200000000) DIV 21600000000) AS tick_us,
+          |    count(*) AS n_events
+          |  FROM graft_q102_events
+          |  WHERE unix_micros(ts) >= 1704067200000000
+          |    AND unix_micros(ts) < 1704067200000000 + 21600000000 * 120
+          |  GROUP BY 1)
+          |SELECT g.tick_us AS tick_us, CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events
+          |FROM g LEFT JOIN b ON b.tick_us = g.tick_us
+          |ORDER BY tick_us""".stripMargin)
     }
   )
 }
