@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.RangePartitioner
-import org.apache.spark.rdd.{RDD, ShuffledRDD}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
@@ -27,11 +27,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * writing the stock Window API; the fix is transparent — the same
   * discipline AQE applies to skew, extended to the global-window trap.
   *
-  * Tie correctness for rank/dense_rank rests on a `RangePartitioner`
-  * guarantee: partitioning is a binary search of the key against the
-  * sampled bounds, so EQUAL keys always land in the SAME partition — a
-  * tie group is never split, and per-partition (row count, distinct-key
-  * count) offsets make local ranks global.
+  * STACKED windows over prefix-compatible orders collapse into ONE
+  * node: `rank() OVER (ORDER BY q)` + `row_number() OVER (ORDER BY q,
+  * k1, k2)` shuffle once on the finer key, with each function tagged by
+  * how many leading sort keys define its own order. A prefix group CAN
+  * straddle a range-partition boundary (the partitioner only keeps
+  * FULL-key ties together), so the per-partition offset job also
+  * records each partition's first/last key and trailing-run length, and
+  * the driver chains boundary corrections before the output pass — the
+  * same merge `RDD.zipWithIndex` does for counts, extended to tie
+  * groups. One shuffle instead of one per ORDER BY prefix.
   *
   * The [[graft.operators.Prefix]] API remains the richer programmatic
   * form (running sums, last-carry, shared slicing); this plan-level path
@@ -43,9 +48,11 @@ case object GlobalRowNumber extends GlobalRankFunction
 case object GlobalRank extends GlobalRankFunction
 case object GlobalDenseRank extends GlobalRankFunction
 
-/** `funcs`: every ranking expression of the collapsed Window node —
-  * all computed in ONE shuffle pass. */
-case class GlobalSeq(funcs: Seq[(GlobalRankFunction, Attribute)],
+/** `funcs`: every ranking expression of the (possibly merged) Window
+  * nodes — all computed in ONE shuffle pass. The `Int` is the function's
+  * prefix length: how many leading elements of `order` form the ORDER BY
+  * it was written with (`order.length` when they coincide). */
+case class GlobalSeq(funcs: Seq[(GlobalRankFunction, Attribute, Int)],
                      order: Seq[SortOrder], child: LogicalPlan)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ funcs.map(_._2)
@@ -58,9 +65,14 @@ case class GlobalSeq(funcs: Seq[(GlobalRankFunction, Attribute)],
 /** Optimizer rule: a Window node computing ONLY ranking functions over
   * a global (un-partitioned) order becomes [[GlobalSeq]] — including
   * collapsed multi-function nodes (row_number + rank + dense_rank over
-  * one order compute in one pass). The rewrite preserves each output
-  * attribute (same exprId), so parents resolve unchanged. Partitioned
-  * windows and non-ranking functions are left to stock planning. */
+  * one order compute in one pass). A [[GlobalSeq]] stacked directly on
+  * another whose order is a prefix of its own additionally merges into
+  * one node (one shuffle), provided every function of the SHORTER order
+  * is rank/dense_rank — those are pure functions of their prefix key,
+  * while a row_number's tie order is pinned to its own full ORDER BY.
+  * The rewrite preserves each output attribute (same exprId), so parents
+  * resolve unchanged. Partitioned windows and non-ranking functions are
+  * left to stock planning. */
 object RewriteGlobalRankWindow extends Rule[LogicalPlan] {
   // row_number carries ROWS UNBOUNDED PRECEDING..CURRENT ROW; rank-like
   // functions carry the RANGE form; both fixed frames are value-identical
@@ -85,11 +97,35 @@ object RewriteGlobalRankWindow extends Rule[LogicalPlan] {
         rankFunc(f).map(_ -> a.toAttribute)
       case _ => None
     }
+
+  private def isPrefix(short: Seq[SortOrder], long: Seq[SortOrder]): Boolean =
+    short.length <= long.length && short.zip(long).forall { case (a, b) =>
+      a.child.semanticEquals(b.child) && a.direction == b.direction &&
+        a.nullOrdering == b.nullOrdering
+    }
+  // rank/dense_rank depend only on their prefix key; row_number's tie
+  // order would silently change under a finer sort, so it only merges
+  // when its order IS the full merged order
+  private def prefixSafe(fs: Seq[(GlobalRankFunction, Attribute, Int)],
+                         fullLen: Int): Boolean =
+    fs.forall { case (f, _, len) => len == fullLen || f != GlobalRowNumber }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(exprs, Nil, order, child, _)
         if order.nonEmpty && exprs.nonEmpty &&
           exprs.forall(qualifies(_).isDefined) =>
-      GlobalSeq(exprs.map(qualifies(_).get), order, child)
+      GlobalSeq(
+        exprs.map(e => { val (f, a) = qualifies(e).get; (f, a, order.length) }),
+        order, child)
+    case GlobalSeq(fo, oo, GlobalSeq(fi, oi, child))
+        if (isPrefix(oi, oo) || isPrefix(oo, oi)) &&
+          // the outer order must be computable from the child alone (an
+          // order over an attribute the inner node PRODUCES cannot merge)
+          AttributeSet(oo.flatMap(_.references)).subsetOf(child.outputSet) && {
+          val full = math.max(oi.length, oo.length)
+          prefixSafe(fi, full) && prefixSafe(fo, full)
+        } =>
+      GlobalSeq(fi ++ fo, if (oo.length >= oi.length) oo else oi, child)
   }
 }
 
@@ -104,21 +140,26 @@ object GlobalSeqStrategy extends SparkStrategy {
 
 /** Distributed global ranking: an RDD-level range shuffle (sampled
   * boundaries, sorted shuffle read), ONE extra lightweight job per query
-  * computing each partition's (row count, distinct-key count) — its map
-  * stage is the shuffle write, which the main pass then reuses (Spark
-  * skips completed map stages of the same `ShuffledRDD`) — and a
-  * streaming zip with the per-partition offsets:
+  * computing each partition's per-prefix-length summary — its map stage
+  * is the shuffle write, which the main pass then reuses (Spark skips
+  * completed map stages of the same `ShuffledRDD`) — and a streaming zip
+  * with the merged offsets:
   *
   *   row_number = row-offset + local position
-  *   rank       = row-offset + local rank  (ties intact: equal keys
-  *                co-locate, so a group's first row's local position IS
-  *                its rank within the partition)
-  *   dense_rank = distinct-offset + local dense rank
+  *   rank       = row-offset + local group start − boundary carry-in
+  *   dense_rank = distinct-offset − boundary duplicates + local dense rank
   *
-  * The same dataflow as `RDD.zipWithIndex`, keyed by the window's sort
-  * order instead of arrival order. Wall-clock scales with
-  * rows/partitions; nothing ever lands on a single task. */
-case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute)],
+  * Full-key ties never split (range partitioning binary-searches the
+  * key against the bounds), but a PREFIX group can; the summary job
+  * therefore records each partition's (rows, first key, last key, and
+  * per prefix length: distinct-group count + trailing-run length), and
+  * the driver chains corrections across partition boundaries — `A(p)`,
+  * the rows a partition's first group already counted upstream, and the
+  * running number of groups merged across boundaries. The same dataflow
+  * as `RDD.zipWithIndex`, keyed by the window's sort order instead of
+  * arrival order. Wall-clock scales with rows/partitions; nothing ever
+  * lands on a single task. */
+case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute, Int)],
                                order: Seq[SortOrder], child: SparkPlan)
   extends UnaryExecNode {
 
@@ -127,6 +168,12 @@ case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute)],
   // rows leave sorted by the window order within range-ordered partitions
   override def outputOrdering: Seq[SortOrder] = order
   override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+
+  /** Per-partition summary of the sorted run: row count, first/last key
+    * (prefix fields are valid for every tracked length), and per prefix
+    * length the number of distinct groups + the trailing run length. */
+  private case class PartSummary(rows: Long, first: UnsafeRow, last: UnsafeRow,
+                                 distinct: Array[Long], trailing: Array[Long])
 
   override protected def doExecute(): RDD[InternalRow] = {
     val n = conf.numShufflePartitions
@@ -142,54 +189,111 @@ case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute)],
     }
     implicit val ord: Ordering[UnsafeRow] =
       new LazilyGeneratedOrdering(boundOrder).asInstanceOf[Ordering[UnsafeRow]]
+    // distinct prefix lengths, ascending: shorter-prefix-equal implies
+    // nothing, but shorter-prefix-DIFFERENT implies every longer prefix
+    // differs too — change detection walks levels shortest-first
+    val lens: Array[Int] = funcs.map(_._3).distinct.sorted.toArray
+    val prefixOrds: Array[Ordering[UnsafeRow]] = lens.map(l =>
+      new LazilyGeneratedOrdering(boundOrder.take(l)).asInstanceOf[Ordering[UnsafeRow]])
+    // smallest level whose prefix differs between prev and k (levels
+    // [i, lens.length) all changed); lens.length = nothing changed
+    def firstChanged(prev: UnsafeRow, k: UnsafeRow): Int = {
+      var i = 0
+      while (i < lens.length && prefixOrds(i).compare(prev, k) == 0) i += 1
+      i
+    }
     val part = new RangePartitioner(n, keyed, ascending = true)
     // Kryo, not the default Java serializer: UnsafeRow's KryoSerializable
     // writes length+bytes — the closest accessible analogue of SQL's own
     // UnsafeRowSerializer for an RDD-level exchange
-    val shuffled = new ShuffledRDD[UnsafeRow, UnsafeRow, UnsafeRow](keyed, part)
+    val shuffled = new org.apache.spark.rdd.ShuffledRDD[UnsafeRow, UnsafeRow, UnsafeRow](keyed, part)
       .setKeyOrdering(ord)
       .setSerializer(new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf))
-    // count job: (rows, distinct keys) per partition; map stage = the
-    // shuffle write, reused by the main pass
-    val counts = shuffled.mapPartitions({ it =>
+    // summary job: map stage = the shuffle write, reused by the main pass
+    val nLens = lens.length
+    val summaries: Array[PartSummary] = shuffled.mapPartitions({ it =>
       var rows = 0L
-      var distinct = 0L
+      var first: UnsafeRow = null
       var prev: UnsafeRow = null
+      val distinct = new Array[Long](nLens)
+      val trailing = new Array[Long](nLens)
       while (it.hasNext) {
         val k = it.next()._1
         rows += 1
-        if (prev == null || ord.compare(prev, k) != 0) { distinct += 1; prev = k.copy() }
+        val fc = if (prev == null) 0 else firstChanged(prev, k)
+        if (prev == null) first = k.copy()
+        var i = fc
+        while (i < nLens) { distinct(i) += 1; trailing(i) = 0L; i += 1 }
+        i = 0
+        while (i < nLens) { trailing(i) += 1; i += 1 }
+        if (fc < nLens) prev = k.copy()
       }
-      Iterator.single((rows, distinct))
+      Iterator.single(PartSummary(rows, first, prev, distinct, trailing))
     }, preservesPartitioning = true).collect()
-    val rowOffsets = counts.map(_._1).scanLeft(0L)(_ + _)
-    val distinctOffsets = counts.map(_._2).scanLeft(0L)(_ + _)
+
+    val nParts = summaries.length
+    val rowOffsets = summaries.map(_.rows).scanLeft(0L)(_ + _)
+    val distinctOffsets = Array.tabulate(nLens)(i =>
+      summaries.map(_.distinct(i)).scanLeft(0L)(_ + _))
+    // boundary merge per level: carryIn(i)(p) = rows upstream that belong
+    // to partition p's FIRST level-i group (chained through partitions
+    // that are entirely one group); dups(i)(p) = groups double-counted at
+    // boundaries up to and including p's own
+    val carryIn = Array.ofDim[Long](nLens, nParts)
+    val dups = Array.ofDim[Long](nLens, nParts)
+    var i = 0
+    while (i < nLens) {
+      var prevP = -1
+      var d = 0L
+      var p = 0
+      while (p < nParts) {
+        val s = summaries(p)
+        if (s.rows > 0) {
+          if (prevP >= 0) {
+            val q = summaries(prevP)
+            if (prefixOrds(i).compare(s.first, q.last) == 0) {
+              d += 1
+              carryIn(i)(p) = q.trailing(i) +
+                (if (q.trailing(i) == q.rows) carryIn(i)(prevP) else 0L)
+            }
+          }
+          prevP = p
+        }
+        dups(i)(p) = d
+        p += 1
+      }
+      i += 1
+    }
     val outAttrs = output
     val fs = funcs.map(_._1).toArray
+    val funcLevel = funcs.map(f => lens.indexOf(f._3)).toArray
     shuffled.mapPartitionsWithIndex { (pid, it) =>
       val join = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val seqRow = new SpecificInternalRow(fs.map(_ => org.apache.spark.sql.types.IntegerType).toSeq)
       var pos = 0L
-      var denseLocal = 0L
-      var groupStartPos = 0L
+      val denseLocal = new Array[Long](nLens)
+      val groupStart = new Array[Long](nLens)
       var prev: UnsafeRow = null
       it.map { case (k, row) =>
         pos += 1
-        if (prev == null || ord.compare(prev, k) != 0) {
-          denseLocal += 1
-          groupStartPos = pos
-          prev = k.copy()
-        }
-        var i = 0
-        while (i < fs.length) {
-          val value = fs(i) match {
+        val fc = if (prev == null) 0 else firstChanged(prev, k)
+        var j = fc
+        while (j < nLens) { denseLocal(j) += 1; groupStart(j) = pos; j += 1 }
+        if (fc < nLens) prev = k.copy()
+        var f = 0
+        while (f < fs.length) {
+          val li = funcLevel(f)
+          val value = fs(f) match {
             case GlobalRowNumber => rowOffsets(pid) + pos
-            case GlobalRank      => rowOffsets(pid) + groupStartPos
-            case GlobalDenseRank => distinctOffsets(pid) + denseLocal
+            case GlobalRank =>
+              val gs = groupStart(li)
+              rowOffsets(pid) + gs - (if (gs == 1L) carryIn(li)(pid) else 0L)
+            case GlobalDenseRank =>
+              distinctOffsets(li)(pid) - dups(li)(pid) + denseLocal(li)
           }
-          seqRow.setInt(i, value.toInt) // ranking fns are IntegerType in Spark
-          i += 1
+          seqRow.setInt(f, value.toInt) // ranking fns are IntegerType in Spark
+          f += 1
         }
         proj(join(row, seqRow))
       }

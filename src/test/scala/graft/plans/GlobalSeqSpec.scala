@@ -63,6 +63,56 @@ class GlobalSeqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stacked prefix-compatible windows merge into ONE shuffle node") {
+    val sp = spark
+    import sp.implicits._
+    // rank/dense over the COARSE key k; row_number over the full
+    // (k, payload) — prefix-compatible, so one DistributedRank node.
+    // k-tie groups straddle range-partition boundaries under the finer
+    // partitioning, exercising the boundary carry-in/dedup merge.
+    val df = fixture
+      .withColumn("rk", rank().over(Window.orderBy($"k")))
+      .withColumn("dr", dense_rank().over(Window.orderBy($"k")))
+      .withColumn("rn", row_number().over(Window.orderBy($"k", $"payload")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("DistributedRank"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"stock WindowExec still present:\n$plan")
+    val nNodes = "DistributedRank".r.findAllIn(plan).length
+    assert(nNodes == 1, s"expected ONE merged DistributedRank, got $nNodes:\n$plan")
+
+    val rows = fixture.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sortedKeys = rows.map(_._1).sorted
+    val rankOf = sortedKeys.zipWithIndex.groupBy(_._1)
+      .map { case (k, g) => k -> (g.map(_._2).min + 1) }
+    val denseOf = sortedKeys.distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1) }.toMap
+    val rnOf = rows.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case (kp, i) => kp -> (i + 1) }.toMap
+
+    val got = df.select($"k", $"payload", $"rk", $"dr", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+    val want = rows.map { case (k, p) =>
+      (k, p, rankOf(k), denseOf(k), rnOf((k, p))) }.toSet
+    assert(got == want)
+  }
+
+  test("row_number over a PREFIX order does not merge (tie order pinned)") {
+    val sp = spark
+    import sp.implicits._
+    val df = fixture
+      .withColumn("rn1", row_number().over(Window.orderBy($"k")))
+      .withColumn("rn2", row_number().over(Window.orderBy($"k", $"payload")))
+    val plan = df.queryExecution.executedPlan.toString
+    val nNodes = "DistributedRank".r.findAllIn(plan).length
+    assert(nNodes == 2, s"expected two separate nodes:\n$plan")
+    // both assignments are still valid permutations
+    val n = fixture.count().toInt
+    val r = df.agg(min($"rn1"), max($"rn1"), countDistinct($"rn1"),
+      min($"rn2"), max($"rn2"), countDistinct($"rn2")).collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == n && r.getLong(2) == n)
+    assert(r.getInt(3) == 1 && r.getInt(4) == n && r.getLong(5) == n)
+  }
+
   test("partitioned and non-ranking windows are NOT rewritten") {
     val sp = spark
     import sp.implicits._
