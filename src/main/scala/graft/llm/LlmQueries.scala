@@ -166,8 +166,16 @@ object LlmQueries {
   /** Spark side of the q44 candidate pairs: MinHash signatures → 4×4
     * band keys → same-bucket self-join (hash-partitioned on (band,
     * bkey) — never all-pairs). */
-  private def lshPairs(docs: DataFrame): DataFrame = {
-    val bands = bandKeys(minhashSig(docs))
+  private def lshPairs(docs: DataFrame): DataFrame =
+    lshPairsFromSig(minhashSig(docs))
+
+  /** [[lshPairs]] over an already-computed signature frame — callers
+    * that reuse `sig` elsewhere in the same plan materialize it once
+    * (localCheckpoint / a signatures table at 100 TB) and band from
+    * that, so the shingle+md5 pipeline doesn't re-run per self-join
+    * branch. */
+  private def lshPairsFromSig(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1444,8 +1452,17 @@ object LlmQueries {
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = lshPairs(docs)
-      val sig = minhashSig(docs)
+      // The query's dataflow is a diamond DAG: sig feeds the band
+      // self-join AND both sides of the estimate join; pairs feed the
+      // estimate AND the candidate set; grams feed counts AND their own
+      // self-join. Each reuse point is materialized once
+      // (localCheckpoint — the same discipline ConnectedComponents
+      // applies to its edge set; at 100 TB these would be signature /
+      // candidate tables written once and joined from), otherwise the
+      // shingle+md5 pipeline re-executes per branch — the unmaterialized
+      // plan re-scans documents 48 times.
+      val sig = minhashSig(docs).localCheckpoint()
+      val pairs = lshPairsFromSig(sig).localCheckpoint()
       val eqSum = (0 until 16)
         .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
         .reduce(_ + _)
@@ -1460,6 +1477,7 @@ object LlmQueries {
       val grams = shingles(docs)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .distinct()
+        .localCheckpoint()
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
