@@ -1638,6 +1638,50 @@ object LlmQueries {
             .as("est_7d"),
           $"n_exact")
         .orderBy($"day_us")
+    },
+
+    // ---- segment-level exact dedup with reassembly (the RefinedWeb /
+    // Falcon "line dedup" pipeline op): segment every document, count
+    // each segment across the WHOLE corpus, drop segments that repeat,
+    // and stitch the survivors back together in document order. The
+    // fixture text has no newlines, so segmentation is deterministic
+    // 10-token blocks (production swaps the segmenter — split('\n') —
+    // without touching the dataflow). Two shuffles total: ONE window
+    // count partitioned by segment (no groupBy+join-back round trip) and
+    // the per-doc reassembly aggregation; order inside each doc is
+    // restored by sorting the collected (idx, seg) structs, so the
+    // output is layout-independent. At 100 TB the segment window is the
+    // canonical dedup shuffle — keys are segment hashes, uniform by
+    // construction. ----
+    QuerySpec.sql("q103_segment_dedup",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |segs AS (SELECT doc_id, gs AS idx,
+        |    array_to_string(w[gs*10+1:gs*10+10], ' ') AS seg
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS BIGINT) - 1)) AS gs
+        |        FROM ws)),
+        |flagged AS (SELECT doc_id, idx, seg,
+        |    count(*) OVER (PARTITION BY seg) AS cnt FROM segs)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN cnt < 2 THEN seg END, ' ' ORDER BY idx), '') AS kept_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val segs = Tables.documents(s, d)
+        .select($"doc_id", expr(
+          """transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 10.0) AS INT) - 1),
+            |          i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)))""".stripMargin)
+          .as("seg_arr"))
+        .select($"doc_id", posexplode($"seg_arr"))
+        .select($"doc_id", $"pos".as("idx"), $"col".as("seg"))
+      val flagged = segs.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy($"seg")))
+      flagged.groupBy($"doc_id").agg(
+          count(lit(1)).as("n_segments"),
+          sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_removed"),
+          coalesce(array_join(expr(
+            "transform(sort_array(collect_list(CASE WHEN cnt < 2 THEN struct(idx, seg) END)), x -> x.seg)"),
+            " "), lit("")).as("kept_text"))
+        .orderBy($"doc_id")
     }
   )
 }
