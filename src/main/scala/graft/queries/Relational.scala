@@ -593,6 +593,45 @@ object Relational {
       l.filter($"l_quantity" > 45).select($"l_returnflag")
         .exceptAll(l.filter($"l_quantity" > 48).select($"l_returnflag"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- recursive CTE surface (Spark 4's WITH RECURSIVE): a monthly
+    // calendar spine generated by bounded recursion, LEFT-joined to
+    // per-month order totals so empty months surface as zero — the
+    // classic reason a spine exists. Scale-safe recursion: depth = the
+    // number of months (80), independent of data volume; the data-side
+    // work is one ordinary month-truncated aggregation. Both engines run
+    // the recursion in their own dialect; the hash gate proves the
+    // surfaces agree. ----
+    QuerySpec.sql("q104_recursive_cte",
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'),
+        |mo AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |       FROM orders GROUP BY 1)
+        |SELECT epoch_us(months.m) AS month_us,
+        |  CAST(coalesce(mo.n_orders, 0) AS BIGINT) AS n_orders,
+        |  coalesce(mo.revenue, 0.0) AS revenue
+        |FROM months LEFT JOIN mo ON mo.m = months.m
+        |ORDER BY month_us""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("graft_q104_orders")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+          |  UNION ALL
+          |  SELECT m + INTERVAL '1' MONTH FROM months
+          |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'),
+          |mo AS (SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n_orders,
+          |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |       FROM graft_q104_orders GROUP BY 1)
+          |SELECT unix_micros(months.m) AS month_us,
+          |  coalesce(mo.n_orders, 0L) AS n_orders,
+          |  coalesce(mo.revenue, 0.0D) AS revenue
+          |FROM months LEFT JOIN mo ON mo.m = months.m
+          |ORDER BY month_us""".stripMargin)
     }
   )
 
