@@ -110,6 +110,26 @@ object LlmQueries {
        |sig AS (SELECT doc_id,\n$mins\n  FROM shh GROUP BY doc_id)""".stripMargin
   }
 
+  /** [[sigSql]] + band keys over a PREDICATE-restricted sub-corpus, CTE
+    * names suffixed with `tag` — lets one oracle query carry signature
+    * chains for several corpora (q105's old/new split). */
+  private def bandsSqlFor(tag: String, pred: String): String = {
+    val mins = (0 until 16)
+      .map(j => s"  min((h * ${MhA(j)} + ${MhB(j)}) % $P) AS h$j").mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(i => s"h${b * 4 + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bkey FROM sig$tag"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""ws$tag AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE ($pred) AND len(string_split(text, ' ')) >= 3),
+       |sh$tag AS (SELECT doc_id, array_to_string(w[gs:gs+2], ' ') AS sh FROM
+       |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS gs FROM ws$tag)),
+       |shh$tag AS (SELECT doc_id, ${md5ModSql("sh")} AS h FROM sh$tag),
+       |sig$tag AS (SELECT doc_id,\n$mins\n  FROM shh$tag GROUP BY doc_id),
+       |bands$tag AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   /** The q44 LSH-banding candidate-pair CTE chain (`sig` → `bands` →
     * `pairs`), shared with the clustering queries (q64/q65). */
   private val pairsSql = {
@@ -1681,6 +1701,54 @@ object LlmQueries {
           coalesce(array_join(expr(
             "transform(sort_array(collect_list(CASE WHEN cnt < 2 THEN struct(idx, seg) END)), x -> x.seg)"),
             " "), lit("")).as("kept_text"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- cross-corpus incremental dedup: a NEW batch (odd doc_ids)
+    // deduplicated against the EXISTING corpus (even doc_ids) — the
+    // "new crawl vs corpus" op a pipeline runs per ingest, where q70 is
+    // the per-event streaming form. Exact matches join on the 60-bit
+    // content hash (never shuffles raw text); near-dup candidates are a
+    // semi-join of the new batch's LSH band keys against the corpus's —
+    // at 100 TB the corpus side is a stored signature/band table, so an
+    // ingest only signs and probes the NEW batch. Verdict priority:
+    // exact_dup > near_dup > keep. ----
+    QuerySpec.sql("q105_cross_corpus_dedup", {
+      val th = (e: String) => PortableHash.md5LongSql(e)
+      s"""WITH ${bandsSqlFor("o", "doc_id % 2 = 0")},
+         |${bandsSqlFor("n", "doc_id % 2 = 1")},
+         |ex AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents o
+         |       ON o.doc_id % 2 = 0 AND ${th("n.text")} = ${th("o.text")}
+         |       WHERE n.doc_id % 2 = 1),
+         |near AS (SELECT DISTINCT bn.doc_id FROM bandsn bn
+         |         JOIN bandso bo ON bn.band = bo.band AND bn.bkey = bo.bkey)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN near ON near.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val old = docs.filter($"doc_id" % 2 === 0)
+      val neu = docs.filter($"doc_id" % 2 === 1)
+      val oldHash = old.select(PortableHash.md5Long($"text").as("th")).distinct()
+      val exact = neu.select($"doc_id", PortableHash.md5Long($"text").as("th"))
+        .join(oldHash, Seq("th"), "left_semi")
+        .select($"doc_id", lit(1).as("is_exact"))
+      val near = bandKeys(minhashSig(neu))
+        .join(bandKeys(minhashSig(old)), Seq("band", "bkey"), "left_semi")
+        .select($"doc_id").distinct()
+        .select($"doc_id", lit(1).as("is_near"))
+      neu.select($"doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"is_exact".isNotNull, "exact_dup")
+            .when($"is_near".isNotNull, "near_dup")
+            .otherwise("keep").as("verdict"))
         .orderBy($"doc_id")
     }
   )
