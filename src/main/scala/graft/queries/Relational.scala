@@ -632,6 +632,38 @@ object Relational {
           |  coalesce(mo.revenue, 0.0D) AS revenue
           |FROM months LEFT JOIN mo ON mo.m = months.m
           |ORDER BY month_us""".stripMargin)
+    },
+
+    // ---- FULL OUTER join (the one join shape q2/q4/q5/q7/q16/q26
+    // didn't cover): high-balance customers vs urgent-order activity —
+    // keys exclusive to EITHER side survive with nulls flagged. Both
+    // inputs are keyed subsets of their tables, so the join shuffles on
+    // custkey like any fact-fact join; nullable outputs are surfaced as
+    // has_* flags + coalesced values (portable across engines'
+    // null-rendering). ----
+    QuerySpec.sql("q106_full_outer",
+      """WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |           FROM customer WHERE c_acctbal > 5000),
+        |o AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  CAST(c.bal IS NOT NULL AS INT) AS has_bal,
+        |  CAST(coalesce(c.bal, 0) AS DOUBLE) AS bal,
+        |  CAST(o.n_urgent IS NOT NULL AS INT) AS has_urgent,
+        |  CAST(coalesce(o.n_urgent, 0) AS BIGINT) AS n_urgent
+        |FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter($"c_acctbal" > 5000)
+        .select($"c_custkey", $"c_acctbal".cast("decimal(18,2)").as("bal"))
+      val o = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_urgent"))
+      c.join(o, $"o_custkey" === $"c_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"bal".isNotNull.cast("int").as("has_bal"),
+          coalesce($"bal", lit(0)).cast("double").as("bal"),
+          $"n_urgent".isNotNull.cast("int").as("has_urgent"),
+          coalesce($"n_urgent", lit(0L)).as("n_urgent"))
+        .orderBy($"custkey")
     }
   )
 
