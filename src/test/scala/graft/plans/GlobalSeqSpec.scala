@@ -96,6 +96,25 @@ class GlobalSeqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("one giant tie group chains carry-in across every partition") {
+    val sp = spark
+    import sp.implicits._
+    // k is CONSTANT: the single rank/dense group spans all partitions,
+    // so every boundary continues the run and carry-in must chain
+    // through partitions that are entirely one group
+    val df = sp.createDataset((1 to 4000).map(i => (7L, i.toLong)))
+      .toDF("k", "payload").repartition(16)
+      .withColumn("rk", rank().over(Window.orderBy($"k")))
+      .withColumn("dr", dense_rank().over(Window.orderBy($"k")))
+      .withColumn("rn", row_number().over(Window.orderBy($"k", $"payload")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("DistributedRank".r.findAllIn(plan).length == 1)
+    val rows = df.select($"payload", $"rk", $"dr", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.forall { case (_, rk, dr, _) => rk == 1 && dr == 1 })
+    assert(rows.sortBy(_._1).map(_._4).toSeq == (1 to 4000))
+  }
+
   test("row_number over a PREFIX order does not merge (tie order pinned)") {
     val sp = spark
     import sp.implicits._
