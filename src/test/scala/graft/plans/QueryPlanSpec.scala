@@ -42,6 +42,23 @@ class QueryPlanSpec extends AnyFunSuite {
       s"no map-side partial sketch:\n$p")
   }
 
+  test("q103 segment dedup: one window shuffle, never single-partition") {
+    val p = plan("q103_segment_dedup")
+    assert(!p.contains("SinglePartition"), s"single-task stage:\n$p")
+    // the corpus-wide count is a window PARTITIONED BY segment, not a
+    // groupBy + join-back — exactly one Window node over a hash exchange
+    assert("Window\\b".r.findAllIn(p).length >= 1 &&
+      p.contains("hashpartitioning(seg"), s"segment window lost:\n$p")
+  }
+
+  test("q105 cross-corpus dedup joins on hashes/bands, never raw text") {
+    val p = plan("q105_cross_corpus_dedup")
+    // every exchange ships hashes / band keys / ids; raw text columns
+    // must never be a shuffle partition key
+    assert(!p.contains("hashpartitioning(text"), s"raw text used as shuffle key:\n$p")
+    assert(p.contains("LeftSemi"), s"semi-join shape lost:\n$p")
+  }
+
   test("q90 broadcast as-of join never shuffles the probe stream") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
