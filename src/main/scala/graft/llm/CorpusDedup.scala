@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Cross-corpus dedup as a reusable operator: probe NEW documents —
+  * batch or a LIVE STREAM — against a static corpus index (q105 is the
+  * batch/oracle form over the same machinery).
+  *
+  * The index is two small static frames derived from the corpus once
+  * (at 100 TB: tables maintained by ingest):
+  *   - distinct 60-bit content hashes (exact dup check),
+  *   - distinct LSH band keys per band (near-dup candidate check).
+  *
+  * The probe is STATELESS: the per-row MinHash signature
+  * ([[LlmQueries.rowSignature]] — no groupBy) plus one left join per
+  * band against that band's distinct key set (each 1:≤1, so rows never
+  * multiply), then the exact-hash left join. Inside Structured
+  * Streaming every join is stream-static: no watermark, no state store
+  * — the dedup-on-ingest shape where [[graft.streaming.IncrementalNearDup]]
+  * is the within-stream form.
+  */
+object CorpusDedup {
+  /** (band, bkey) distinct index of a static corpus. */
+  def bandIndex(corpus: DataFrame): DataFrame =
+    LlmQueries.bandKeys(LlmQueries.rowSignature(corpus))
+      .select(col("band"), col("bkey")).distinct()
+
+  /** Distinct 60-bit content hashes of a static corpus. */
+  def hashIndex(corpus: DataFrame): DataFrame =
+    corpus.select(PortableHash.md5Long(col("text")).as("th")).distinct()
+
+  /** One row per new doc: doc_id, verdict ('exact_dup' | 'near_dup' |
+    * 'keep'). `newDocs` may be a streaming DataFrame. */
+  def probe(newDocs: DataFrame, bandIdx: DataFrame, hashIdx: DataFrame): DataFrame = {
+    // hash + signature ride ONE projection (a second branch of newDocs
+    // would make a streaming plan stream-stream); docs under 3 tokens
+    // have no shingles — null minima, so their band keys match nothing
+    // and they still flow through the exact check
+    val w = split(col("text"), " ")
+    val sig = newDocs
+      .select(col("doc_id"), PortableHash.md5Long(col("text")).as("th"),
+        when(size(w) >= 3, LlmQueries.minsExpr(w)).otherwise(lit(null)).as("mins"))
+      .select(col("doc_id") +: col("th") +:
+        (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
+    val flagged = (0 until 4).foldLeft(sig) { (acc, b) =>
+      val bk = concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*)
+      val idx = bandIdx.filter(col("band") === b)
+        .select(col("bkey").as(s"bk$b"), lit(1).as(s"near$b"))
+      acc.withColumn(s"bk$b", bk).join(idx, Seq(s"bk$b"), "left")
+    }
+    val exact = hashIdx.select(col("th"), lit(1).as("is_exact"))
+    flagged.join(exact, Seq("th"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact").isNotNull, "exact_dup")
+          .when((0 until 4).map(b => col(s"near$b").isNotNull).reduce(_ || _), "near_dup")
+          .otherwise("keep").as("verdict"))
+  }
+}

@@ -153,6 +153,19 @@ object LlmQueries {
     * signature step stateless so the only stateful operator is the
     * band-key store — [[graft.streaming.IncrementalNearDup]]), or to
     * trade shuffle for per-row CPU in a batch plan. */
+  /** The 16 per-row MinHash minima as ONE array expression over a
+    * words-array column — the composable core of [[rowSignature]], also
+    * used by [[CorpusDedup]] where the signature must ride a single
+    * projection (a second branch of the source would make a streaming
+    * plan stream-stream). */
+  private[llm] def minsExpr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val shs = transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", slice(w, i, lit(3))))
+    val hs = transform(shs, s => PortableHash.md5Mod(s))
+    call_function("minhash_mins", hs, typedLit(Seq(MhA.toSeq, MhB.toSeq)))
+  }
+
   def rowSignature(docs: DataFrame): DataFrame = {
     val shs = transform(
       sequence(lit(1), size(col("w")) - 2),
@@ -1731,24 +1744,14 @@ object LlmQueries {
          |LEFT JOIN near ON near.doc_id = d.doc_id
          |WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""".stripMargin
     }) { (s, d) =>
+      // the probe IS the library operator ([[CorpusDedup]]) — the same
+      // stateless plan runs on a live stream (StreamingCorpusDedupSpec);
+      // here the oracle hash-gates it (and, via the row-form signature,
+      // re-proves rowSignature ≡ the oracle's aggregation form)
       val docs = Tables.documents(s, d)
       val old = docs.filter($"doc_id" % 2 === 0)
-      val neu = docs.filter($"doc_id" % 2 === 1)
-      val oldHash = old.select(PortableHash.md5Long($"text").as("th")).distinct()
-      val exact = neu.select($"doc_id", PortableHash.md5Long($"text").as("th"))
-        .join(oldHash, Seq("th"), "left_semi")
-        .select($"doc_id", lit(1).as("is_exact"))
-      val near = bandKeys(minhashSig(neu))
-        .join(bandKeys(minhashSig(old)), Seq("band", "bkey"), "left_semi")
-        .select($"doc_id").distinct()
-        .select($"doc_id", lit(1).as("is_near"))
-      neu.select($"doc_id")
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select($"doc_id",
-          when($"is_exact".isNotNull, "exact_dup")
-            .when($"is_near".isNotNull, "near_dup")
-            .otherwise("keep").as("verdict"))
+      CorpusDedup.probe(docs.filter($"doc_id" % 2 === 1),
+          CorpusDedup.bandIndex(old), CorpusDedup.hashIndex(old))
         .orderBy($"doc_id")
     }
   )
