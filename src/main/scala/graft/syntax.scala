@@ -59,5 +59,12 @@ object syntax {
     def vwap(width: String, slide: String, value: Column, weight: Column,
              keys: Seq[Column] = Nil, ts: String = "ts"): DataFrame =
       Windows.vwap(df, width, slide, value, weight, keys, ts)
+
+    /** [[graft.llm.CorpusDedup.probe]]: exact/near-dup verdict per row
+      * against a static corpus (works on a live stream — stateless). */
+    def dedupAgainst(corpus: DataFrame): DataFrame =
+      graft.llm.CorpusDedup.probe(df,
+        graft.llm.CorpusDedup.bandIndex(corpus),
+        graft.llm.CorpusDedup.hashIndex(corpus))
   }
 }

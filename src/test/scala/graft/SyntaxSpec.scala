@@ -49,4 +49,19 @@ class SyntaxSpec extends AnyFunSuite {
       .orderBy($"event_id").select($"event_id", $"quote").collect()
     assert(viaBroadcast.nonEmpty && viaBroadcast.sameElements(viaUnion))
   }
+
+  test("dedupAgainst ≡ explicit CorpusDedup probe") {
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.core.Tables.documents(sp, sf)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val neu = docs.filter($"doc_id" % 2 === 1)
+    val fluent = neu.dedupAgainst(corpus)
+      .orderBy($"doc_id").collect()
+    val explicit = graft.llm.CorpusDedup.probe(neu,
+        graft.llm.CorpusDedup.bandIndex(corpus),
+        graft.llm.CorpusDedup.hashIndex(corpus))
+      .orderBy($"doc_id").collect()
+    assert(fluent.nonEmpty && fluent.sameElements(explicit))
+  }
 }
