@@ -56,7 +56,9 @@ class QueryPlanSpec extends AnyFunSuite {
     // every exchange ships hashes / band keys / ids; raw text columns
     // must never be a shuffle partition key
     assert(!p.contains("hashpartitioning(text"), s"raw text used as shuffle key:\n$p")
-    assert(p.contains("LeftSemi"), s"semi-join shape lost:\n$p")
+    // the probe side signs rows with the codegen'd row-form signature
+    // (one projection, no aggregation shuffle before the index joins)
+    assert(p.contains("minhash_mins"), s"row-form signature lost:\n$p")
   }
 
   test("q90 broadcast as-of join never shuffles the probe stream") {
