@@ -13,6 +13,14 @@ import graft.functions.PortableHash
   *   - distinct 60-bit content hashes (exact dup check),
   *   - distinct LSH band keys per band (near-dup candidate check).
   *
+  * For a STREAMING probe, MATERIALIZE the index first
+  * (`localCheckpoint()` locally; a stored table — band-partitioned, so
+  * the per-band filters prune — in production): that plan scans the
+  * band index once per band per micro-batch, and an unmaterialized
+  * index would re-derive the corpus signature pipeline per scan. The
+  * batch plan reads each index exactly once. The fluent
+  * `df.dedupAgainst(corpus)` applies this automatically.
+  *
   * The probe is STATELESS: the per-row MinHash signature
   * ([[LlmQueries.rowSignature]] — no groupBy) plus one left join per
   * band against that band's distinct key set (each 1:≤1, so rows never
@@ -32,7 +40,17 @@ object CorpusDedup {
     corpus.select(PortableHash.md5Long(col("text")).as("th")).distinct()
 
   /** One row per new doc: doc_id, verdict ('exact_dup' | 'near_dup' |
-    * 'keep'). `newDocs` may be a streaming DataFrame. */
+    * 'keep'). `newDocs` may be a streaming DataFrame — the plan adapts:
+    *
+    *   - BATCH: band keys explode to (doc, band, bkey), ONE semi-join
+    *     against the index, per-doc flag aggregation — two shuffles,
+    *     the throughput-optimal shape (q105's oracle gates it).
+    *   - STREAMING: aggregation would be stateful, so instead one left
+    *     join per band against that band's distinct keys — each 1:≤1,
+    *     rows never multiply, and the whole plan stays STATELESS
+    *     (stream-static joins only). The parity spec proves the two
+    *     formulations row-identical.
+    */
   def probe(newDocs: DataFrame, bandIdx: DataFrame, hashIdx: DataFrame): DataFrame = {
     // hash + signature ride ONE projection (a second branch of newDocs
     // would make a streaming plan stream-stream); docs under 3 tokens
@@ -44,17 +62,31 @@ object CorpusDedup {
         when(size(w) >= 3, LlmQueries.minsExpr(w)).otherwise(lit(null)).as("mins"))
       .select(col("doc_id") +: col("th") +:
         (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
-    val flagged = (0 until 4).foldLeft(sig) { (acc, b) =>
-      val bk = concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*)
-      val idx = bandIdx.filter(col("band") === b)
-        .select(col("bkey").as(s"bk$b"), lit(1).as(s"near$b"))
-      acc.withColumn(s"bk$b", bk).join(idx, Seq(s"bk$b"), "left")
-    }
+    def bk(b: Int) = concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*)
     val exact = hashIdx.select(col("th"), lit(1).as("is_exact"))
-    flagged.join(exact, Seq("th"), "left")
-      .select(col("doc_id"),
-        when(col("is_exact").isNotNull, "exact_dup")
-          .when((0 until 4).map(b => col(s"near$b").isNotNull).reduce(_ || _), "near_dup")
-          .otherwise("keep").as("verdict"))
+    val verdict = (near: org.apache.spark.sql.Column) =>
+      when(col("is_exact").isNotNull, "exact_dup")
+        .when(near, "near_dup").otherwise("keep").as("verdict")
+    if (newDocs.isStreaming) {
+      val flagged = (0 until 4).foldLeft(sig) { (acc, b) =>
+        val idx = bandIdx.filter(col("band") === b)
+          .select(col("bkey").as(s"bk$b"), lit(1).as(s"near$b"))
+        acc.withColumn(s"bk$b", bk(b)).join(idx, Seq(s"bk$b"), "left")
+      }
+      flagged.join(exact, Seq("th"), "left")
+        .select(col("doc_id"),
+          verdict((0 until 4).map(b => col(s"near$b").isNotNull).reduce(_ || _)))
+    } else {
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), bk(b).as("bkey"))): _*)))
+        .select(col("doc_id"), col("col.band").as("band"), col("col.bkey").as("bkey"))
+      val nearIds = bands.join(bandIdx, Seq("band", "bkey"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(1).as("is_near"))
+      sig.join(exact, Seq("th"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), verdict(col("is_near").isNotNull))
+    }
   }
 }

@@ -1750,6 +1750,9 @@ object LlmQueries {
       // re-proves rowSignature ≡ the oracle's aggregation form)
       val docs = Tables.documents(s, d)
       val old = docs.filter($"doc_id" % 2 === 0)
+      // batch path: each index feeds exactly one join, so no
+      // materialization is needed (the streaming path's 4-join chain is
+      // where the caller materializes — see CorpusDedup's scaladoc)
       CorpusDedup.probe(docs.filter($"doc_id" % 2 === 1),
           CorpusDedup.bandIndex(old), CorpusDedup.hashIndex(old))
         .orderBy($"doc_id")

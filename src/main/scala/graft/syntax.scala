@@ -61,10 +61,17 @@ object syntax {
       Windows.vwap(df, width, slide, value, weight, keys, ts)
 
     /** [[graft.llm.CorpusDedup.probe]]: exact/near-dup verdict per row
-      * against a static corpus (works on a live stream — stateless). */
-    def dedupAgainst(corpus: DataFrame): DataFrame =
-      graft.llm.CorpusDedup.probe(df,
-        graft.llm.CorpusDedup.bandIndex(corpus),
-        graft.llm.CorpusDedup.hashIndex(corpus))
+      * against a static corpus (works on a live stream — stateless).
+      * Builds the index each call (materialized when `df` streams, since
+      * the streaming plan scans it per band per micro-batch) — probing
+      * repeatedly against one corpus should build the index once via
+      * [[graft.llm.CorpusDedup.bandIndex]]/[[graft.llm.CorpusDedup.hashIndex]]. */
+    def dedupAgainst(corpus: DataFrame): DataFrame = {
+      val band = graft.llm.CorpusDedup.bandIndex(corpus)
+      val hash = graft.llm.CorpusDedup.hashIndex(corpus)
+      if (df.isStreaming)
+        graft.llm.CorpusDedup.probe(df, band.localCheckpoint(), hash.localCheckpoint())
+      else graft.llm.CorpusDedup.probe(df, band, hash)
+    }
   }
 }

@@ -24,8 +24,10 @@ class StreamingCorpusDedupSpec extends AnyFunSuite {
       doc(2L, "one two three four five six seven eight nine ten"),
       doc(3L, "short text"))
     val corpus = corpusRows.toDF("doc_id", "text")
-    val bandIdx = CorpusDedup.bandIndex(corpus)
-    val hashIdx = CorpusDedup.hashIndex(corpus)
+    // materialized once (the stored-table discipline the scaladoc
+    // requires); streaming re-plans static sides per micro-batch
+    val bandIdx = CorpusDedup.bandIndex(corpus).localCheckpoint()
+    val hashIdx = CorpusDedup.hashIndex(corpus).localCheckpoint()
 
     val newRows = Seq(
       doc(10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
