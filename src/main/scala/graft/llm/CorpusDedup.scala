@@ -62,7 +62,6 @@ object CorpusDedup {
         when(size(w) >= 3, LlmQueries.minsExpr(w)).otherwise(lit(null)).as("mins"))
       .select(col("doc_id") +: col("th") +:
         (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
-    def bk(b: Int) = concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*)
     val exact = hashIdx.select(col("th"), lit(1).as("is_exact"))
     val verdict = (near: org.apache.spark.sql.Column) =>
       when(col("is_exact").isNotNull, "exact_dup")
@@ -71,21 +70,25 @@ object CorpusDedup {
       val flagged = (0 until 4).foldLeft(sig) { (acc, b) =>
         val idx = bandIdx.filter(col("band") === b)
           .select(col("bkey").as(s"bk$b"), lit(1).as(s"near$b"))
-        acc.withColumn(s"bk$b", bk(b)).join(idx, Seq(s"bk$b"), "left")
+        acc.withColumn(s"bk$b", LlmQueries.bandKeyExpr(b)).join(idx, Seq(s"bk$b"), "left")
       }
       flagged.join(exact, Seq("th"), "left")
         .select(col("doc_id"),
           verdict((0 until 4).map(b => col(s"near$b").isNotNull).reduce(_ || _)))
     } else {
-      val bands = sig.select(col("doc_id"),
+      // single consumer of `sig` (a second branch would re-run the
+      // signature pipeline — the q91 diamond pathology): th rides the
+      // band explode, the 1:≤1 index join marks hits, and ONE per-doc
+      // aggregation recovers (th, any-band-hit)
+      val bands = sig.select(col("doc_id"), col("th"),
         posexplode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), bk(b).as("bkey"))): _*)))
-        .select(col("doc_id"), col("col.band").as("band"), col("col.bkey").as("bkey"))
-      val nearIds = bands.join(bandIdx, Seq("band", "bkey"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .select(col("doc_id"), lit(1).as("is_near"))
-      sig.join(exact, Seq("th"), "left")
-        .join(nearIds, Seq("doc_id"), "left")
+          struct(lit(b).as("band"), LlmQueries.bandKeyExpr(b).as("bkey"))): _*)))
+        .select(col("doc_id"), col("th"),
+          col("col.band").as("band"), col("col.bkey").as("bkey"))
+      val hit = bands.join(bandIdx.withColumn("m", lit(1)), Seq("band", "bkey"), "left")
+        .groupBy(col("doc_id"))
+        .agg(first(col("th")).as("th"), max(col("m")).as("is_near"))
+      hit.join(exact, Seq("th"), "left")
         .select(col("doc_id"), verdict(col("is_near").isNotNull))
     }
   }

@@ -145,19 +145,14 @@ object LlmQueries {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Stateless per-ROW MinHash signature: the same 16 permutation minima
-    * as [[minhashSig]], computed with array higher-order functions over
-    * each document alone (no groupBy). Identical values — q70's oracle
-    * hash-proves it against the aggregation-form `sigSql` — but usable
-    * where a shuffle is wrong: inside a STREAMING pipeline (keeps the
-    * signature step stateless so the only stateful operator is the
-    * band-key store — [[graft.streaming.IncrementalNearDup]]), or to
-    * trade shuffle for per-row CPU in a batch plan. */
   /** The 16 per-row MinHash minima as ONE array expression over a
-    * words-array column — the composable core of [[rowSignature]], also
-    * used by [[CorpusDedup]] where the signature must ride a single
-    * projection (a second branch of the source would make a streaming
-    * plan stream-stream). */
+    * words-array column (all minima in one codegen'd `minhash_mins`
+    * pass — the 16 separate `array_min(transform(...))` walks this
+    * replaces ran the lambda interpreted and allocated an intermediate
+    * array per permutation per row). The single source of the row-form
+    * signature: [[rowSignature]] wraps it, and [[CorpusDedup]] uses it
+    * directly where the signature must ride one projection (a second
+    * branch of the source would make a streaming plan stream-stream). */
   private[llm] def minsExpr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val shs = transform(
       sequence(lit(1), size(w) - 2),
@@ -166,31 +161,32 @@ object LlmQueries {
     call_function("minhash_mins", hs, typedLit(Seq(MhA.toSeq, MhB.toSeq)))
   }
 
-  def rowSignature(docs: DataFrame): DataFrame = {
-    val shs = transform(
-      sequence(lit(1), size(col("w")) - 2),
-      i => concat_ws(" ", slice(col("w"), i, lit(3))))
-    val hs = transform(col("shs"), s => PortableHash.md5Mod(s))
-    // all 16 affine minima in one codegen'd pass (MinhashMins) — the 16
-    // separate array_min(transform(...)) walks this replaces ran the
-    // lambda interpreted and allocated an intermediate array per
-    // permutation per row
-    val mins = call_function("minhash_mins", col("hs"),
-      typedLit(Seq(MhA.toSeq, MhB.toSeq)))
+  /** Stateless per-ROW MinHash signature: the same 16 permutation minima
+    * as [[minhashSig]], computed with array higher-order functions over
+    * each document alone (no groupBy). Identical values — q70's oracle
+    * hash-proves it against the aggregation-form `sigSql` — but usable
+    * where a shuffle is wrong: inside a STREAMING pipeline (keeps the
+    * signature step stateless so the only stateful operator is the
+    * band-key store — [[graft.streaming.IncrementalNearDup]]), or to
+    * trade shuffle for per-row CPU in a batch plan. */
+  def rowSignature(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), shs.as("shs"))
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), mins.as("mins"))
+      .select(col("doc_id"), minsExpr(col("w")).as("mins"))
       .select(col("doc_id") +:
         (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
-  }
+
+  /** Band `b`'s key over signature columns h0..h15 — THE band-key
+    * construction: [[bandKeys]], [[CorpusDedup]], and (textually) the
+    * oracle's `bandsSqlFor`/`pairsSql` must all agree byte-for-byte or
+    * probe keys silently never match. */
+  private[llm] def bandKeyExpr(b: Int): Column =
+    concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*)
 
   /** 4×4 band keys from a signature frame — one row per (doc, band). */
   def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until 4).map(i => col(s"h${b * 4 + i}")): _*).as("bkey"))
+      struct(lit(b).as("band"), bandKeyExpr(b).as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

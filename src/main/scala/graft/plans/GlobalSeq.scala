@@ -159,21 +159,28 @@ object GlobalSeqStrategy extends SparkStrategy {
   * as `RDD.zipWithIndex`, keyed by the window's sort order instead of
   * arrival order. Wall-clock scales with rows/partitions; nothing ever
   * lands on a single task. */
+object DistributedRankExec {
+  /** Per-partition summary of the sorted run: row count, first/last key
+    * (prefix fields are valid for every tracked length), and per prefix
+    * length the number of distinct groups + the trailing run length.
+    * Top-level on purpose: an inner class would capture the exec node
+    * (and its whole child plan) via `$outer` into every summary task
+    * closure and every collected result. */
+  private[plans] case class PartSummary(
+      rows: Long, first: UnsafeRow, last: UnsafeRow,
+      distinct: Array[Long], trailing: Array[Long])
+}
+
 case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute, Int)],
                                order: Seq[SortOrder], child: SparkPlan)
   extends UnaryExecNode {
+  import DistributedRankExec.PartSummary
 
   override def output: Seq[Attribute] = child.output ++ funcs.map(_._2)
   override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_._2))
   // rows leave sorted by the window order within range-ordered partitions
   override def outputOrdering: Seq[SortOrder] = order
   override def outputPartitioning: Partitioning = UnknownPartitioning(0)
-
-  /** Per-partition summary of the sorted run: row count, first/last key
-    * (prefix fields are valid for every tracked length), and per prefix
-    * length the number of distinct groups + the trailing run length. */
-  private case class PartSummary(rows: Long, first: UnsafeRow, last: UnsafeRow,
-                                 distinct: Array[Long], trailing: Array[Long])
 
   override protected def doExecute(): RDD[InternalRow] = {
     val n = conf.numShufflePartitions

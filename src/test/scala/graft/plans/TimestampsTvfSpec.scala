@@ -30,8 +30,10 @@ class TimestampsTvfSpec extends AnyFunSuite {
   test("wrong arity and non-foldable n fail at analysis, not at runtime") {
     val e1 = intercept[Exception](spark.sql("SELECT * FROM graft_timestamps(1, 2)"))
     assert(e1.getMessage.contains("3 arguments"))
-    val e2 = intercept[Exception](
-      spark.sql("SELECT * FROM graft_timestamps(0, 1, rand())"))
-    assert(e2 != null)
+    // Range's own analysis contract: NON_FOLDABLE_ARGUMENT, not a
+    // runtime NPE out of plan construction
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft_timestamps(0, 1, rand())").collect())
+    assert(e2.getMessage.contains("NON_FOLDABLE_ARGUMENT"), e2.getMessage)
   }
 }
