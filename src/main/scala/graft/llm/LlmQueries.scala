@@ -875,15 +875,20 @@ object LlmQueries {
       val labels = ConnectedComponents
         .run(lshPairs(docs), "a_id", "b_id")
         .select($"node".as("doc_id"), $"component".as("cluster_id"))
+      // labelsAll feeds docsq AND sizes; docsq feeds best AND keep —
+      // materialize each reuse point once (the q91 discipline) instead
+      // of re-running the documents scan + anti-join per branch
       val labelsAll = labels.unionByName(
-        docs.join(labels, Seq("doc_id"), "left_anti")
-          .select($"doc_id", $"doc_id".as("cluster_id")))
+          docs.join(labels, Seq("doc_id"), "left_anti")
+            .select($"doc_id", $"doc_id".as("cluster_id")))
+        .localCheckpoint()
       val nTok = size(split($"text", " ")).cast("long")
       val digitRatio =
         length(regexp_replace($"text", "[^0-9]", "")).cast("double") / length($"text")
       val docsq = labelsAll.join(docs, "doc_id")
         .select($"doc_id", $"cluster_id",
           (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)).as("quality"))
+        .localCheckpoint()
       val best = docsq.groupBy($"cluster_id").agg(max($"quality").as("kept_quality"))
       val keep = docsq.as("d").join(best.as("b"),
           col("d.cluster_id") === col("b.cluster_id") &&
