@@ -1757,6 +1757,67 @@ object LlmQueries {
       CorpusDedup.probe(docs.filter($"doc_id" % 2 === 1),
           CorpusDedup.bandIndex(old), CorpusDedup.hashIndex(old))
         .orderBy($"doc_id")
+    },
+
+    // ---- asymmetric CONTAINMENT on the LSH candidate pairs: |A∩B|/|A|
+    // and |A∩B|/|B| — catches A-quoted-inside-B (snippet extraction,
+    // boilerplate wrappers) that symmetric Jaccard under-scores: a
+    // 50-shingle doc fully inside a 500-shingle doc has J ≈ 0.1 but
+    // containment_a = 1.0. Exact verify bounded to the banded candidate
+    // space like q91 (never all-pairs); at 0.8 the verdict names the
+    // contained side. Divisions are the identical double shape on both
+    // engines. ----
+    QuerySpec.sql("q107_containment", {
+      s"""WITH $pairsSql,
+         |cand AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+         |grams AS (SELECT DISTINCT s.doc_id, s.sh FROM sh s
+         |          JOIN cand c ON c.doc_id = s.doc_id),
+         |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id),
+         |scored AS (
+         |  SELECT p.a_id, p.b_id,
+         |    CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment_a,
+         |    CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS containment_b
+         |  FROM pairs p
+         |  JOIN counts ca ON ca.doc_id = p.a_id
+         |  JOIN counts cb ON cb.doc_id = p.b_id
+         |  LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+         |SELECT a_id, b_id, containment_a, containment_b,
+         |  CASE WHEN containment_a >= 0.8 AND containment_a >= containment_b THEN 'a_in_b'
+         |       WHEN containment_b >= 0.8 THEN 'b_in_a'
+         |       ELSE 'none' END AS verdict
+         |FROM scored ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // same reuse-point materialization as q91: pairs feed the
+      // candidate set and the final join; grams feed counts and their
+      // own self-join
+      val pairs = lshPairs(docs).localCheckpoint()
+      val candIds = pairs.select($"a_id".as("doc_id"))
+        .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      val grams = shingles(docs)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .distinct()
+        .localCheckpoint()
+      val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val ca = coalesce($"n_common", lit(0L)).cast("double") / $"n_a".cast("double")
+      val cb = coalesce($"n_common", lit(0L)).cast("double") / $"n_b".cast("double")
+      pairs
+        .join(counts.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+        .join(counts.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .select($"a_id", $"b_id",
+          ca.as("containment_a"), cb.as("containment_b"),
+          when(ca >= 0.8 && ca >= cb, "a_in_b")
+            .when(cb >= 0.8, "b_in_a")
+            .otherwise("none").as("verdict"))
+        .orderBy($"a_id", $"b_id")
     }
   )
 }
