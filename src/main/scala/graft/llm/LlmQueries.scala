@@ -1818,6 +1818,99 @@ object LlmQueries {
             .when(cb >= 0.8, "b_in_a")
             .otherwise("none").as("verdict"))
         .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- PQ (product quantization) ANN: the third index family next to
+    // hyperplane LSH (q48) and IVF cells (q55). 64 dims → m=4 subspaces
+    // × 16 dims, k=8 codewords per subspace (the first 8 vectors'
+    // subvectors — the q55 "codebook from the data" convention). ENCODE
+    // is shuffle-free: the 8-codeword book rides ONE broadcast single-row
+    // cross join and each vector's 4 codes are per-row argmins over
+    // codegen'd quantized dots (‖a−b‖² = ‖a‖²+‖b‖²−2a·b on the exact
+    // int64 domain — min(struct(d2, cid)) pins ties to the lowest cid,
+    // same as the oracle's ORDER BY d2, cid). QUERY is ADC (asymmetric
+    // distance computation): each query precomputes a 4×8 distance table
+    // against the codebook; a candidate's approximate distance is 4
+    // array lookups on its 4-int code — the scan never touches the
+    // original floats. At 100 TB the coded table is ~64× smaller than
+    // the float corpus, encode/scan are embarrassingly parallel, and the
+    // only big-side shuffle is the final per-query top-k window. ----
+    QuerySpec.sql("q108_pq_ann",
+      s"""WITH $annBaseSql,
+         |d2 AS (SELECT a.vec_id, b.vec_id AS cid,
+         |    CAST((a.i - 1) // 16 AS INT) AS s,
+         |    CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    CAST(sum(q.d2) AS BIGINT) AS adc
+         |  FROM codes c JOIN d2 q ON q.s = c.s AND q.cid = c.code
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 15 AND c.vec_id <> q.vec_id
+         |  GROUP BY q_id, c_id)
+         |SELECT q_id, c_id, adc, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, c_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
+         |  FROM adc) WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+      def vsub(c: Column, sI: Int): Column = slice(c, 1 + 16 * sI, 16)
+      // the whole codebook as ONE row: array of (cid, c_emb) in cid order
+      val cb = emb.filter($"vec_id" < 8)
+        .agg(sort_array(collect_list(struct(
+          $"vec_id".cast("int").as("cid"), $"embedding".as("c_emb")))).as("cb"))
+      def d2To(c: Column, sI: Int): Column = {
+        val v = vsub($"embedding", sI)
+        val cs = vsub(c.getField("c_emb"), sI)
+        VectorOps.sqNormQ(v) + VectorOps.sqNormQ(cs) -
+          lit(2L) * VectorOps.dotQ(v, cs)
+      }
+      def codeFor(sI: Int): Column =
+        array_min(transform($"cb", c =>
+          struct(d2To(c, sI).as("d2"), c.getField("cid").as("cid"))))
+          .getField("cid")
+      val withCb = emb.crossJoin(broadcast(cb))
+      val coded = withCb.select($"vec_id" +:
+        (0 to 3).map(sI => codeFor(sI).as(s"code$sI")): _*)
+      // per-query distance tables: dtab_s[cid+1] = d2(query_s, codeword_cid_s)
+      val qdf = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+        .crossJoin(broadcast(cb))
+        .select($"vec_id".as("q_id") +:
+          (0 to 3).map(sI => transform($"cb", c => d2To(c, sI)).as(s"dtab$sI")): _*)
+      val adc = (0 to 3).map(sI =>
+        element_at(col(s"dtab$sI"), col(s"code$sI") + 1)).reduce(_ + _)
+      val pairs = coded.join(broadcast(qdf), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), adc.as("adc"))
+      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
+        .select($"q_id", $"c_id", $"adc", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- BPE merge-pair statistics: the inner statistic of one BPE
+    // tokenizer-training iteration — adjacent-symbol pair frequencies
+    // over the corpus (weighted by word occurrence; the argmax pair IS
+    // the next merge). One explode to words, one explode to the
+    // length−1 in-word pairs, one hash-partitioned count, distributed
+    // top-20 (TakeOrderedAndProject, never a global sort of the pair
+    // table). At 100 TB: pair cardinality is bounded by |alphabet|²,
+    // so the aggregate collapses map-side. ----
+    QuerySpec.sql("q109_bpe_merges",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2) // sequence(1,0) would step backwards
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
     }
   )
 }
