@@ -1911,6 +1911,81 @@ object LlmQueries {
         .groupBy($"pair").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair")
         .limit(20)
+    },
+
+    // ---- fuzzy entity matching (edit-distance join): the entity-
+    // resolution dedup exact hashing can't see ("cold anvil" ≈
+    // "old anvil"). Discipline for 100 TB: (1) resolve on the DISTINCT
+    // entity table, never the raw rows — names ≪ rows, and the counts
+    // join fans the verdict back out; (2) token blocking bounds the
+    // candidate space to shared-vocabulary blocks (the ER analogue of
+    // q44's LSH bands — never all-pairs; production adds a df cap on
+    // stopword-like hot tokens exactly like q45 bounds its grams);
+    // (3) the exact Levenshtein DP runs only on the bounded candidate
+    // set (integer DP — bit-identical in every engine). ----
+    QuerySpec.sql("q110_fuzzy_names",
+      """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n
+        |               FROM part GROUP BY p_name),
+        |w AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS w FROM names),
+        |cand AS (SELECT DISTINCT a.p_name AS a_name, b.p_name AS b_name
+        |         FROM w a JOIN w b ON a.w = b.w AND a.p_name < b.p_name),
+        |m AS (SELECT a_name, b_name,
+        |        CAST(levenshtein(a_name, b_name) AS INT) AS ed
+        |      FROM cand WHERE levenshtein(a_name, b_name) <= 2)
+        |SELECT a_name, b_name, ed, na.n AS n_a, nb.n AS n_b
+        |FROM m JOIN names na ON na.p_name = m.a_name
+        |       JOIN names nb ON nb.p_name = m.b_name
+        |ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      val names = Tables.part(s, d)
+        .groupBy($"p_name").agg(count(lit(1)).as("n"))
+      val w = names.select($"p_name", explode(split($"p_name", " ")).as("w"))
+      val cand = w.as("a").join(w.as("b"),
+          col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("a_name"), col("b.p_name").as("b_name"))
+        .distinct()
+      val m = cand.filter(levenshtein($"a_name", $"b_name") <= 2)
+        .select($"a_name", $"b_name",
+          levenshtein($"a_name", $"b_name").as("ed"))
+      m.join(names.select($"p_name".as("a_name"), $"n".as("n_a")), "a_name")
+        .join(names.select($"p_name".as("b_name"), $"n".as("n_b")), "b_name")
+        .select($"a_name", $"b_name", $"ed", $"n_a", $"n_b")
+        .orderBy($"a_name", $"b_name")
+    },
+
+    // ---- inverted index (segmented posting lists): term → sorted
+    // doc-id postings, sharded by doc-id segment — the Lucene layout,
+    // not one giant list per term: a stopword's postings at 100 TB
+    // never materialize in a single task; each per-(term, segment) list
+    // is bounded by the segment size. Global document frequency rides a
+    // window over the tiny (term × segment) aggregate — no second scan
+    // of the corpus; raw text never shuffles (only (term, doc_id)
+    // pairs). df ≥ 25 keeps the gated output to index-worthy terms. ----
+    QuerySpec.sql("q111_inverted_index",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |d AS (SELECT DISTINCT doc_id, term FROM t),
+        |seg AS (SELECT term, CAST(doc_id // 100 AS INT) AS seg,
+        |          CAST(count(*) AS BIGINT) AS df_seg,
+        |          list_sort(list(doc_id)) AS postings
+        |        FROM d GROUP BY 1, 2)
+        |SELECT term, seg, df, df_seg, postings FROM (
+        |  SELECT term, seg, df_seg, postings,
+        |    CAST(sum(df_seg) OVER (PARTITION BY term) AS BIGINT) AS df
+        |  FROM seg) WHERE df >= 25
+        |ORDER BY term, seg""".stripMargin) { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .distinct()
+      val seg = terms
+        .groupBy($"term", expr("CAST(doc_id DIV 100 AS INT)").as("seg"))
+        .agg(count(lit(1)).as("df_seg"),
+          sort_array(collect_list($"doc_id")).as("postings"))
+      seg
+        .withColumn("df", sum($"df_seg").over(
+          Window.partitionBy($"term")))
+        .filter($"df" >= 25)
+        .select($"term", $"seg", $"df", $"df_seg", $"postings")
+        .orderBy($"term", $"seg")
     }
   )
 }

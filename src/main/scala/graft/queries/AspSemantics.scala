@@ -693,6 +693,38 @@ object AspSemantics {
         .orderBy($"from_type", $"to_type")
     },
 
+    // ---- sequence-pattern detection (CEP MATCH_RECOGNIZE-lite): users
+    // whose event stream contains the CONSECUTIVE pattern
+    // view → click → purchase, with match count and first-match time.
+    // The pattern window is two leads over one per-user sort — one
+    // shuffle on the key; a pattern of length k costs k−1 leads on the
+    // SAME window (no extra shuffle, no self-joins on time). The live
+    // form of this shape is a per-key machine (Machines.scala) carrying
+    // the last k−1 types as state. ----
+    QuerySpec.sql("q112_seq_pattern",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             event_type FROM events),
+        |s AS (SELECT user_id, ts, event_type,
+        |        lead(event_type, 1) OVER w AS e1,
+        |        lead(event_type, 2) OVER w AS e2
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  epoch_us(min(ts)) AS first_us
+        |FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_type",
+          lead($"event_type", 1).over(w).as("e1"),
+          lead($"event_type", 2).over(w).as("e2"))
+        .filter($"event_type" === "view" && $"e1" === "click" &&
+          $"e2" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          unix_micros(min($"ts")).as("first_us"))
+        .orderBy($"user_id")
+    },
+
     // ---- trailing time-RANGE frame: per event, the sum/count of the
     // key's events in the last hour — a RANGE (value-based) frame over
     // epoch micros, not a ROWS frame and not a grouped window()

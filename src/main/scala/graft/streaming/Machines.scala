@@ -141,6 +141,32 @@ object Machines {
       }
   }
 
+  // ---------- CEP: consecutive-sequence pattern matcher ----------
+  // The live form of q112_seq_pattern (AspSemantics): a pattern of
+  // length k needs only the last k−1 event types as per-key state —
+  // O(k) bytes per key regardless of stream length, the CEP analogue
+  // of the batch query's k−1 lead() columns. Emits one match row per
+  // completed pattern, stamped with the FIRST event's time (what the
+  // batch window's min(ts) aggregates).
+
+  final case class PatternEvent(user_id: Long, ts_us: Long, seq: Long,
+                                event_type: String)
+  final case class PatternMatch(user_id: Long, start_us: Long, end_us: Long)
+
+  final class SeqPatternMachine(userId: Long, pattern: Seq[String])
+      extends KeyedStateMachine[Long, PatternEvent, PatternMatch] {
+    // sliding window of the last pattern.length−1 (type, ts) pairs
+    private var recent = Vector.empty[(String, Long)]
+    override def onEvent(ts: Long, e: PatternEvent,
+                         ctx: ReplayCtx[PatternMatch]): Unit = {
+      val window = recent :+ (e.event_type, ts)
+      if (window.length == pattern.length &&
+          window.map(_._1) == pattern.toVector)
+        ctx.emit(PatternMatch(userId, window.head._2, ts))
+      recent = window.takeRight(pattern.length - 1)
+    }
+  }
+
   // ---------- W7: trade/quote book with running positions + PnL ----------
   // reference: examples/csp/01_basics/e4_trade_pnl.py:19-70 — Book keeps
   // last bid/ask (mid = (bid+ask)/2), Positions keep running Σqty and
