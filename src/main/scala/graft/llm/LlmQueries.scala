@@ -1936,8 +1936,13 @@ object LlmQueries {
         |FROM m JOIN names na ON na.p_name = m.a_name
         |       JOIN names nb ON nb.p_name = m.b_name
         |ORDER BY a_name, b_name""".stripMargin) { (s, d) =>
+      // names is the reuse point (token branches a/b + the two counts
+      // joins) — materialize once or the raw table is scanned 4×
+      // (the q91/q65 discipline; at scale this is the entity table
+      // written once)
       val names = Tables.part(s, d)
         .groupBy($"p_name").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val w = names.select($"p_name", explode(split($"p_name", " ")).as("w"))
       val cand = w.as("a").join(w.as("b"),
           col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))

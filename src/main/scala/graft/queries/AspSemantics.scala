@@ -725,6 +725,38 @@ object AspSemantics {
         .orderBy($"user_id")
     },
 
+    // ---- OHLC bars: the market-data resample (reference domain —
+    // csp's trade/quote examples live on exactly this shape): per
+    // (key, hour) open/high/low/close/volume in ONE two-phase hash
+    // aggregation — min_by/max_by are algebraic (partial-aggregate
+    // map-side), so no per-key sort and no window. Simultaneous ticks
+    // are resolved first by the q36 rule (max event_id wins the
+    // timestamp), making ts alone a total order for open/close.
+    // DECIMAL bar sum for engine-exact volume-weighted math. ----
+    QuerySpec.sql("q113_ohlc_bars",
+      """WITH q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             max_by(value, event_id) AS value
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, epoch_us(date_trunc('hour', ts)) AS bar_us,
+        |  arg_min(value, ts) AS open_v, max(value) AS high_v,
+        |  min(value) AS low_v, arg_max(value, ts) AS close_v,
+        |  CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM q GROUP BY 1, 2 ORDER BY user_id, bar_us""".stripMargin) { (s, d) =>
+      val ticks = Tables.events(s, d)
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("value"))
+      ticks
+        .groupBy($"user_id",
+          unix_micros(date_trunc("hour", $"ts")).as("bar_us"))
+        .agg(min_by($"value", $"ts").as("open_v"),
+          max($"value").as("high_v"), min($"value").as("low_v"),
+          max_by($"value", $"ts").as("close_v"),
+          count(lit(1)).as("n_ticks"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy($"user_id", $"bar_us")
+    },
+
     // ---- trailing time-RANGE frame: per event, the sum/count of the
     // key's events in the last hour — a RANGE (value-based) frame over
     // epoch micros, not a ROWS frame and not a grouped window()

@@ -118,4 +118,30 @@ class QueryPlanSpec extends AnyFunSuite {
       case (k, None)    => c.unset(k)
     }
   }
+
+  test("q108 PQ encode never shuffles the vector table") {
+    val p = plan("q108_pq_ann")
+    // codes are per-row argmins over the broadcast codebook (codegen'd
+    // quantized dots); the only big-side exchange is the top-k window
+    assert(p.contains("quantized_dot"), s"codegen'd dot kernel missing:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"encode shuffles by vec_id (argmin fell back to groupBy):\n$p")
+    assert(p.contains("hashpartitioning(q_id"), s"top-k window lost:\n$p")
+  }
+
+  test("q110 fuzzy ER joins the materialized name table, not raw parts") {
+    val p = plan("q110_fuzzy_names")
+    // names is localCheckpoint'd — all four consumers (two token
+    // branches + two count joins) must read it, never re-scan part
+    assert(!p.contains("part.parquet"), s"raw part table re-scanned:\n$p")
+    assert(p.contains("levenshtein"), s"edit-distance verify lost:\n$p")
+  }
+
+  test("q111 inverted index shuffles (term, doc) pairs, never text") {
+    val p = plan("q111_inverted_index")
+    assert(!p.contains("hashpartitioning(text"),
+      s"raw text used as shuffle key:\n$p")
+    assert(p.contains("hashpartitioning(term"),
+      s"posting aggregation not partitioned by term:\n$p")
+  }
 }
