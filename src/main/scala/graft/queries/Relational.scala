@@ -634,6 +634,31 @@ object Relational {
           |ORDER BY month_us""".stripMargin)
     },
 
+    // ---- correlated LATERAL subquery (SQL-surface sibling of the
+    // q3/q18 top-k-per-group operators): per-nation top-2 customers by
+    // balance, written the way a SQL user writes it. Catalyst
+    // DECORRELATES the per-row LIMIT subquery into a partitioned rank
+    // window — same executed shape as Windows.topKPerGroup, no
+    // nation-by-nation re-execution (which is what a naive lateral
+    // loop would do 25× here and 10⁶× on a real dimension). ----
+    QuerySpec.sql("q114_lateral_topk",
+      """SELECT n.n_name AS nation, t.c_name AS c_name, t.c_acctbal AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation, acctbal DESC, c_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("graft_q114_nation")
+      Tables.customer(s, d).createOrReplaceTempView("graft_q114_customer")
+      s.sql(
+        """SELECT n.n_name AS nation, t.c_name AS c_name, t.c_acctbal AS acctbal
+          |FROM graft_q114_nation n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM graft_q114_customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY nation, acctbal DESC, c_name""".stripMargin)
+    },
+
     // ---- FULL OUTER join (the one join shape q2/q4/q5/q7/q16/q26
     // didn't cover): high-balance customers vs urgent-order activity —
     // keys exclusive to EITHER side survive with nulls flagged. Both
