@@ -634,6 +634,50 @@ object Relational {
           |ORDER BY month_us""".stripMargin)
     },
 
+    // ---- PageRank (bounded-iteration weighted graph analytics — the
+    // iterative sibling of ConnectedComponents' connectivity fixpoint):
+    // 3 damped rounds over the customer↔supplier bipartite trade graph
+    // (both directions of every distinct (cust, supp) trading pair).
+    // Fixed-point int64 ranks (scale 1e12): integer DIV truncates
+    // identically in both engines, so the ESTIMATES hash-gate — a float
+    // PageRank sums in partition order and never would. Each round is
+    // one edges⋈ranks join + one groupBy(dst) — two shuffles, linear in
+    // |E|, independent of diameter; the oracle unrolls the same three
+    // rounds as CTEs. ----
+    QuerySpec.sql("q115_pagerank",
+      """WITH und AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT 2*c AS src, 2*s+1 AS dst FROM und
+        |      UNION ALL SELECT 2*s+1, 2*c FROM und),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |p AS (SELECT 1000000000000 // count(*) AS init,
+        |        (15 * (1000000000000 // count(*))) // 100 AS base FROM nodes),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(p.init AS BIGINT) AS rank FROM nodes, p),
+        |s1 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
+        |       FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(p.base + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n CROSS JOIN p LEFT JOIN s1 s ON s.node = n.node),
+        |s2 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
+        |       FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(p.base + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n CROSS JOIN p LEFT JOIN s2 s ON s.node = n.node),
+        |s3 AS (SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS in_sum
+        |       FROM e JOIN r2 r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(p.base + (85 * coalesce(s.in_sum, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n CROSS JOIN p LEFT JOIN s3 s ON s.node = n.node)
+        |SELECT node, CAST(node % 2 AS INT) AS is_supplier, rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val und = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk")).distinct()
+      val edges = und.select(($"c" * 2).as("src"), ($"sk" * 2 + 1).as("dst"))
+        .unionAll(und.select(($"sk" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      graft.operators.PageRank.run(edges, 3)
+        .select($"node", ($"node" % 2).cast("int").as("is_supplier"), $"rank")
+        .orderBy($"rank".desc, $"node").limit(20)
+    },
+
     // ---- correlated LATERAL subquery (SQL-surface sibling of the
     // q3/q18 top-k-per-group operators): per-nation top-2 customers by
     // balance, written the way a SQL user writes it. Catalyst
