@@ -1948,9 +1948,13 @@ object LlmQueries {
           col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("a_name"), col("b.p_name").as("b_name"))
         .distinct()
-      val m = cand.filter(levenshtein($"a_name", $"b_name") <= 2)
+      // compute the DP once, filter on the column — filter-then-project
+      // with two levenshtein() calls runs the expensive kernel twice
+      // per candidate pair
+      val m = cand
         .select($"a_name", $"b_name",
           levenshtein($"a_name", $"b_name").as("ed"))
+        .filter($"ed" <= 2)
       m.join(names.select($"p_name".as("a_name"), $"n".as("n_a")), "a_name")
         .join(names.select($"p_name".as("b_name"), $"n".as("n_b")), "b_name")
         .select($"a_name", $"b_name", $"ed", $"n_a", $"n_b")

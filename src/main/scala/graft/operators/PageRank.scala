@@ -34,8 +34,12 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
+    // materialized once — a lazy plan here re-runs the |E| aggregation
+    // every iteration and silently breaks the two-shuffles-per-round cost
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val init = Scale / n
     val base = (100 - dampingPct) * init / 100
     var ranks = nodes.select(col("node"), lit(init).as("rank"))

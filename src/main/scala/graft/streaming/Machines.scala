@@ -155,15 +155,24 @@ object Machines {
 
   final class SeqPatternMachine(userId: Long, pattern: Seq[String])
       extends KeyedStateMachine[Long, PatternEvent, PatternMatch] {
+    private val patternV = pattern.toVector // onEvent is the per-event hot path
     // sliding window of the last pattern.length−1 (type, ts) pairs
     private var recent = Vector.empty[(String, Long)]
+    private def matches(window: Vector[(String, Long)]): Boolean = {
+      if (window.length != patternV.length) return false
+      var i = 0
+      while (i < patternV.length) {
+        if (window(i)._1 != patternV(i)) return false
+        i += 1
+      }
+      true
+    }
     override def onEvent(ts: Long, e: PatternEvent,
                          ctx: ReplayCtx[PatternMatch]): Unit = {
       val window = recent :+ (e.event_type, ts)
-      if (window.length == pattern.length &&
-          window.map(_._1) == pattern.toVector)
+      if (matches(window))
         ctx.emit(PatternMatch(userId, window.head._2, ts))
-      recent = window.takeRight(pattern.length - 1)
+      recent = window.takeRight(patternV.length - 1)
     }
   }
 

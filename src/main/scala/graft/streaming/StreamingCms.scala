@@ -66,13 +66,16 @@ object StreamingCms {
          state: GroupState[(Array[Long], Map[Long, Long])]) =>
           val (counters, cands0) = state.getOption
             .getOrElse((new Array[Long](Depth * Width), Map.empty[Long, Long]))
-          val seen = scala.collection.mutable.Set.empty[Long]
-          batch.foreach { key =>
+          // tally per distinct key first: heavy-hitter streams are
+          // duplicate-dominated, and bucket() is 4 md5 digests — hash
+          // once per key, add the tally, not once per row
+          val tally = scala.collection.mutable.Map.empty[Long, Long]
+          batch.foreach(key => tally(key) = tally.getOrElse(key, 0L) + 1L)
+          tally.foreach { case (key, cnt) =>
             var r = 0
-            while (r < Depth) { counters(r * Width + bucket(r, key)) += 1; r += 1 }
-            seen += key
+            while (r < Depth) { counters(r * Width + bucket(r, key)) += cnt; r += 1 }
           }
-          val cands = (cands0.keySet ++ seen).iterator
+          val cands = (cands0.keySet ++ tally.keySet).iterator
             .map(key => key -> estimate(counters, key))
             .toSeq.sortBy { case (key, est) => (-est, key) }
             .take(kk).toMap

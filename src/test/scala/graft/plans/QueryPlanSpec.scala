@@ -137,6 +137,15 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), s"edit-distance verify lost:\n$p")
   }
 
+  test("q114 LATERAL LIMIT subquery decorrelates to a rank window") {
+    val p = plan("q114_lateral_topk")
+    // the correlated per-row LIMIT must plan as ONE partitioned top-k
+    // pass + a broadcast dimension join — never per-dimension-row
+    // re-execution of the subquery
+    assert(p.contains("WindowGroupLimit"), s"top-k window lost:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+  }
+
   test("q111 inverted index shuffles (term, doc) pairs, never text") {
     val p = plan("q111_inverted_index")
     assert(!p.contains("hashpartitioning(text"),
