@@ -73,5 +73,16 @@ object syntax {
         graft.llm.CorpusDedup.probe(df, band.localCheckpoint(), hash.localCheckpoint())
       else graft.llm.CorpusDedup.probe(df, band, hash)
     }
+
+    /** [[graft.operators.PageRank.run]]: fixed-point damped rank over a
+      * (src, dst) edge table. */
+    def pageRank(iterations: Int, dampingPct: Int = 85): DataFrame =
+      graft.operators.PageRank.run(df, iterations, dampingPct)
+
+    /** [[graft.streaming.StreamingCms.heavyHitters]]: live approximate
+      * top-k over a streaming frame's `key` column (bounded state). */
+    def heavyHitters(nShards: Int, k: Int): org.apache.spark.sql.Dataset[
+        graft.streaming.StreamingCms.HeavyHitter] =
+      graft.streaming.StreamingCms.heavyHitters(df, nShards, k)
   }
 }

@@ -64,4 +64,14 @@ class SyntaxSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect()
     assert(fluent.nonEmpty && fluent.sameElements(explicit))
   }
+
+  test("pageRank through syntax ≡ explicit PageRank.run") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val fluent = edges.pageRank(2).orderBy($"node").collect()
+    val explicit = graft.operators.PageRank.run(edges, 2)
+      .orderBy($"node").collect()
+    assert(fluent.nonEmpty && fluent.sameElements(explicit))
+  }
 }
