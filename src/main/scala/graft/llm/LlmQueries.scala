@@ -1913,6 +1913,73 @@ object LlmQueries {
         .limit(20)
     },
 
+    // ---- banding recall evaluation: the q87 index-quality discipline
+    // applied to the DEDUP index — per exact-Jaccard bucket, how many
+    // ground-truth near-dup pairs did the 4×4 LSH banding actually
+    // catch, next to the analytic catch probability 1−(1−s⁴)⁴ at the
+    // bucket midpoint (explicit multiplications — no pow/libm; the
+    // formula a pipeline consults to pick (bands, rows) BEFORE the
+    // 100 TB run). Ground truth is the q45-style bounded all-pairs
+    // space (doc_id < 100) — exactly the sampled-calibration shape:
+    // exhaustive truth on a sample, banded candidates from the index. ----
+    QuerySpec.sql("q116_band_recall",
+      s"""WITH $pairsSql,
+         |grams AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id < 250),
+         |counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id),
+         |truth AS (SELECT a_id, b_id,
+         |    CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS j
+         |  FROM inter JOIN counts ca ON ca.doc_id = a_id
+         |             JOIN counts cb ON cb.doc_id = b_id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.02),
+         |hits AS (SELECT t.a_id, t.b_id, CAST(floor(t.j * 10) AS INT) AS bucket,
+         |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth t LEFT JOIN pairs p ON p.a_id = t.a_id AND p.b_id = t.b_id)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(hit) AS BIGINT) AS n_caught,
+         |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall,
+         |  1.0 - (1.0 - s4) * (1.0 - s4) * (1.0 - s4) * (1.0 - s4) AS p_theory
+         |FROM (SELECT *,
+         |  ((CAST(bucket AS DOUBLE) + 0.5) / 10.0) * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+         |    * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0) * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0) AS s4
+         |  FROM hits)
+         |GROUP BY bucket, s4 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // grams feed counts AND their own self-join; pairs probe the hits
+      // join — materialize both reuse points (the q91 discipline)
+      val grams = shingles(docs).filter($"doc_id" < 250).distinct()
+        .localCheckpoint()
+      val pairs = lshPairs(docs).localCheckpoint()
+      val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val jac = $"n_common".cast("double") /
+        ($"n_a" + $"n_b" - $"n_common").cast("double")
+      val truth = inter
+        .join(counts.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+        .join(counts.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+        .select($"a_id", $"b_id", jac.as("j"))
+        .filter($"j" >= 0.02)
+      val hits = truth.join(
+          pairs.select($"a_id".as("pa"), $"b_id".as("pb"), lit(1).as("hit0")),
+          $"a_id" === $"pa" && $"b_id" === $"pb", "left")
+        .select(floor($"j" * 10).cast("int").as("bucket"),
+          coalesce($"hit0", lit(0)).as("hit"))
+      val sMid = ($"bucket".cast("double") + 0.5) / 10.0
+      val s4 = sMid * sMid * sMid * sMid
+      hits.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_truth"), sum($"hit").as("n_caught"),
+          (sum($"hit").cast("double") / count(lit(1)).cast("double")).as("recall"))
+        .withColumn("p_theory",
+          lit(1.0) - (lit(1.0) - s4) * (lit(1.0) - s4) * (lit(1.0) - s4) * (lit(1.0) - s4))
+        .select($"bucket", $"n_truth", $"n_caught", $"recall", $"p_theory")
+        .orderBy($"bucket")
+    },
+
     // ---- fuzzy entity matching (edit-distance join): the entity-
     // resolution dedup exact hashing can't see ("cold anvil" ≈
     // "old anvil"). Discipline for 100 TB: (1) resolve on the DISTINCT
