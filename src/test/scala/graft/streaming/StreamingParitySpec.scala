@@ -407,4 +407,58 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed == batch.take(streamed.size))
     assert(batch.size - streamed.size <= 1)
   }
+
+  test("OHLC bars: chained stateful aggs (tie-dedup → hourly bars) ≡ batch q113") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q113_ohlc_bars")(sp, dir)
+      .collect().map(_.toSeq).toSeq
+
+    val schema = graft.core.Tables.table(sp, dir, "events").schema
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ohlc-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val streamEv = sp.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "0 seconds")
+    // two CHAINED stateful aggregations in one append-mode query (the
+    // Spark 4 multi-stateful-operator path): the q36 tie rule first
+    // (event-time key — finalizes as the watermark passes each ts),
+    // then the hourly tumbling bar over the deduped ticks
+    val ticks = streamEv
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val bars = ticks
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(min_by(col("value"), col("ts")).as("open_v"),
+        max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+        max_by(col("value"), col("ts")).as("close_v"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col("user_id"), unix_micros(col("window.start")).as("bar_us"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n_ticks"), col("sum_v"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = bars.writeStream.format("memory").queryName("ohlc_stream")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // append holds back bars the watermark hasn't closed; the finalized
+    // set must be row-identical to the batch query's matching bars
+    val streamed = sp.sql(
+      "SELECT * FROM ohlc_stream ORDER BY user_id, bar_us")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    val batchKeyed = batch.map(r => (r.head, r(1)) -> r).toMap
+    streamed.foreach { r =>
+      assert(batchKeyed((r.head, r(1))) == r, s"bar mismatch: $r")
+    }
+    assert(batch.size - streamed.size <= batchKeyed.keys.map(_._1).toSet.size,
+      "more than one open bar per user held back")
+  }
 }
