@@ -2062,6 +2062,94 @@ object LlmQueries {
         .filter($"df" >= 25)
         .select($"term", $"seg", $"df", $"df_seg", $"postings")
         .orderBy($"term", $"seg")
+    },
+
+    // ---- semantic dedup (SemDeDup, arXiv:2303.09540): the THIRD dedup
+    // family — MinHash/LSH catches lexical near-dups (q44/q61), this
+    // catches SEMANTIC ones (paraphrases the same embedding region).
+    // Shape: (1) assign every vector to its nearest coarse-codebook cell
+    // — broadcast codebook + argmax, the q55 IVF assign, big side never
+    // shuffles; (2) near-dup pairs ONLY within a cell (pair space
+    // Σ|cell|² — the codebook size is THE scale knob: k ∝ n/c holds
+    // expected cell population at c, exactly the paper's k=50k for
+    // LAION); (3) close pairs into clusters (ConnectedComponents — the
+    // q64 discipline); (4) keep ONE representative per cluster — the
+    // member with LOWEST cosine to its centroid (the paper's keep-
+    // farthest-from-centroid rule; ties by vec_id). Oracle replays the
+    // identical integer math + a recursive-CTE closure. ----
+    QuerySpec.sql("q117_semantic_dedup",
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 16
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS c
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+         |             JOIN norms nc ON nc.vec_id = cid),
+         |assign AS (SELECT vid AS vec_id, cid AS cell, c AS ccos FROM (
+         |  SELECT vid, cid, c,
+         |    row_number() OVER (PARTITION BY vid ORDER BY c DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |pdots AS (SELECT c.a_id, c.b_id, sum(x.xq * y.xq) AS dot
+         |  FROM cand c JOIN e x ON x.vec_id = c.a_id
+         |              JOIN e y ON y.vec_id = c.b_id AND y.i = x.i
+         |  GROUP BY c.a_id, c.b_id),
+         |pairs AS (SELECT a_id, b_id
+         |  FROM pdots JOIN norms na ON na.vec_id = a_id
+         |             JOIN norms nb ON nb.vec_id = b_id
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT reach.id, ed.v FROM reach JOIN edges ed ON ed.u = reach.r),
+         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |members AS (SELECT a.vec_id, a.cell, a.ccos,
+         |    coalesce(l.cluster_id, a.vec_id) AS cluster_id
+         |  FROM assign a LEFT JOIN labels l ON l.id = a.vec_id)
+         |SELECT vec_id, cell, cluster_id,
+         |  CASE WHEN row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY ccos ASC, vec_id) = 1 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM members ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      // assign feeds the pair self-join (both sides) AND the final
+      // members projection — materialize the reuse point (q91 discipline;
+      // at 100 TB this is the cell-partitioned index written once)
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"), $"ccos")
+        .localCheckpoint()
+      val pairs = assign.as("a").join(assign.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          cosineQ(dotQ(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter($"cosine" >= 0.4)
+        .select($"a_id", $"b_id")
+      val labels = ConnectedComponents.run(pairs, "a_id", "b_id")
+      val members = assign.join(labels, assign("vec_id") === labels("node"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"component", $"vec_id").as("cluster_id"), $"ccos")
+      members
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cluster_id").orderBy($"ccos".asc, $"vec_id")))
+        .select($"vec_id", $"cell", $"cluster_id",
+          when($"rn" === 1, "keep").otherwise("drop").as("verdict"))
+        .orderBy($"vec_id")
     }
   )
 }
