@@ -860,6 +860,42 @@ object AspSemantics {
           |SELECT g.tick_us AS tick_us, CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events
           |FROM g LEFT JOIN b ON b.tick_us = g.tick_us
           |ORDER BY tick_us""".stripMargin)
+    },
+
+    // ---- SCD2 dimension build: the change feed → versioned-dimension
+    // op every warehouse pipeline runs. Two steps, ONE shuffle: (1) CDC
+    // compaction — drop rows whose attribute equals its predecessor's
+    // (lag window), so storage scales with the VERSION count, not the
+    // event count; (2) validity intervals — valid_from = change ts,
+    // valid_to = next change's ts (lead window over survivors),
+    // is_current = no successor. Both windows partition on the dimension
+    // key with the same (ts, event_id) tie rule (q36), so Catalyst
+    // computes them from one hash exchange + sort. Point-in-time lookups
+    // against the result are the q26 as-of join. ----
+    QuerySpec.sql("q118_scd2",
+      s"""WITH ev AS (SELECT user_id, event_id, $tsUs AS ts_us, event_type
+         |            FROM events),
+         |chg AS (SELECT *, lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev),
+         |ver AS (SELECT user_id, event_type, ts_us, event_id FROM chg
+         |        WHERE prev IS NULL OR event_type <> prev),
+         |scd AS (SELECT user_id, event_type, ts_us AS valid_from,
+         |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS vt
+         |  FROM ver)
+         |SELECT user_id, event_type, valid_from,
+         |  coalesce(vt, 0) AS valid_to,
+         |  CAST(vt IS NULL AS INT) AS is_current
+         |FROM scd ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      val ver = ev.withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"event_type" =!= $"prev")
+      ver.withColumn("vt", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"event_type", $"ts_us".as("valid_from"),
+          coalesce($"vt", lit(0L)).as("valid_to"),
+          $"vt".isNull.cast("int").as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"event_type")
     }
   )
 }
