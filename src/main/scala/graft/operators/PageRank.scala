@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * contributions in partition order and never hash-gates).
   *
   * Each iteration is the Pregel shape: one join of ranks to edges (the
-  * contribution scatter) + one groupBy on dst (the gather) — two
-  * shuffles per round, linear in |E|, independent of graph diameter.
+  * contribution scatter) + one groupBy on dst (the gather) — and only
+  * the GATHER shuffles. The edge table is hash-partitioned on `src`
+  * ONCE up front; `nodes`/`outDeg`/each round's rank table come out of
+  * node-hashed shuffles and `localCheckpoint` PRESERVES that
+  * partitioning, so every scatter join and the rank rebuild are
+  * exchange-free co-partitioned joins — one shuffle per round, linear
+  * in |E|, independent of graph diameter (reusing one partitioning
+  * across all rounds is exactly the discipline a 1000-executor run
+  * needs: the edge table never moves again after its first shuffle).
   * Each round `localCheckpoint`s the rank table to truncate the
   * iterative lineage (the [[ConnectedComponents]] discipline; at
   * production scale the rank table is written to storage per round).
@@ -28,17 +35,26 @@ object PageRank {
   /** `edges`: (src: Long, dst: Long) — directed, deduplicated by the
     * caller if multiplicity is not intended. Returns (node, rank). */
   def run(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
+    // ONE partition count for every graph table: co-partitioned joins
+    // require matching partitioning, and AQE's per-shuffle coalescing
+    // would otherwise hand each table a different count
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // src-partition the edges ONCE; every later scatter join keys on
+    // src and rides this layout exchange-free
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(p, col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(p, col("node"))
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
     // materialized once — a lazy plan here re-runs the |E| aggregation
-    // every iteration and silently breaks the two-shuffles-per-round cost
+    // every iteration and silently breaks the one-shuffle-per-round cost
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .repartition(p, col("node"))
       .localCheckpoint()
     val init = Scale / n
     val base = (100 - dampingPct) * init / 100
