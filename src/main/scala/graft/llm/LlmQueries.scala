@@ -2150,6 +2150,67 @@ object LlmQueries {
         .select($"vec_id", $"cell", $"cluster_id",
           when($"rn" === 1, "keep").otherwise("drop").as("verdict"))
         .orderBy($"vec_id")
+    },
+
+    // ---- full Lloyd k-means (the IVF codebook TRAINER — q92 is one
+    // refinement step, this is the bounded-iteration loop; see
+    // [[KMeans]] for the per-round scale shape: literal-codebook argmax
+    // assignment with ZERO shuffle, one (cell, dim) integer-sum shuffle
+    // with map-side partials, k·dims longs to the driver between
+    // rounds). Gated on the ROUND-3 state: per-cell populations + the
+    // trained centroid's integer norm — the oracle unrolls the same
+    // three rounds as CTE chains with identical truncating math. ----
+    QuerySpec.sql("q119_kmeans", {
+      def round(r: Int): String =
+        s"""sums$r AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
+           |  FROM e JOIN assign${r - 1} a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
+           |newc$r AS (SELECT cell, i,
+           |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
+           |  FROM sums$r),
+           |nn$r AS (SELECT cell, sum(c * c) AS nrm FROM newc$r GROUP BY cell),
+           |rd$r AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
+           |  FROM e JOIN newc$r n ON n.i = e.i GROUP BY e.vec_id, n.cell),
+           |rc$r AS (SELECT r.vec_id, r.cell,
+           |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
+           |  FROM rd$r r JOIN norms nv ON nv.vec_id = r.vec_id
+           |              JOIN nn$r cn ON cn.cell = r.cell),
+           |assign$r AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
+           |  FROM rc$r) WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+         |             JOIN norms nc ON nc.vec_id = cid),
+         |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid,
+         |    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT a.cell AS cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(cn.nrm AS BIGINT) AS c_nrm
+         |FROM assign3 a JOIN nn3 cn ON cn.cell = a.cell
+         |GROUP BY a.cell, cn.nrm ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding")
+      val (cb, assign) = KMeans.train(emb, k = 8, iterations = 3)
+      val norms = s.createDataFrame(cb.map(c => (c.cell, c.nrm)))
+        .toDF("cell", "c_nrm")
+      assign.groupBy($"cell").agg(count(lit(1)).as("n_members"))
+        .join(broadcast(norms), "cell")
+        .select($"cell", $"n_members", $"c_nrm")
+        .orderBy($"cell")
     }
   )
 }
