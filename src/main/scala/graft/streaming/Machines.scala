@@ -281,4 +281,22 @@ object Machines {
       if (ts + stepUs <= endUs) ctx.callAt(ts + stepUs, "tick")
     }
   }
+
+  // ---------- CDC compaction: emit only attribute CHANGES per key ----------
+  // The streaming form of q118's SCD2 compaction stage (the lag-window
+  // no-op-change filter): state is one attribute value per key; an event
+  // emits iff its attribute differs from the last seen. Runs unchanged
+  // under batch replay and live streaming — suppression must hold across
+  // micro-batch boundaries (the state carry the window form gets for
+  // free inside one partition's sort).
+
+  final case class AttrEvent(user_id: Long, ts_us: Long, seq: Long, attr: String)
+  final case class AttrChange(user_id: Long, ts_us: Long, attr: String)
+
+  final class ChangeMachine(userId: Long)
+      extends KeyedStateMachine[Long, AttrEvent, AttrChange] {
+    private var last: String = null
+    override def onEvent(ts: Long, e: AttrEvent, ctx: ReplayCtx[AttrChange]): Unit =
+      if (e.attr != last) { last = e.attr; ctx.emit(AttrChange(userId, ts, e.attr)) }
+  }
 }
