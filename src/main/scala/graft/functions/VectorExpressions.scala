@@ -177,6 +177,17 @@ case class LshPlaneBits(left: Expression, right: Expression)
   * the caller path, and `spark.sql("... quantized_dot(a,b) ...")` works
   * for SQL users too. */
 object VectorOps {
+  /** THE quantization contract: components scale by 1e7 and truncate
+    * toward zero to int64 — the one rounding Java `(long)`, Spark
+    * `CAST AS LONG` and DuckDB `trunc()::BIGINT` agree on. Every
+    * consumer (QuantizedDot, LlmQueries oracles, KMeans) must share
+    * this constant or hash-gate parity silently breaks. */
+  val QScale = 1.0e7
+
+  /** Column-level quantization under the [[QScale]] contract. */
+  def quant(x: Column): Column =
+    (x.cast("double") * QScale).cast("long")
+
   /** Σ trunc(xᵢ·1e7)·trunc(yᵢ·1e7) as int64 — exact, order-free. */
   def dotQ(a: Column, b: Column): Column = call_function("quantized_dot", a, b)
 

@@ -295,8 +295,17 @@ object Machines {
 
   final class ChangeMachine(userId: Long)
       extends KeyedStateMachine[Long, AttrEvent, AttrChange] {
+    // mirrors the lag-window form EXACTLY, nulls included: the window
+    // keeps a row iff prev IS NULL (no previous row OR a null attr —
+    // the form conflates the two) or attr <> prev is TRUE; and lag()
+    // reads the previous ROW's attr whether or not that row survived
+    // the filter — so `last` updates on EVERY event, not just emitted
+    // ones
     private var last: String = null
-    override def onEvent(ts: Long, e: AttrEvent, ctx: ReplayCtx[AttrChange]): Unit =
-      if (e.attr != last) { last = e.attr; ctx.emit(AttrChange(userId, ts, e.attr)) }
+    override def onEvent(ts: Long, e: AttrEvent, ctx: ReplayCtx[AttrChange]): Unit = {
+      val keep = last == null || (e.attr != null && e.attr != last)
+      last = e.attr
+      if (keep) ctx.emit(AttrChange(userId, ts, e.attr))
+    }
   }
 }

@@ -66,4 +66,29 @@ class CdcParitySpec extends AnyFunSuite {
       assert(live == want)
     } finally q.stop()
   }
+
+  test("null attributes: machine matches the lag-window form's semantics") {
+    val sp = spark
+    import sp.implicits._
+    // A, null, null, A: the window form drops the first null (NULL <>
+    // 'A' is not TRUE), KEEPS the second null (prev IS NULL — lag reads
+    // the previous ROW, dropped or not), and keeps the A after it; the
+    // machine must reproduce exactly that, including updating state on
+    // suppressed rows
+    val evs = Seq(
+      AttrEvent(1L, 10L, 0L, "A"), AttrEvent(1L, 20L, 1L, null),
+      AttrEvent(1L, 30L, 2L, null), AttrEvent(1L, 40L, 3L, "A"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"seq")
+    val sqlForm = sp.createDataset(evs).toDF()
+      .withColumn("prev", lag($"attr", 1).over(w))
+      .filter($"prev".isNull || $"attr" =!= $"prev")
+      .select($"user_id", $"ts_us", $"attr").as[AttrChange]
+      .collect().toSeq.sortBy(_.ts_us)
+    val replayed = Replay.run(sp.createDataset(evs),
+        "user_id", "ts_us", "seq")(_.user_id, _.ts_us)(new ChangeMachine(_))
+      .collect().toSeq.sortBy(_.ts_us)
+    assert(sqlForm == Seq(AttrChange(1L, 10L, "A"),
+      AttrChange(1L, 30L, null), AttrChange(1L, 40L, "A")))
+    assert(replayed == sqlForm)
+  }
 }

@@ -92,10 +92,14 @@ class StreamOuterJoinSpec extends AnyFunSuite {
           if (r.isNullAt(3)) -1L else r.getLong(3)))
       assert(batch.sameElements(got))
 
-      // stream-stream join state exists and is bounded by eviction:
-      // after the flush, no rows from t=100 remain in state
+      // stream-stream join state is bounded by eviction: the watermark
+      // (991) evicted every t=100 row from both sides, so state holds
+      // at most the 4 in-flight sentinels — strictly fewer than the 8
+      // rows fed in
       val st = q.lastProgress.stateOperators
       assert(st.nonEmpty)
+      val stateRows = st.map(_.numRowsTotal).sum
+      assert(stateRows > 0 && stateRows <= 4, s"state not evicted: $stateRows rows")
     } finally q.stop()
   }
 }
