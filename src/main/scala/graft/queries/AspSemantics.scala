@@ -886,18 +886,9 @@ object AspSemantics {
          |  coalesce(vt, 9223372036854775807) AS valid_to,
          |  CAST(vt IS NULL AS INT) AS is_current
          |FROM scd ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
       val ev = Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
-      val ver = ev.withColumn("prev", lag($"event_type", 1).over(w))
-        .filter($"prev".isNull || $"event_type" =!= $"prev")
-      // open-end sentinel = Long.MaxValue so the standard point-in-time
-      // predicate (valid_from <= t AND t < valid_to) works unmodified
-      // on current versions
-      ver.withColumn("vt", lead($"ts_us", 1).over(w))
-        .select($"user_id", $"event_type", $"ts_us".as("valid_from"),
-          coalesce($"vt", lit(Long.MaxValue)).as("valid_to"),
-          $"vt".isNull.cast("int").as("is_current"))
+      graft.operators.Scd2.build(ev, "user_id", "ts_us", "event_id", "event_type")
         .orderBy($"user_id", $"valid_from", $"event_type")
     }
   )

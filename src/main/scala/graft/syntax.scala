@@ -84,5 +84,10 @@ object syntax {
     def heavyHitters(nShards: Int, k: Int): org.apache.spark.sql.Dataset[
         graft.streaming.StreamingCms.HeavyHitter] =
       graft.streaming.StreamingCms.heavyHitters(df, nShards, k)
+
+    /** [[graft.operators.Scd2.build]]: change feed → versioned dimension
+      * (valid_from/valid_to/is_current) in one shuffle. */
+    def scd2(key: String, ts: String, tieBreak: String, attr: String): DataFrame =
+      graft.operators.Scd2.build(df, key, ts, tieBreak, attr)
   }
 }

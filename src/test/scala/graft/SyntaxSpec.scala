@@ -74,4 +74,17 @@ class SyntaxSpec extends AnyFunSuite {
       .orderBy($"node").collect()
     assert(fluent.nonEmpty && fluent.sameElements(explicit))
   }
+
+  test("scd2 through syntax ≡ explicit Scd2.build") {
+    val sp = spark
+    import sp.implicits._
+    val feed = Seq((1L, 10L, 0L, "A"), (1L, 20L, 1L, "A"), (1L, 30L, 2L, "B"))
+      .toDF("k", "ts_us", "seq", "attr")
+    val fluent = feed.scd2("k", "ts_us", "seq", "attr")
+      .orderBy($"valid_from").collect()
+    val explicit = graft.operators.Scd2.build(feed, "k", "ts_us", "seq", "attr")
+      .orderBy($"valid_from").collect()
+    assert(fluent.length == 2 && fluent.sameElements(explicit))
+    assert(fluent.last.getLong(3) == Long.MaxValue) // open-ended current row
+  }
 }
