@@ -2211,6 +2211,109 @@ object LlmQueries {
         .join(broadcast(norms), "cell")
         .select($"cell", $"n_members", $"c_nrm")
         .orderBy($"cell")
+    },
+
+    // ---- the full ANN index LIFECYCLE composed end-to-end: train the
+    // codebook (q119's three Lloyd rounds), partition the corpus by the
+    // TRAINED cells, probe the 2 nearest trained cells per query and
+    // rank only those candidates — q55's IVF probe running against a
+    // learned index instead of raw seed vectors. Same scale shapes as
+    // its parts: zero-shuffle assignment, broadcast codebook scoring,
+    // probing touches nprobe/k of the data. ----
+    QuerySpec.sql("q120_trained_ivf", {
+      def round(r: Int): String =
+        s"""sums$r AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
+           |  FROM e JOIN assign${r - 1} a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
+           |newc$r AS (SELECT cell, i,
+           |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
+           |  FROM sums$r),
+           |nn$r AS (SELECT cell, sum(c * c) AS nrm FROM newc$r GROUP BY cell),
+           |rd$r AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
+           |  FROM e JOIN newc$r n ON n.i = e.i GROUP BY e.vec_id, n.cell),
+           |rc$r AS (SELECT r.vec_id, r.cell,
+           |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
+           |  FROM rd$r r JOIN norms nv ON nv.vec_id = r.vec_id
+           |              JOIN nn$r cn ON cn.cell = r.cell),
+           |assign$r AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
+           |  FROM rc$r) WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+         |             JOIN norms nc ON nc.vec_id = cid),
+         |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid,
+         |    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |qd AS (SELECT e.vec_id AS q_id, n.cell, sum(e.xq * n.c) AS dot
+         |  FROM e JOIN newc3 n ON n.i = e.i
+         |  WHERE e.vec_id >= 10 AND e.vec_id < 15 GROUP BY q_id, n.cell),
+         |qc AS (SELECT q.q_id, q.cell,
+         |    CAST(q.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
+         |  FROM qd q JOIN norms nv ON nv.vec_id = q.q_id
+         |            JOIN nn3 cn ON cn.cell = q.cell),
+         |probes AS (SELECT q_id, cell FROM (
+         |  SELECT q_id, cell,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, cell) AS rn
+         |  FROM qc) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS c_id, a.cell
+         |  FROM probes p JOIN assign3 a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |pd AS (SELECT cand.q_id, cand.c_id, cand.cell, sum(x.xq * y.xq) AS dot
+         |  FROM cand JOIN e x ON x.vec_id = cand.q_id
+         |            JOIN e y ON y.vec_id = cand.c_id AND y.i = x.i
+         |  GROUP BY cand.q_id, cand.c_id, cand.cell),
+         |pc AS (SELECT q_id, c_id, cell,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM pd JOIN norms na ON na.vec_id = q_id
+         |          JOIN norms nb ON nb.vec_id = c_id)
+         |SELECT q_id, c_id, cell, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT q_id, c_id, cell, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM pc) WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding")
+      val (cb, assign) = KMeans.train(emb, k = 8, iterations = 3)
+      val cents = broadcast(
+        s.createDataFrame(cb.map(c => (c.cell, c.c, c.nrm)))
+          .toDF("cell", "c_arr", "c_nrm"))
+      val base = emb.select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      // corpus partitioned by TRAINED cell (the built index)
+      val indexed = base.join(assign, "vec_id")
+      // query side: score the 5 probe vectors against the broadcast
+      // trained codebook, keep the 2 nearest cells each
+      val qscored = base.filter($"vec_id" >= 10 && $"vec_id" < 15)
+        .crossJoin(cents)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"cell",
+          cosineQ(
+            aggregate(zip_with($"embedding", $"c_arr",
+              (x, c) => graft.functions.VectorOps.quant(x) * c),
+              lit(0L), (acc, v) => acc + v),
+            $"nrm", $"c_nrm").as("ccos"))
+      val probes = Windows.topKPerGroup(qscored, Seq("q_id"),
+          Seq($"ccos".desc, $"cell"), 2)
+        .select($"q_id", $"q_emb", $"q_nrm", $"cell")
+      val pairs = indexed.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"), $"cell",
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id", $"cell", $"cosine", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
     }
   )
 }
