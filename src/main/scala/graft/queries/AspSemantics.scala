@@ -890,6 +890,53 @@ object AspSemantics {
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       graft.operators.Scd2.build(ev, "user_id", "ts_us", "event_id", "event_type")
         .orderBy($"user_id", $"valid_from", $"event_type")
+    },
+
+    // ---- point-in-time read against the SCD2 dimension (q118's
+    // output consumed the way a warehouse consumes it): each purchase
+    // event looks up the version VALID AT ITS TIMESTAMP via the
+    // standard interval predicate — which works unmodified on current
+    // versions because the open end is Long.MaxValue, the exact reason
+    // for that sentinel. Plan: equi-join on the dimension key carries
+    // the interval as a join filter (one hash shuffle on user_id; the
+    // per-key version list is small by construction — step 1 of the
+    // SCD2 build compacted it). Probes at ts+1µs so ties with a
+    // same-instant version change resolve to the new version
+    // deterministically. ----
+    QuerySpec.sql("q121_pit_join",
+      s"""WITH ev AS (SELECT user_id, event_id, $tsUs AS ts_us, event_type
+         |            FROM events),
+         |chg AS (SELECT *, lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev),
+         |ver AS (SELECT user_id, event_type, ts_us, event_id FROM chg
+         |        WHERE prev IS NULL OR event_type <> prev),
+         |scd AS (SELECT user_id, event_type AS attr, ts_us AS valid_from,
+         |    coalesce(lead(ts_us) OVER
+         |      (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |      9223372036854775807) AS valid_to
+         |  FROM ver),
+         |probes AS (SELECT user_id, event_id, ts_us + 1 AS t
+         |  FROM ev WHERE event_type = 'purchase')
+         |SELECT p.user_id AS user_id, p.event_id, s.attr,
+         |  CAST(count(*) OVER (PARTITION BY p.user_id) AS BIGINT) AS n_lookups
+         |FROM probes p JOIN scd s
+         |  ON s.user_id = p.user_id
+         | AND s.valid_from <= p.t AND p.t < s.valid_to
+         |ORDER BY p.user_id, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      val scd = graft.operators.Scd2
+        .build(ev, "user_id", "ts_us", "event_id", "event_type")
+        .select($"user_id", $"event_type".as("attr"), $"valid_from", $"valid_to")
+      val probes = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", ($"ts_us" + 1).as("t"))
+      probes.join(scd,
+          probes("user_id") === scd("user_id") &&
+            $"valid_from" <= $"t" && $"t" < $"valid_to")
+        .select(probes("user_id"), $"event_id", $"attr",
+          count(lit(1)).over(Window.partitionBy(probes("user_id")))
+            .as("n_lookups"))
+        .orderBy($"user_id", $"event_id")
     }
   )
 }
