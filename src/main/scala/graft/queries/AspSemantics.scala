@@ -937,6 +937,52 @@ object AspSemantics {
           count(lit(1)).over(Window.partitionBy(probes("user_id")))
             .as("n_lookups"))
         .orderBy($"user_id", $"event_id")
+    },
+
+    // ---- sliding-window anomaly detection: per event type, each
+    // value's z-score against the TRAILING day's mean/stddev (frame
+    // ends at 1 PRECEDING — the current observation never biases its
+    // own baseline). Numeric discipline: values quantize to int64
+    // (×1e3, truncate) so n/Σx/Σx² are exact integers over the frame
+    // (Σx² ≤ 86400·(1e7)² = 8.6e18 < 2⁶³) and z is a fixed IEEE sequence on
+    // them — no float window accumulation, no engine drift. One hash
+    // shuffle on event_type; the frame is O(window) state per
+    // partition exactly like q96. ----
+    QuerySpec.sql("q122_anomaly",
+      s"""WITH q AS (SELECT event_id, event_type, $tsUs AS ts_us,
+         |    CAST(trunc(value * 1000) AS BIGINT) AS xq FROM events),
+         |st AS (SELECT event_id, event_type, ts_us, xq,
+         |    count(*) OVER w AS n, sum(xq) OVER w AS sx,
+         |    sum(xq * xq) OVER w AS sxx
+         |  FROM q
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+         |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+         |z AS (SELECT event_id, event_type, ts_us,
+         |    (CAST(xq AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+         |      sqrt(CAST(sxx AS DOUBLE) / n
+         |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS z
+         |  FROM st
+         |  WHERE n >= 30 AND CAST(sxx AS DOUBLE) / n
+         |          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0)
+         |SELECT event_id, event_type, ts_us, z FROM z
+         |WHERE z >= 2 OR z <= -2
+         |ORDER BY event_type, ts_us, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"event_type").orderBy($"ts_us")
+        .rangeBetween(-86400000000L, -1L)
+      val q = Tables.events(s, d)
+        .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
+          ($"value" * 1000).cast("long").as("xq"))
+      val st = q.select($"event_id", $"event_type", $"ts_us", $"xq",
+        count(lit(1)).over(w).as("n"),
+        sum($"xq").over(w).as("sx"),
+        sum($"xq" * $"xq").over(w).as("sxx"))
+      val mean = $"sx".cast("double") / $"n"
+      val variance = $"sxx".cast("double") / $"n" - mean * mean
+      st.filter($"n" >= 30 && variance > 0)
+        .select($"event_id", $"event_type", $"ts_us",
+          (($"xq".cast("double") - mean) / sqrt(variance)).as("z"))
+        .filter($"z" >= 2 || $"z" <= -2)
+        .orderBy($"event_type", $"ts_us", $"event_id")
     }
   )
 }
