@@ -947,7 +947,11 @@ object AspSemantics {
     // (Σx² ≤ 86400·(1e7)² = 8.6e18 < 2⁶³) and z is a fixed IEEE sequence on
     // them — no float window accumulation, no engine drift. One hash
     // shuffle on event_type; the frame is O(window) state per
-    // partition exactly like q96. ----
+    // partition exactly like q96. Scale note: a per-type z-score is
+    // inherently one ordered series per type — at 100 TB the baseline
+    // key must be (type, series_id) (q96's per-user form) so
+    // parallelism tracks series count, not the handful of types; the
+    // math here is unchanged under that key. ----
     QuerySpec.sql("q122_anomaly",
       s"""WITH q AS (SELECT event_id, event_type, $tsUs AS ts_us,
          |    CAST(trunc(value * 1000) AS BIGINT) AS xq FROM events),

@@ -153,4 +153,24 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(term"),
       s"posting aggregation not partitioned by term:\n$p")
   }
+
+  test("q121 point-in-time join is equi-keyed with the interval as a filter") {
+    val p = plan("q121_pit_join")
+    // the SCD2 lookup must ride a hash join on the dimension key
+    // (broadcast at fixture scale, SMJ at cluster scale) — a range-only
+    // condition would fall back to a nested-loop product
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval predicate planned as a nested loop:\n$p")
+  }
+
+  test("q118 SCD2 computes both windows from ONE hash exchange") {
+    val p = plan("q118_scd2")
+    // lag (compaction) + lead (validity) share the user_id partitioning;
+    // the only other exchange is the output ORDER BY
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"windows not sharing one exchange:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-task stage:\n$p")
+  }
 }
