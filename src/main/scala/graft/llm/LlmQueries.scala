@@ -2314,6 +2314,37 @@ object LlmQueries {
       Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
         .select($"q_id", $"c_id", $"cell", $"cosine", $"rnk".cast("long").as("rnk"))
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- weighted Bernoulli sampling, exact-integer form — the FOURTH
+    // sampling mode (q60 fixed-rate, q69 stratified rates, q85 exact
+    // quotas): keep each doc with probability proportional to its
+    // weight (n_chars as the stand-in quality weight), P(keep) =
+    // w/max_w, decided by integer cross-multiplication h·max_w < w·P —
+    // no division, no libm, no float boundary. Like q60 it is a PURE
+    // FILTER: pushdown-friendly, layout-independent, reproducible
+    // across engines and re-runs (the property that makes a training
+    // mix auditable). max_w is one tiny aggregate broadcast to the
+    // scan. ----
+    QuerySpec.sql("q123_weighted_sample", {
+      val h = md5ModSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH mw AS (SELECT max(n_chars) AS mw FROM documents),
+         |s AS (SELECT doc_id, lang, n_chars, $h AS h FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         |  CAST(n_chars AS DOUBLE) / CAST(mw.mw AS DOUBLE) AS p_keep
+         |FROM s CROSS JOIN mw
+         |WHERE s.h * mw.mw < s.n_chars * $P
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mw = docs.agg(max($"n_chars").as("mw"))
+      docs.select($"doc_id", $"lang", $"n_chars",
+          PortableHash.md5Mod($"doc_id".cast("string")).as("h"))
+        .crossJoin(broadcast(mw))
+        .filter($"h" * $"mw" < $"n_chars" * lit(P))
+        .select($"doc_id", $"lang", $"n_chars",
+          ($"n_chars".cast("double") / $"mw".cast("double")).as("p_keep"))
+        .orderBy($"doc_id")
     }
   )
 }
