@@ -36,8 +36,12 @@ object KMeans {
       lit(0L), (acc, v) => acc + v)
 
   /** argmax-cosine cell over codebook literals, ties to the smallest
-    * cell id (max of struct(cosine, -cell) — the q92 tie rule). */
-  private def bestCell(xq: Column, nrm: Column, cb: Seq[Centroid]): Column = {
+    * cell id (max of struct(cosine, -cell) — the q92 tie rule).
+    * Public: this IS the assignment rule — serving paths (e.g. the
+    * streaming ANN probe) must call it, not re-derive it, so a tie-rule
+    * or quantization change cannot desynchronize them. `xq` is the
+    * quantized long-array column ([[VectorOps.quant]] per element). */
+  def bestCell(xq: Column, nrm: Column, cb: Seq[Centroid]): Column = {
     require(cb.nonEmpty, "k-means codebook is empty — no seed vectors found")
     val cands = cb.map { c =>
       val cos = quantDot(xq, c).cast("double") /

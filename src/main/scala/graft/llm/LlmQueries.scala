@@ -264,6 +264,49 @@ object LlmQueries {
        |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id)""".stripMargin
   }
 
+  /** Shared oracle CTE chain for the Lloyd k-means queries (q119 gates
+    * the trained state, q120 continues into the IVF probe): quantized
+    * elements + norms, seed assignment from the 8 lowest-id vectors,
+    * then `rounds` unrolled update+reassign rounds with the SAME
+    * truncating integer math as [[KMeans.train]] — ONE definition so
+    * the two gates cannot desynchronize from the operator. */
+  private def lloydSql(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""sums$r AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
+         |  FROM e JOIN assign${r - 1} a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
+         |newc$r AS (SELECT cell, i,
+         |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
+         |  FROM sums$r),
+         |nn$r AS (SELECT cell, sum(c * c) AS nrm FROM newc$r GROUP BY cell),
+         |rd$r AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
+         |  FROM e JOIN newc$r n ON n.i = e.i GROUP BY e.vec_id, n.cell),
+         |rc$r AS (SELECT r.vec_id, r.cell,
+         |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
+         |  FROM rd$r r JOIN norms nv ON nv.vec_id = r.vec_id
+         |              JOIN nn$r cn ON cn.cell = r.cell),
+         |assign$r AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
+         |  FROM rc$r) WHERE rn = 1)""".stripMargin
+    s"""e AS (SELECT vec_id,
+       |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+       |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+       |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+       |  GROUP BY vid, cid),
+       |ccos AS (SELECT vid, cid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+       |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+       |             JOIN norms nc ON nc.vec_id = cid),
+       |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
+       |  SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+       |  FROM ccos) WHERE rn = 1),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: content-hash groupBy; min(doc_id) survives.
@@ -2161,42 +2204,7 @@ object LlmQueries {
     // trained centroid's integer norm — the oracle unrolls the same
     // three rounds as CTE chains with identical truncating math. ----
     QuerySpec.sql("q119_kmeans", {
-      def round(r: Int): String =
-        s"""sums$r AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
-           |  FROM e JOIN assign${r - 1} a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
-           |newc$r AS (SELECT cell, i,
-           |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
-           |  FROM sums$r),
-           |nn$r AS (SELECT cell, sum(c * c) AS nrm FROM newc$r GROUP BY cell),
-           |rd$r AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
-           |  FROM e JOIN newc$r n ON n.i = e.i GROUP BY e.vec_id, n.cell),
-           |rc$r AS (SELECT r.vec_id, r.cell,
-           |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
-           |  FROM rd$r r JOIN norms nv ON nv.vec_id = r.vec_id
-           |              JOIN nn$r cn ON cn.cell = r.cell),
-           |assign$r AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
-           |  FROM rc$r) WHERE rn = 1)""".stripMargin
-      s"""WITH e AS (SELECT vec_id,
-         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
-         |    unnest(generate_series(1, len(embedding))) AS i
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
-         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
-         |  GROUP BY vid, cid),
-         |ccos AS (SELECT vid, cid,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
-         |             JOIN norms nc ON nc.vec_id = cid),
-         |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
-         |  SELECT vid, cid,
-         |    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+      s"""WITH ${lloydSql(3)}
          |SELECT a.cell AS cell, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(cn.nrm AS BIGINT) AS c_nrm
          |FROM assign3 a JOIN nn3 cn ON cn.cell = a.cell
@@ -2221,42 +2229,7 @@ object LlmQueries {
     // its parts: zero-shuffle assignment, broadcast codebook scoring,
     // probing touches nprobe/k of the data. ----
     QuerySpec.sql("q120_trained_ivf", {
-      def round(r: Int): String =
-        s"""sums$r AS (SELECT a.cell, e.i, sum(e.xq) AS s, count(*) AS cnt
-           |  FROM e JOIN assign${r - 1} a ON a.vec_id = e.vec_id GROUP BY a.cell, e.i),
-           |newc$r AS (SELECT cell, i,
-           |    CAST(trunc(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS c
-           |  FROM sums$r),
-           |nn$r AS (SELECT cell, sum(c * c) AS nrm FROM newc$r GROUP BY cell),
-           |rd$r AS (SELECT e.vec_id, n.cell, sum(e.xq * n.c) AS dot
-           |  FROM e JOIN newc$r n ON n.i = e.i GROUP BY e.vec_id, n.cell),
-           |rc$r AS (SELECT r.vec_id, r.cell,
-           |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(cn.nrm AS DOUBLE)) AS cosine
-           |  FROM rd$r r JOIN norms nv ON nv.vec_id = r.vec_id
-           |              JOIN nn$r cn ON cn.cell = r.cell),
-           |assign$r AS (SELECT vec_id, cell FROM (
-           |  SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cell) AS rn
-           |  FROM rc$r) WHERE rn = 1)""".stripMargin
-      s"""WITH e AS (SELECT vec_id,
-         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
-         |    unnest(generate_series(1, len(embedding))) AS i
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
-         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
-         |  GROUP BY vid, cid),
-         |ccos AS (SELECT vid, cid,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
-         |             JOIN norms nc ON nc.vec_id = cid),
-         |assign0 AS (SELECT vid AS vec_id, cid AS cell FROM (
-         |  SELECT vid, cid,
-         |    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
+      s"""WITH ${lloydSql(3)},
          |qd AS (SELECT e.vec_id AS q_id, n.cell, sum(e.xq * n.c) AS dot
          |  FROM e JOIN newc3 n ON n.i = e.i
          |  WHERE e.vec_id >= 10 AND e.vec_id < 15 GROUP BY q_id, n.cell),
@@ -2290,7 +2263,10 @@ object LlmQueries {
       val cents = broadcast(
         s.createDataFrame(cb.map(c => (c.cell, c.c, c.nrm)))
           .toDF("cell", "c_arr", "c_nrm"))
+      // base feeds the index join AND the query side — materialize the
+      // reuse point (q91 discipline) or embeddings re-scans per branch
       val base = emb.select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+        .localCheckpoint()
       // corpus partitioned by TRAINED cell (the built index)
       val indexed = base.join(assign, "vec_id")
       // query side: score the 5 probe vectors against the broadcast

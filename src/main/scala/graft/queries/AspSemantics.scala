@@ -943,9 +943,12 @@ object AspSemantics {
     // value's z-score against the TRAILING day's mean/stddev (frame
     // ends at 1 PRECEDING — the current observation never biases its
     // own baseline). Numeric discipline: values quantize to int64
-    // (×1e3, truncate) so n/Σx/Σx² are exact integers over the frame
-    // (Σx² ≤ 86400·(1e7)² = 8.6e18 < 2⁶³) and z is a fixed IEEE sequence on
-    // them — no float window accumulation, no engine drift. One hash
+    // (×1e3, truncate) AND clamp to ±1e6 — the clamp makes the
+    // overflow bound unconditional (Σx² ≤ n·(1e6)², so the frame would
+    // need >9.2e6 rows per series-day to overflow; unclamped, a single
+    // huge double value would wrap Spark's non-ANSI sum while DuckDB
+    // errors — a silent gate divergence). z is a fixed IEEE sequence on
+    // exact integers — no float window accumulation, no drift. One hash
     // shuffle on event_type; the frame is O(window) state per
     // partition exactly like q96. Scale note: a per-type z-score is
     // inherently one ordered series per type — at 100 TB the baseline
@@ -954,7 +957,8 @@ object AspSemantics {
     // math here is unchanged under that key. ----
     QuerySpec.sql("q122_anomaly",
       s"""WITH q AS (SELECT event_id, event_type, $tsUs AS ts_us,
-         |    CAST(trunc(value * 1000) AS BIGINT) AS xq FROM events),
+         |    LEAST(GREATEST(CAST(trunc(value * 1000) AS BIGINT), -1000000), 1000000) AS xq
+         |  FROM events),
          |st AS (SELECT event_id, event_type, ts_us, xq,
          |    count(*) OVER w AS n, sum(xq) OVER w AS sx,
          |    sum(xq * xq) OVER w AS sxx
@@ -975,7 +979,8 @@ object AspSemantics {
         .rangeBetween(-86400000000L, -1L)
       val q = Tables.events(s, d)
         .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
-          ($"value" * 1000).cast("long").as("xq"))
+          least(greatest(($"value" * 1000).cast("long"), lit(-1000000L)),
+            lit(1000000L)).as("xq"))
       val st = q.select($"event_id", $"event_type", $"ts_us", $"xq",
         count(lit(1)).over(w).as("n"),
         sum($"xq").over(w).as("sx"),

@@ -37,19 +37,13 @@ class StreamingAnnSpec extends AnyFunSuite {
       .localCheckpoint() // the built index — static by construction
 
     // stateless per-row best cell (nprobe=1 — the clusters are cleanly
-    // separated): fold the codebook into one projection, the KMeans
-    // assignment shape — a window/groupBy here would be STATEFUL in a
-    // stream; the per-row argmax is not
+    // separated): THE trained assignment rule, KMeans.bestCell, over a
+    // projection — a window/groupBy here would be STATEFUL in a stream;
+    // the per-row argmax is not
     def probe(queries: org.apache.spark.sql.DataFrame) = {
-      val cands = cb.map { c =>
-        val cos = aggregate(
-          zip_with($"q_emb", typedLit(c.c), (x, w) => VectorOps.quant(x) * w),
-          lit(0L), (acc, v) => acc + v).cast("double") /
-          sqrt($"q_nrm".cast("double") * lit(c.nrm.toDouble))
-        struct(cos.as("cosine"), lit(-c.cell).as("negCell"))
-      }
       val withCell = queries.withColumn("cell",
-        -array_max(array(cands: _*)).getField("negCell"))
+        graft.llm.KMeans.bestCell(
+          transform($"q_emb", x => VectorOps.quant(x)), $"q_nrm", cb))
       withCell.join(indexed, Seq("cell"))
         .select($"q_id", $"vec_id".as("c_id"), $"cell",
           (VectorOps.dotQ($"q_emb", $"embedding").cast("double") /
