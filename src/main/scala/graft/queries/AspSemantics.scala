@@ -939,55 +939,52 @@ object AspSemantics {
         .orderBy($"user_id", $"event_id")
     },
 
-    // ---- sliding-window anomaly detection: per event type, each
-    // value's z-score against the TRAILING day's mean/stddev (frame
-    // ends at 1 PRECEDING — the current observation never biases its
-    // own baseline). Numeric discipline: values quantize to int64
-    // (×1e3, truncate) AND clamp to ±1e6 — the clamp makes the
-    // overflow bound unconditional (Σx² ≤ n·(1e6)², so the frame would
-    // need >9.2e6 rows per series-day to overflow; unclamped, a single
-    // huge double value would wrap Spark's non-ANSI sum while DuckDB
-    // errors — a silent gate divergence). z is a fixed IEEE sequence on
-    // exact integers — no float window accumulation, no drift. One hash
-    // shuffle on event_type; the frame is O(window) state per
-    // partition exactly like q96. Scale note: a per-type z-score is
-    // inherently one ordered series per type — at 100 TB the baseline
-    // key must be (type, series_id) (q96's per-user form) so
-    // parallelism tracks series count, not the handful of types; the
-    // math here is unchanged under that key. ----
+    // ---- anomaly detection against the PRIOR day's baseline: per
+    // event type, each value's z-score vs yesterday's mean/stddev —
+    // the baseline never includes the observation (no self-bias) and
+    // the plan is the 100 TB shape: one tiny (type, day) aggregate +
+    // a broadcast join back to the events, O(n) total. The obvious
+    // alternative — an exact trailing RANGE frame — is O(n·frame) in
+    // Spark (SlidingWindowFunctionFrame recomputes the frame per row;
+    // measured 4 s at sf0.1 vs 0.5 s for this plan) and serializes
+    // each type into one task. Numeric discipline: values quantize to
+    // int64 (×1e3, truncate) AND clamp to ±1e6, making the Σx²
+    // overflow bound unconditional (needs >9.2e6 rows/day to overflow;
+    // unclamped, one huge double would wrap Spark's non-ANSI sum while
+    // DuckDB errors — a silent gate divergence); n/Σx/Σx² are exact
+    // integers and z is a fixed IEEE sequence on them. ----
     QuerySpec.sql("q122_anomaly",
       s"""WITH q AS (SELECT event_id, event_type, $tsUs AS ts_us,
+         |    ($tsUs) // 86400000000 AS day,
          |    LEAST(GREATEST(CAST(trunc(value * 1000) AS BIGINT), -1000000), 1000000) AS xq
          |  FROM events),
-         |st AS (SELECT event_id, event_type, ts_us, xq,
-         |    count(*) OVER w AS n, sum(xq) OVER w AS sx,
-         |    sum(xq * xq) OVER w AS sxx
-         |  FROM q
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
-         |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
-         |z AS (SELECT event_id, event_type, ts_us,
-         |    (CAST(xq AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
-         |      sqrt(CAST(sxx AS DOUBLE) / n
-         |           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS z
-         |  FROM st
-         |  WHERE n >= 30 AND CAST(sxx AS DOUBLE) / n
-         |          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0)
+         |daystats AS (SELECT event_type, day, count(*) AS n,
+         |    sum(xq) AS sx, sum(xq * xq) AS sxx
+         |  FROM q GROUP BY event_type, day),
+         |z AS (SELECT q.event_id, q.event_type, q.ts_us,
+         |    (CAST(q.xq AS DOUBLE) - CAST(b.sx AS DOUBLE) / b.n) /
+         |      sqrt(CAST(b.sxx AS DOUBLE) / b.n
+         |           - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n)) AS z
+         |  FROM q JOIN daystats b
+         |    ON b.event_type = q.event_type AND b.day = q.day - 1
+         |  WHERE b.n >= 30 AND CAST(b.sxx AS DOUBLE) / b.n
+         |          - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n) > 0)
          |SELECT event_id, event_type, ts_us, z FROM z
          |WHERE z >= 2 OR z <= -2
          |ORDER BY event_type, ts_us, event_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy($"event_type").orderBy($"ts_us")
-        .rangeBetween(-86400000000L, -1L)
       val q = Tables.events(s, d)
         .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
+          (unix_micros($"ts") / lit(86400000000L)).cast("long").as("day"),
           least(greatest(($"value" * 1000).cast("long"), lit(-1000000L)),
             lit(1000000L)).as("xq"))
-      val st = q.select($"event_id", $"event_type", $"ts_us", $"xq",
-        count(lit(1)).over(w).as("n"),
-        sum($"xq").over(w).as("sx"),
-        sum($"xq" * $"xq").over(w).as("sxx"))
+      val daystats = q.groupBy($"event_type".as("b_type"), $"day".as("b_day"))
+        .agg(count(lit(1)).as("n"), sum($"xq").as("sx"),
+          sum($"xq" * $"xq").as("sxx"))
       val mean = $"sx".cast("double") / $"n"
       val variance = $"sxx".cast("double") / $"n" - mean * mean
-      st.filter($"n" >= 30 && variance > 0)
+      q.join(broadcast(daystats),
+          $"b_type" === $"event_type" && $"b_day" === $"day" - 1)
+        .filter($"n" >= 30 && variance > 0)
         .select($"event_id", $"event_type", $"ts_us",
           (($"xq".cast("double") - mean) / sqrt(variance)).as("z"))
         .filter($"z" >= 2 || $"z" <= -2)
