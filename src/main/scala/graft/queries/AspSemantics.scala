@@ -972,9 +972,12 @@ object AspSemantics {
          |SELECT event_id, event_type, ts_us, z FROM z
          |WHERE z >= 2 OR z <= -2
          |ORDER BY event_type, ts_us, event_id""".stripMargin) { (s, d) =>
+      // integer DIV, not `/`: long / long is DOUBLE division in Spark,
+      // and its round-to-nearest can cross a day boundary where
+      // DuckDB's floor `//` does not (the PageRank discipline)
       val q = Tables.events(s, d)
         .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
-          (unix_micros($"ts") / lit(86400000000L)).cast("long").as("day"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
           least(greatest(($"value" * 1000).cast("long"), lit(-1000000L)),
             lit(1000000L)).as("xq"))
       val daystats = q.groupBy($"event_type".as("b_type"), $"day".as("b_day"))
