@@ -106,12 +106,28 @@ object Bench {
         System.err.println(s"[bench] replay microbench failed: ${e.getMessage}"); -1.0
       }
     }
-    val line =
+    // The driver captures only the tail of stdout, so the FINAL line must
+    // be compact (<~1,500 chars): totals + the slowest-10 map. The full
+    // 123-query map goes to target/bench_full.json for humans/judges.
+    def fmt(v: Double): String = f"$v%.3f"
+    val slowest = results.filter(_._3).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""warmup_sec":$warmup,"isolated":$isolated,""" +
       s""""replay_events_per_sec":${replayPerSec.round},"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,""" +
+      s""""n_queries":${results.size},"failed":${failed.size},""" +
+      s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""warmup_sec":${fmt(warmup)},"isolated":$isolated,""" +
+      s""""replay_events_per_sec":${replayPerSec.round},""" +
+      s""""full_json":"target/bench_full.json","sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop() // stop first so stray executor WARNs can't interleave mid-line
-    println(line)
+    println(compactLine)
   }
 }

@@ -293,8 +293,10 @@ object LlmQueries {
        |    unnest(generate_series(1, len(embedding))) AS i
        |  FROM embeddings WHERE len(embedding) = 64),
        |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+       |seeds AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM e)
+       |  ORDER BY vec_id LIMIT 8),
        |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-       |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+       |  FROM e a JOIN e b ON b.i = a.i JOIN seeds sd ON sd.vec_id = b.vec_id
        |  GROUP BY vid, cid),
        |ccos AS (SELECT vid, cid,
        |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
@@ -810,14 +812,31 @@ object LlmQueries {
         .orderBy($"doc_id", $"rank")
     },
 
-    // ---- approximate distinct (HLL sketch): engine-specific estimates,
-    // so no hash oracle — the driver records a rows-only check; exact
-    // count rides along for plausibility ----
-    QuerySpec.rowsOnly("q52_approx_distinct") { (s, d) =>
+    // ---- approximate distinct (HLL sketch), SELF-VALIDATING gate: the
+    // raw estimates are engine-specific (different HLL hash functions),
+    // so the estimate itself can't be hash-compared. Instead each engine
+    // checks its OWN estimate against the SAME exact count and emits a
+    // within_bound flag — the q89 discipline (estimate next to exact).
+    // Bound: 5% relative, = 5× Spark's requested rsd (0.01) and ~3×
+    // DuckDB's typical HLL error; both sketches are deterministic per
+    // engine, so once green the gate stays green. Output columns
+    // (exact_vocab, within_bound) hash identically when both engines'
+    // sketches meet their accuracy contract. ----
+    QuerySpec.sql("q52_approx_distinct",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |x AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_vocab,
+        |             approx_count_distinct(w) AS est FROM w)
+        |SELECT exact_vocab,
+        |  CAST(CASE WHEN abs(est - exact_vocab) <= 0.05 * exact_vocab
+        |       THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM x""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(explode(split($"text", " ")).as("w"))
-        .agg(approx_count_distinct($"w").as("approx_vocab"),
+        .agg(approx_count_distinct($"w", 0.01).as("est"),
           countDistinct($"w").as("exact_vocab"))
+        .select($"exact_vocab",
+          when(abs($"est" - $"exact_vocab") <= lit(0.05) * $"exact_vocab", 1L)
+            .otherwise(0L).as("within_bound"))
     },
 
     // ---- multimodal frame plumbing, oracle-checkable flavor: binary
@@ -1918,13 +1937,18 @@ object LlmQueries {
       val withCb = emb.crossJoin(broadcast(cb))
       val coded = withCb.select($"vec_id" +:
         (0 to 3).map(sI => codeFor(sI).as(s"code$sI")): _*)
-      // per-query distance tables: dtab_s[cid+1] = d2(query_s, codeword_cid_s)
+      // per-query distance tables keyed BY cid (not array position — a
+      // missing seed id would silently shift positional lookups while
+      // the oracle joins on cid and stays correct)
       val qdf = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
         .crossJoin(broadcast(cb))
         .select($"vec_id".as("q_id") +:
-          (0 to 3).map(sI => transform($"cb", c => d2To(c, sI)).as(s"dtab$sI")): _*)
+          (0 to 3).map(sI => transform($"cb", c => struct(
+            c.getField("cid").as("cid"), d2To(c, sI).as("d2"))).as(s"dtab$sI")): _*)
       val adc = (0 to 3).map(sI =>
-        element_at(col(s"dtab$sI"), col(s"code$sI") + 1)).reduce(_ + _)
+        element_at(filter(col(s"dtab$sI"),
+          x => x.getField("cid") === col(s"code$sI")), 1).getField("d2"))
+        .reduce(_ + _)
       val pairs = coded.join(broadcast(qdf), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id".as("c_id"), adc.as("adc"))
       Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
@@ -1963,7 +1987,7 @@ object LlmQueries {
     // bucket midpoint (explicit multiplications — no pow/libm; the
     // formula a pipeline consults to pick (bands, rows) BEFORE the
     // 100 TB run). Ground truth is the q45-style bounded all-pairs
-    // space (doc_id < 100) — exactly the sampled-calibration shape:
+    // space (doc_id < 250) — exactly the sampled-calibration shape:
     // exhaustive truth on a sample, banded candidates from the index. ----
     QuerySpec.sql("q116_band_recall",
       s"""WITH $pairsSql,
@@ -2078,14 +2102,18 @@ object LlmQueries {
     // is bounded by the segment size. Global document frequency rides a
     // window over the tiny (term × segment) aggregate — no second scan
     // of the corpus; raw text never shuffles (only (term, doc_id)
-    // pairs). df ≥ 25 keeps the gated output to index-worthy terms. ----
+    // pairs). df ≥ 25 keeps the gated output to index-worthy terms.
+    // Postings serialize to ONE comma-joined string for the gate: the
+    // driver's checker sorts every column (pandas lexsort) and cannot
+    // order list cells, so both engines emit the scalar serialization
+    // of the same sorted posting list. ----
     QuerySpec.sql("q111_inverted_index",
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),
         |d AS (SELECT DISTINCT doc_id, term FROM t),
         |seg AS (SELECT term, CAST(doc_id // 100 AS INT) AS seg,
         |          CAST(count(*) AS BIGINT) AS df_seg,
-        |          list_sort(list(doc_id)) AS postings
+        |          array_to_string(list_sort(list(doc_id)), ',') AS postings
         |        FROM d GROUP BY 1, 2)
         |SELECT term, seg, df, df_seg, postings FROM (
         |  SELECT term, seg, df_seg, postings,
@@ -2098,7 +2126,7 @@ object LlmQueries {
       val seg = terms
         .groupBy($"term", expr("CAST(doc_id DIV 100 AS INT)").as("seg"))
         .agg(count(lit(1)).as("df_seg"),
-          sort_array(collect_list($"doc_id")).as("postings"))
+          expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')").as("postings"))
       seg
         .withColumn("df", sum($"df_seg").over(
           Window.partitionBy($"term")))

@@ -423,18 +423,31 @@ object AspSemantics {
     // ---- sketch percentile — the 100 TB path q37's exact form is traded
     // against: `approx_percentile` (Greenwald-Khanna, mergeable partial
     // sketches, bounded state per group vs exact percentile's full-sort).
-    // Estimates are engine-specific, so no hash oracle (rows-only, like
-    // q52/HLL); the exact value and the relative error ride along so the
-    // accuracy contract (GK ε=0.5% here) is visible in the output. ----
-    QuerySpec.rowsOnly("q62_approx_percentile") { (s, d) =>
+    // SELF-VALIDATING gate (the q52 discipline): the raw estimates are
+    // engine-specific (GK here, t-digest in DuckDB), so each engine
+    // checks its OWN median estimate against the SAME exact median and
+    // emits a within_bound flag. Bound: 5% relative value error — GK at
+    // accuracy 1000 (ε=0.1% rank) and t-digest are both far inside it on
+    // any non-pathological distribution; deterministic per engine, so
+    // once green the gate stays green. Hashed columns: (event_type,
+    // p50_exact, n, within_bound). ----
+    QuerySpec.sql("q62_approx_percentile",
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50_exact,
+        |  count(*) AS n,
+        |  CAST(CASE WHEN abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |         <= 0.05 * abs(quantile_cont(value, 0.5))
+        |       THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(
-          approx_percentile($"value", lit(0.5), lit(200)).as("p50_approx"),
+          approx_percentile($"value", lit(0.5), lit(1000)).as("est"),
           percentile($"value", lit(0.5)).as("p50_exact"),
           count(lit(1)).as("n"))
-        .withColumn("rel_err",
-          abs($"p50_approx" - $"p50_exact") / abs($"p50_exact"))
+        .select($"event_type", $"p50_exact", $"n",
+          when(abs($"est" - $"p50_exact") <= lit(0.05) * abs($"p50_exact"), 1L)
+            .otherwise(0L).as("within_bound"))
         .orderBy($"event_type")
     },
 
@@ -808,15 +821,18 @@ object AspSemantics {
     // arrays, per-session action lists). Determinism discipline:
     // collect_list order is partition-dependent, so the list is built
     // from (sortable struct) then sorted — same rows, same array, any
-    // cluster layout. ----
+    // cluster layout. The array is serialized to ONE comma-joined string
+    // column for the gate: the driver's checker sorts every output
+    // column (pandas lexsort) and cannot order list cells, so both
+    // engines emit the scalar serialization of the same sorted array. ----
     QuerySpec.sql("q100_event_arrays",
       s"""SELECT user_id,
-         |  list(event_type ORDER BY ts, event_id) AS types,
+         |  array_to_string(list(event_type ORDER BY ts, event_id), ',') AS types,
          |  CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS n
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"user_id")
-        .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, event_type))), r -> r.event_type)").as("types"),
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(ts, event_id, event_type))), r -> r.event_type), ',')").as("types"),
           count(lit(1)).as("n"))
         .orderBy($"user_id")
     },
@@ -885,11 +901,14 @@ object AspSemantics {
          |SELECT user_id, event_type, valid_from,
          |  coalesce(vt, 9223372036854775807) AS valid_to,
          |  CAST(vt IS NULL AS INT) AS is_current
-         |FROM scd ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, d) =>
+         |FROM scd ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin) { (s, d) =>
+      // valid_to is the 4th sort key: an A->B->A attribute flip within one
+      // identical timestamp yields two rows equal in (user_id, valid_from,
+      // event_type), so without it the gate's row order is engine-dependent.
       val ev = Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       graft.operators.Scd2.build(ev, "user_id", "ts_us", "event_id", "event_type")
-        .orderBy($"user_id", $"valid_from", $"event_type")
+        .orderBy($"user_id", $"valid_from", $"event_type", $"valid_to")
     },
 
     // ---- point-in-time read against the SCD2 dimension (q118's

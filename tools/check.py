@@ -13,6 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # replicate the driver's gate: rows are sorted over ALL columns before
+    # hashing — this also reproduces its pandas lexsort crash on list
+    # cells, which the previous (unsorted) version of this script missed
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 def cell(v):
