@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.io.{DataInputStream, IOException, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.security.{MessageDigest, SecureRandom}
+import java.util.Base64
+
+/** RFC 6455 WebSocket CLIENT feeding a [[GraftFeed]] — the reference's
+  * adapter protocol spoken for real (examples/csp/03_using_adapters/
+  * websocket/e1_websocket_client.py:10-18 wraps `websockets.connect` and
+  * yields `(asp.now(), msg)` per TEXT message; websocket_server.py:5-9 is
+  * the serving side). [[SocketBridge]] demonstrated the bridge shape over
+  * raw line-oriented TCP; this speaks the actual wire protocol:
+  *
+  *  - HTTP/1.1 Upgrade handshake (§4.1): random `Sec-WebSocket-Key`,
+  *    the 101 response's `Sec-WebSocket-Accept` verified against
+  *    base64(SHA1(key ++ RFC-GUID)) — a failed check aborts loudly
+  *    instead of pumping a non-WS byte stream into the feed.
+  *  - Frame decode (§5.2): FIN/opcode, 7/16/64-bit payload lengths,
+  *    fragmented TEXT messages reassembled across CONTINUATION frames;
+  *    each complete message is pushed with its ARRIVAL time — the same
+  *    `(now, msg)` contract as [[SocketBridge]], so everything downstream
+  *    (sharding, retention, [[graft.streaming.Crossover]] handover) is
+  *    unchanged.
+  *  - Control frames (§5.5): PING answered with a masked PONG carrying
+  *    the same payload; CLOSE echoed then the connection drops. Client
+  *    frames are masked as the RFC requires; server frames are expected
+  *    unmasked (BINARY messages are skipped — the reference adapter is
+  *    text-only).
+  *
+  * One bridge = one connection = one feed; scale-out is N bridges onto N
+  * feed shards consumed as one table via `option("shards", ...)` — the
+  * adapter layer stays single-threaded and dumb, the ENGINE provides the
+  * parallelism (the opposite of the reference's in-process event loop).
+  */
+object WebSocketBridge {
+
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  /** Close() drops the connection and joins the consumer thread. */
+  final class Handle(socket: Socket, thread: Thread) extends AutoCloseable {
+    override def close(): Unit = { socket.close(); thread.join(5000) }
+  }
+
+  private[sources] def acceptKeyFor(key: String): String =
+    Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1")
+        .digest((key + WsGuid).getBytes(StandardCharsets.US_ASCII)))
+
+  /** Client frames MUST be masked (§5.3): 4 random mask bytes, payload
+    * XORed byte-wise. `fin` is always set — we never fragment sends. */
+  private def writeFrame(out: OutputStream, opcode: Int, payload: Array[Byte],
+                         rnd: SecureRandom): Unit = {
+    val header = new java.io.ByteArrayOutputStream()
+    header.write(0x80 | opcode)
+    val n = payload.length
+    if (n < 126) header.write(0x80 | n)
+    else if (n < 65536) {
+      header.write(0x80 | 126); header.write(n >>> 8); header.write(n & 0xff)
+    } else {
+      header.write(0x80 | 127)
+      (7 to 0 by -1).foreach(i => header.write(((n.toLong >>> (8 * i)) & 0xff).toInt))
+    }
+    val mask = new Array[Byte](4)
+    rnd.nextBytes(mask)
+    header.write(mask)
+    val masked = payload.zipWithIndex.map { case (b, i) => (b ^ mask(i % 4)).toByte }
+    header.write(masked)
+    out.write(header.toByteArray)
+    out.flush()
+  }
+
+  /** Connect, perform the Upgrade handshake, then pump TEXT messages into
+    * `feed` until the peer closes (or [[Handle.close]]). `nowUs` is
+    * injectable for deterministic tests. */
+  def connect(host: String, port: Int, path: String, feed: String,
+              nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Handle = {
+    val sock = new Socket(host, port)
+    val rnd = new SecureRandom()
+    val out = sock.getOutputStream
+    val in = new DataInputStream(sock.getInputStream)
+
+    // -- handshake (§4.1) --
+    val keyBytes = new Array[Byte](16)
+    rnd.nextBytes(keyBytes)
+    val key = Base64.getEncoder.encodeToString(keyBytes)
+    out.write(
+      (s"GET $path HTTP/1.1\r\n" +
+        s"Host: $host:$port\r\n" +
+        "Upgrade: websocket\r\n" +
+        "Connection: Upgrade\r\n" +
+        s"Sec-WebSocket-Key: $key\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+      sb.toString
+    }
+    val status = readLine()
+    if (!status.contains(" 101 "))
+      { sock.close(); throw new IOException(s"websocket handshake refused: $status") }
+    var accept: Option[String] = None
+    var line = readLine()
+    while (line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sec-websocket-accept"))
+        accept = Some(line.substring(i + 1).trim)
+      line = readLine()
+    }
+    if (!accept.contains(acceptKeyFor(key)))
+      { sock.close(); throw new IOException(
+        s"websocket handshake: bad Sec-WebSocket-Accept ${accept.getOrElse("<missing>")}") }
+
+    // -- frame pump (§5.2) --
+    val t = new Thread(() => {
+      try {
+        val text = new java.io.ByteArrayOutputStream() // fragment reassembly
+        var inText = false
+        var open = true
+        while (open) {
+          val b0 = in.readUnsignedByte()
+          val b1 = in.readUnsignedByte()
+          val fin = (b0 & 0x80) != 0
+          val opcode = b0 & 0x0f
+          val maskedByServer = (b1 & 0x80) != 0
+          val len: Long = (b1 & 0x7f) match {
+            case 126 => in.readUnsignedShort().toLong
+            case 127 => in.readLong()
+            case n => n.toLong
+          }
+          if (len > Int.MaxValue) throw new IOException(s"frame too large: $len")
+          val maskKey = if (maskedByServer) {
+            val m = new Array[Byte](4); in.readFully(m); m
+          } else null
+          val payload = new Array[Byte](len.toInt)
+          in.readFully(payload)
+          if (maskKey != null)
+            payload.indices.foreach(i => payload(i) = (payload(i) ^ maskKey(i % 4)).toByte)
+          opcode match {
+            case 0x1 => // TEXT (possibly fragmented)
+              text.reset(); text.write(payload); inText = true
+              if (fin) {
+                GraftFeed.push(feed, nowUs(), text.toString(StandardCharsets.UTF_8))
+                inText = false
+              }
+            case 0x0 => // CONTINUATION
+              if (inText) {
+                text.write(payload)
+                if (fin) {
+                  GraftFeed.push(feed, nowUs(), text.toString(StandardCharsets.UTF_8))
+                  inText = false
+                }
+              }
+            case 0x9 => writeFrame(out, 0xA, payload, rnd) // PING -> PONG, same payload
+            case 0x8 => // CLOSE: echo and drop
+              try writeFrame(out, 0x8, payload, rnd) catch { case _: IOException => () }
+              open = false
+            case _ => () // BINARY / PONG / reserved: skipped (text-only adapter)
+          }
+        }
+      } catch {
+        case _: IOException => ()        // connection closed
+        case _: java.io.EOFException => ()
+      } finally {
+        try sock.close() catch { case _: IOException => () }
+      }
+    }, s"graft-ws-$feed")
+    t.setDaemon(true)
+    t.start()
+    new Handle(sock, t)
+  }
+}
