@@ -2349,6 +2349,79 @@ object LlmQueries {
         .select($"doc_id", $"lang", $"n_chars",
           ($"n_chars".cast("double") / $"mw".cast("double")).as("p_keep"))
         .orderBy($"doc_id")
+    },
+
+    // ---- KMV SET OPERATIONS: the estimator q59/q78 stop at distinct
+    // counts; audience-overlap questions (how many users are in BOTH
+    // cohorts?) need the intersection, and at 100 TB the cohorts are
+    // sketches, not row sets. KMV gives it without touching the rows
+    // again: union sketch = min-k of the two sketches' union (the q78
+    // merge identity); Jaccard estimate = |union-k ∩ A-k ∩ B-k| / k;
+    // intersection estimate = J · union-estimate. Everything derives
+    // from 2×64 stored longs — the sketch algebra a cohort store
+    // actually serves. Estimates themselves hash-gate (portable md5
+    // domain, q59 discipline: CASE-exact below k, identical IEEE
+    // expression text in both engines), exact counts ride along so the
+    // error is visible. Cohorts: high-value purchasers vs high-value
+    // viewers (value > 90). ----
+    QuerySpec.sql("q125_kmv_intersect", {
+      val h = md5ModSql("CAST(user_id AS VARCHAR)")
+      def estU = "CASE WHEN mu < 64 THEN CAST(mu AS DOUBLE) " +
+        "ELSE (63.0 * 2147483647.0) / CAST(hk AS DOUBLE) END"
+      s"""WITH a AS (SELECT DISTINCT $h AS h FROM events
+         |           WHERE event_type = 'purchase' AND value > 90),
+         |b AS (SELECT DISTINCT $h AS h FROM events
+         |      WHERE event_type = 'view' AND value > 90),
+         |sa AS (SELECT h FROM a ORDER BY h LIMIT 64),
+         |sb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+         |su AS (SELECT h FROM (SELECT DISTINCT h FROM (
+         |         SELECT h FROM sa UNION ALL SELECT h FROM sb))
+         |       ORDER BY h LIMIT 64),
+         |k AS (SELECT max(h) AS hk, count(*) AS mu FROM su),
+         |mt AS (SELECT count(*) AS matched FROM su
+         |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+         |ex AS (SELECT
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |     WHERE event_type = 'purchase' AND value > 90) AS n_a_exact,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |     WHERE event_type = 'view' AND value > 90) AS n_b_exact,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |     WHERE event_type = 'purchase' AND value > 90
+         |       AND user_id IN (SELECT user_id FROM events
+         |                       WHERE event_type = 'view' AND value > 90)) AS n_and_exact)
+         |SELECT n_a_exact, n_b_exact, n_and_exact,
+         |  CAST(matched AS BIGINT) AS matched,
+         |  $estU AS est_union,
+         |  (CAST(matched AS DOUBLE) / CAST(mu AS DOUBLE)) * ($estU) AS est_intersect
+         |FROM k, mt, ex""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def cohort(t: String) = ev
+        .filter($"event_type" === t && $"value" > 90)
+      def sketch(t: String) = cohort(t)
+        .select(PortableHash.md5Mod($"user_id".cast("string")).as("h"))
+        .distinct().orderBy($"h".asc).limit(64) // TakeOrdered: min-k, distributed
+      val sa = sketch("purchase").localCheckpoint()
+      val sb = sketch("view").localCheckpoint()
+      val su = sa.unionAll(sb).distinct().orderBy($"h".asc).limit(64)
+        .localCheckpoint()
+      val k = su.agg(max($"h").as("hk"), count(lit(1)).as("mu"))
+      val mt = su.join(sa.select($"h"), Seq("h"), "left_semi")
+        .join(sb.select($"h"), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("matched"))
+      val exA = cohort("purchase").agg(countDistinct($"user_id").cast("long").as("n_a_exact"))
+      val exB = cohort("view").agg(countDistinct($"user_id").cast("long").as("n_b_exact"))
+      val exAnd = cohort("purchase")
+        .join(cohort("view").select($"user_id").distinct(), Seq("user_id"), "left_semi")
+        .agg(countDistinct($"user_id").cast("long").as("n_and_exact"))
+      val estU = when($"mu" < 64, $"mu".cast("double"))
+        .otherwise((lit(63.0) * lit(2147483647.0)) / $"hk".cast("double"))
+      k.crossJoin(mt).crossJoin(exA).crossJoin(exB).crossJoin(exAnd)
+        .select($"n_a_exact", $"n_b_exact", $"n_and_exact",
+          $"matched".cast("long").as("matched"),
+          estU.as("est_union"),
+          (($"matched".cast("double") / $"mu".cast("double")) * estU)
+            .as("est_intersect"))
     }
   )
 }

@@ -733,6 +733,76 @@ object Relational {
           $"n_urgent".isNotNull.cast("int").as("has_urgent"),
           coalesce($"n_urgent", lit(0L)).as("n_urgent"))
         .orderBy($"custkey")
+    },
+
+    // ---- PORTABLE Bloom-filter join pruning — the cross-job runtime
+    // filter: build a bloom mask over the selective side's keys ONCE
+    // (m=8192 bits = 1 KiB, driver-sized BY DEFINITION like the KMeans
+    // codebook), fold it into the probe scan as a literal — probe rows
+    // failing the k=4 bit tests never reach the join/shuffle. Spark's
+    // own runtime bloom (gated in QueryPlanSpec) lives inside ONE query;
+    // this one is engine-portable (md5 positions — the same mask built
+    // here can prune next week's job, or a DuckDB/Trino consumer).
+    // The gated output is the CALIBRATION shape: per priority, how many
+    // orders pass the bloom vs truly match vs false-positive — the
+    // fp-rate table a pipeline consults before sizing m (rule: m ≳ 10
+    // bits/key for ~1% fp at k=4; the knob scales with the BUILD side
+    // only, never the probed 100 TB). Production use is
+    // `.filter(pass)`; here every row is kept and counted. ----
+    QuerySpec.sql("q124_bloom_prune", {
+      def posSql(j: Int, e: String): String =
+        s"(${graft.functions.PortableHash.md5ModSql(s"'bloom$j|' || CAST($e AS VARCHAR)")} % 8192)"
+      val inPos = (0 to 3).map(j =>
+        s"${posSql(j, "o_custkey")} IN (SELECT p FROM pos)").mkString(" AND ")
+      s"""WITH keys AS (SELECT DISTINCT c_custkey AS ck FROM customer
+         |              WHERE c_mktsegment = 'BUILDING'),
+         |pos AS (SELECT DISTINCT p FROM (
+         |  ${(0 to 3).map(j => s"SELECT ${posSql(j, "ck")} AS p FROM keys")
+              .mkString("\n  UNION ALL ")})),
+         |flags AS (SELECT o_orderpriority,
+         |    CAST($inPos AS INT) AS pass,
+         |    CAST(o_custkey IN (SELECT ck FROM keys) AS INT) AS is_true
+         |  FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(is_true) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN pass = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM flags GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.PortableHash
+      val m = 8192
+      def pos(j: Int, key: Column): Column =
+        PortableHash.md5Mod(concat(lit(s"bloom$j|"), key.cast("string"))) % m
+      val keys = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("ck")).distinct()
+      // build: ≤8192 distinct bit positions collect to a 1 KiB driver
+      // mask — the broadcastable-by-definition artifact
+      val mask = new Array[Long](m / 64)
+      (0 to 3).map(j => keys.select(pos(j, $"ck").as("p")))
+        .reduce(_ unionAll _).distinct()
+        .collect().foreach { r =>
+          val p = r.getLong(0).toInt; mask(p / 64) |= (1L << (p % 64))
+        }
+      val maskCol = typedLit(mask.toIndexedSeq)
+      def hit(p: Column): Column =
+        call_function("shiftright",
+          element_at(maskCol, floor(p / 64).cast("int") + 1),
+          p.mod(64).cast("int")).bitwiseAND(lit(1L)) === 1
+      val pass = (0 to 3).map(j => hit(pos(j, $"o_custkey"))).reduce(_ && _)
+      Tables.orders(s, d)
+        .join(broadcast(keys.withColumn("tr", lit(1))),
+          $"o_custkey" === $"ck", "left")
+        .select($"o_orderpriority",
+          pass.cast("int").as("pass"),
+          $"tr".isNotNull.cast("int").as("is_true"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"pass").cast("long").as("n_bloom_pass"),
+          sum($"is_true").cast("long").as("n_true"),
+          sum(when($"pass" === 1 && $"is_true" === 0, 1L).otherwise(0L))
+            .cast("long").as("n_false_pos"))
+        .orderBy($"o_orderpriority")
     }
   )
 
