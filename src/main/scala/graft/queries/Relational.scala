@@ -803,6 +803,138 @@ object Relational {
           sum(when($"pass" === 1 && $"is_true" === 0, 1L).otherwise(0L))
             .cast("long").as("n_false_pos"))
         .orderBy($"o_orderpriority")
+    },
+
+    // ---- INTERVAL OVERLAP join (the interval-interval sibling of the
+    // q7 value-range join): order activity windows [orderdate, +7d) ×
+    // same-nation promo windows, matched on `a.start < b.end AND
+    // b.start < a.end`. The naive form is a theta join — O(|A|·|B|)
+    // comparisons per nation. The scale form used here is TEMPORAL
+    // BINNING: each interval explodes into the 7-day buckets it spans
+    // (bounded by interval length — ≤2 each here), candidates meet on
+    // an EQUI key (nation, bucket), the exact predicate then filters.
+    // Pair space = per-bucket locality instead of per-nation totality —
+    // the binning that makes interval joins shuffle-bounded at 100 TB
+    // (bucket width ~ typical interval length is the knob; overlap
+    // duplicates across buckets are removed by the pair DISTINCT).
+    // Oracle: the naive theta join — the closure is the test harness,
+    // the binning is the algorithm (the q64 discipline). Overlap length
+    // in whole days via integer µs DIV — exact both engines. ----
+    QuerySpec.sql("q126_interval_join", {
+      val day = 86400000000L
+      val t0 = 788918400000000L // 1995-01-01 UTC
+      s"""WITH promos AS (
+         |  SELECT n_nationkey AS nation, n_nationkey AS promo_id,
+         |    ${t0} + CAST(n_nationkey AS BIGINT) * ${3 * day} AS p_start,
+         |    ${t0} + CAST(n_nationkey AS BIGINT) * ${3 * day} + ${5 * day} AS p_end
+         |  FROM nation),
+         |act AS (
+         |  SELECT o.o_orderkey, c.c_nationkey AS nation,
+         |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS a_start,
+         |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) + ${7 * day} AS a_end
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+         |SELECT a.o_orderkey, p.promo_id,
+         |  CAST((least(a.a_end, p.p_end) - greatest(a.a_start, p.p_start))
+         |       // ${day} AS BIGINT) AS overlap_days
+         |FROM act a JOIN promos p
+         |  ON p.nation = a.nation AND a.a_start < p.p_end AND p.p_start < a.a_end
+         |ORDER BY o_orderkey, promo_id""".stripMargin
+    }) { (s, d) =>
+      val day = 86400000000L
+      val week = 7 * day
+      val t0 = 788918400000000L
+      val promos = Tables.nation(s, d).select(
+        $"n_nationkey".cast("long").as("nation"),
+        $"n_nationkey".cast("long").as("promo_id"),
+        (lit(t0) + $"n_nationkey".cast("long") * lit(3 * day)).as("p_start"),
+        (lit(t0) + $"n_nationkey".cast("long") * lit(3 * day) + lit(5 * day)).as("p_end"))
+      val act = Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_nationkey".cast("long").as("nation"),
+          // NTZ → TIMESTAMP is identity under the UTC session, matching
+          // the oracle's epoch_us(CAST(...))
+          unix_micros($"o_orderdate".cast("timestamp")).as("a_start"),
+          (unix_micros($"o_orderdate".cast("timestamp")) + lit(7 * day)).as("a_end"))
+      // explode each interval into its week buckets (integer DIV — no
+      // float boundary); candidates meet on the equi key (nation, b)
+      def bucketed(df: DataFrame, s0: String, e0: String): DataFrame =
+        df.withColumn("b", explode(expr(s"sequence($s0 DIV $week, ($e0 - 1) DIV $week)")))
+      val cand = bucketed(act, "a_start", "a_end")
+        .join(broadcast(bucketed(promos, "p_start", "p_end")), Seq("nation", "b"))
+        .drop("b").distinct() // an overlap spanning 2 shared buckets appears twice
+      cand.filter($"a_start" < $"p_end" && $"p_start" < $"a_end")
+        .select($"o_orderkey", $"promo_id",
+          ((least($"a_end", $"p_end") - greatest($"a_start", $"p_start"))
+            .cast("long") / lit(day)).cast("long").as("overlap_days"))
+        .orderBy($"o_orderkey", $"promo_id")
+    },
+
+    // ---- triangle counting over the part co-purchase affinity graph —
+    // the local-clustering primitive next to PageRank (global
+    // importance) and ConnectedComponents (reachability). Edges: two
+    // SAME-BRAND parts co-occurring in ≥1 order (the brand constraint
+    // is the affinity-graph definition — without it random co-occurrence
+    // makes every part pair an edge and clustering is meaningless noise;
+    // with it the graph is 25 brand-local subgraphs). The scale
+    // algorithm is DEGREE ORIENTATION: direct every edge from its
+    // (degree, id)-smaller to its (degree, id)-larger endpoint,
+    // enumerate wedges from each node's OUT-neighbors only, close
+    // against the oriented edge set. Out-degree is bounded by O(√E) for
+    // ANY graph (a node of degree d only points at nodes of degree
+    // ≥ d), so the wedge count is Σ d_out² ≤ E^1.5 — the hub that
+    // breaks the naive wedge join (d_hub² wedges) contributes almost
+    // nothing oriented. Orientation key = deg·10⁹ + node (one BIGINT,
+    // portable; node ids < 10⁹). Output: top-10 parts by triangle
+    // participation. ----
+    QuerySpec.sql("q127_triangles",
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p, pt.p_brand AS br
+        |            FROM lineitem JOIN part pt ON pt.p_partkey = l_partkey),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM pp a JOIN pp b ON b.o = a.o AND a.p < b.p AND b.br = a.br),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node),
+        |ok AS (SELECT node, deg * 1000000000 + node AS okey FROM deg),
+        |oe AS (SELECT CASE WHEN ou.okey < ov.okey THEN e.u ELSE e.v END AS src,
+        |              CASE WHEN ou.okey < ov.okey THEN e.v ELSE e.u END AS dst,
+        |              CASE WHEN ou.okey < ov.okey THEN ov.okey ELSE ou.okey END AS dkey
+        |       FROM e JOIN ok ou ON ou.node = e.u JOIN ok ov ON ov.node = e.v),
+        |tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        |        FROM oe w1 JOIN oe w2 ON w2.src = w1.src AND w1.dkey < w2.dkey
+        |        WHERE EXISTS (SELECT 1 FROM oe x WHERE x.src = w1.dst AND x.dst = w2.dst)),
+        |corners AS (SELECT a AS node FROM tri UNION ALL
+        |            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT node AS part, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node
+        |ORDER BY n_tri DESC, part LIMIT 10""".stripMargin) { (s, d) =>
+      val pp = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select($"p_partkey", $"p_brand".as("br"))), $"p_partkey" === $"l_partkey")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"), $"br").distinct()
+      val e = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p") &&
+            col("b.br") === col("a.br"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .localCheckpoint() // reused 3× (deg + both wedge sides)
+      val deg = e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val ok = deg.select($"node", ($"deg" * 1000000000L + $"node").as("okey"))
+      val oe = e
+        .join(ok.select($"node".as("u"), $"okey".as("uk")), "u")
+        .join(ok.select($"node".as("v"), $"okey".as("vk")), "v")
+        .select(when($"uk" < $"vk", $"u").otherwise($"v").as("src"),
+          when($"uk" < $"vk", $"v").otherwise($"u").as("dst"),
+          greatest($"uk", $"vk").as("dkey"))
+        .localCheckpoint() // reused 3× (two wedge sides + closing semi-join)
+      val tri = oe.as("w1").join(oe.as("w2"),
+          col("w2.src") === col("w1.src") && col("w1.dkey") < col("w2.dkey"))
+        .select(col("w1.src").as("a"), col("w1.dst").as("b"), col("w2.dst").as("c"))
+        .join(oe.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
+      tri.select($"a".as("node")).unionAll(tri.select($"b"))
+        .unionAll(tri.select($"c"))
+        .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        .select($"node".as("part"), $"n_tri")
+        .orderBy($"n_tri".desc, $"part").limit(10)
     }
   )
 
