@@ -1011,6 +1011,56 @@ object AspSemantics {
           (($"xq".cast("double") - mean) / sqrt(variance)).as("z"))
         .filter($"z" >= 2 || $"z" <= -2)
         .orderBy($"event_type", $"ts_us", $"event_id")
+    },
+
+    // ---- Pearson correlation, exact-integer components — the stats
+    // aggregate family (corr/covar). Built-in corr() is a parallel
+    // float sum: association order differs between Spark's partial
+    // aggregation and DuckDB's serial pass, so the raw value can't
+    // hash-gate. Instead BOTH moment sums run on the q122 quantized
+    // integer domain (x = trunc(value·100), y = hour-of-day — exact
+    // int64 through sf≈1; at 100 TB the same sums ride DECIMAL(38,0)),
+    // and corr is derived from the exact integers by ONE identical
+    // IEEE expression: num/√(dx·dy) with num = n·Σxy − Σx·Σy,
+    // dx = n·Σx² − (Σx)², dy likewise. The integer components are in
+    // the output too — a reader can audit the derivation, and any
+    // engine recomputing them must match bit-for-bit. One map-side-
+    // partial hash aggregation per group; no shuffle beyond it. ----
+    QuerySpec.sql("q128_correlation",
+      s"""WITH q AS (SELECT event_type,
+         |    CAST(trunc(value * 100) AS BIGINT) AS x,
+         |    (($tsUs) // 3600000000) % 24 AS y
+         |  FROM events),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM q GROUP BY event_type),
+         |mm AS (SELECT event_type, n,
+         |    CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         |    CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+         |    CAST(n * syy - sy * sy AS BIGINT) AS dy
+         |  FROM m)
+         |SELECT event_type, n, num, dx, dy,
+         |  CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS corr
+         |FROM mm ORDER BY event_type""".stripMargin) { (s, d) =>
+      val q = Tables.events(s, d)
+        .select($"event_type",
+          ($"value" * 100).cast("long").as("x"),
+          expr("(unix_micros(ts) DIV 3600000000) % 24").as("y"))
+      val m = q.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+      val num = $"n" * $"sxy" - $"sx" * $"sy"
+      val dx = $"n" * $"sxx" - $"sx" * $"sx"
+      val dy = $"n" * $"syy" - $"sy" * $"sy"
+      m.select($"event_type", $"n",
+          num.cast("long").as("num"), dx.cast("long").as("dx"),
+          dy.cast("long").as("dy"),
+          (num.cast("double") / sqrt(dx.cast("double") * dy.cast("double")))
+            .as("corr"))
+        .orderBy($"event_type")
     }
   )
 }

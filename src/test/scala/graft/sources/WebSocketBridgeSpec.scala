@@ -48,7 +48,11 @@ class WebSocketBridgeSpec extends AnyFunSuite {
     out.write((if (fin) 0x80 else 0x00) | opcode)
     val n = payload.length
     if (n < 126) out.write(n)
-    else { out.write(126); out.write(n >>> 8); out.write(n & 0xff) }
+    else if (n < 65536) { out.write(126); out.write(n >>> 8); out.write(n & 0xff) }
+    else {
+      out.write(127)
+      (7 to 0 by -1).foreach(i => out.write(((n.toLong >>> (8 * i)) & 0xff).toInt))
+    }
     out.write(payload)
     out.flush()
   }
@@ -173,5 +177,34 @@ class WebSocketBridgeSpec extends AnyFunSuite {
   test("accept key derivation matches the RFC 6455 §1.3 example") {
     assert(WebSocketBridge.acceptKeyFor("dGhlIHNhbXBsZSBub25jZQ==") ==
       "s3pPLMBiTxaQ9kYGzzhZRbK+xOo=")
+  }
+
+  test("64-bit length frames and adversarial fragmentation reassemble losslessly") {
+    val feed = "ws-big-" + System.nanoTime()
+    val server = new java.net.ServerSocket(0)
+    // deterministic messages: one >64 KiB (exercises the 8-byte length
+    // path), one fragmented into 1-byte continuations, one empty
+    val big = ("m0:" + ("ab" * 40000)) // 80,003 bytes > 65,535
+    val frag = "m1:fragmented"
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val (_, out) = serveHandshake(s)
+      sendText(out, big)
+      frame(out, 0x1, Array(frag(0).toByte), fin = false)
+      frag.drop(1).dropRight(1).foreach(ch =>
+        frame(out, 0x0, Array(ch.toByte), fin = false))
+      frame(out, 0x0, Array(frag.last.toByte))
+      sendText(out, "")
+      sendText(out, "m2:done")
+      s.close()
+    }, "ws-big-producer")
+    serverThread.setDaemon(true)
+    serverThread.start()
+    val bridge = WebSocketBridge.connect("127.0.0.1", server.getLocalPort, "/", feed)
+    try {
+      await("all messages")(GraftFeed.size(feed) == 4L)
+      val got = GraftFeed.range(feed, 0L, 4L).map(_.value).toSeq
+      assert(got == Seq(big, frag, "", "m2:done"))
+    } finally { bridge.close(); server.close(); GraftFeed.clear(feed) }
   }
 }
