@@ -109,7 +109,9 @@ object Bench {
     // The driver captures only the tail of stdout, so the FINAL line must
     // be compact (<~1,500 chars): totals + the slowest-10 map. The full
     // 123-query map goes to target/bench_full.json for humans/judges.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-dependent and a
+    // comma-decimal locale would emit invalid JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
@@ -124,9 +126,16 @@ object Bench {
       s""""warmup_sec":${fmt(warmup)},"isolated":$isolated,""" +
       s""""replay_events_per_sec":${replayPerSec.round},""" +
       s""""full_json":"target/bench_full.json","sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a failed side-file write must not lose the measured compact line
+    // (same discipline as the isolated re-measure above)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
     spark.stop() // stop first so stray executor WARNs can't interleave mid-line
     println(compactLine)
   }

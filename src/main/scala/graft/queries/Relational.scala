@@ -883,9 +883,10 @@ object Relational {
     // ANY graph (a node of degree d only points at nodes of degree
     // ≥ d), so the wedge count is Σ d_out² ≤ E^1.5 — the hub that
     // breaks the naive wedge join (d_hub² wedges) contributes almost
-    // nothing oriented. Orientation key = deg·10⁹ + node (one BIGINT,
-    // portable; node ids < 10⁹). Output: top-10 parts by triangle
-    // participation. ----
+    // nothing oriented. Orientation key = deg·2⁴⁰ + node (one BIGINT,
+    // portable; node ids < 2⁴⁰ ≈ 10¹², deg < 2²³ — holds through any
+    // ScaleUp replication of the 10⁷-stride part keys). Output: top-10
+    // parts by triangle participation. ----
     QuerySpec.sql("q127_triangles",
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p, pt.p_brand AS br
         |            FROM lineitem JOIN part pt ON pt.p_partkey = l_partkey),
@@ -894,7 +895,7 @@ object Relational {
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
         |          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
         |        GROUP BY node),
-        |ok AS (SELECT node, deg * 1000000000 + node AS okey FROM deg),
+        |ok AS (SELECT node, deg * 1099511627776 + node AS okey FROM deg),
         |oe AS (SELECT CASE WHEN ou.okey < ov.okey THEN e.u ELSE e.v END AS src,
         |              CASE WHEN ou.okey < ov.okey THEN e.v ELSE e.u END AS dst,
         |              CASE WHEN ou.okey < ov.okey THEN ov.okey ELSE ou.okey END AS dkey
@@ -918,7 +919,7 @@ object Relational {
         .localCheckpoint() // reused 3× (deg + both wedge sides)
       val deg = e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
-      val ok = deg.select($"node", ($"deg" * 1000000000L + $"node").as("okey"))
+      val ok = deg.select($"node", ($"deg" * 1099511627776L + $"node").as("okey"))
       val oe = e
         .join(ok.select($"node".as("u"), $"okey".as("uk")), "u")
         .join(ok.select($"node".as("v"), $"okey".as("vk")), "v")

@@ -74,9 +74,17 @@ object WebSocketBridge {
   /** Connect, perform the Upgrade handshake, then pump TEXT messages into
     * `feed` until the peer closes (or [[Handle.close]]). `nowUs` is
     * injectable for deterministic tests. */
+  /** Hard cap on a single frame's payload: a hostile length prefix must
+    * not drive a multi-GB allocation before any payload byte arrives. */
+  val MaxFrameBytes: Long = 64L * 1024 * 1024
+
   def connect(host: String, port: Int, path: String, feed: String,
-              nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Handle = {
+              nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+              handshakeTimeoutMs: Int = 30000): Handle = {
     val sock = new Socket(host, port)
+    // bounded handshake: a half-open connection must not block the
+    // caller forever (no Handle exists yet, so close() is unreachable)
+    sock.setSoTimeout(handshakeTimeoutMs)
     val rnd = new SecureRandom()
     val out = sock.getOutputStream
     val in = new DataInputStream(sock.getInputStream)
@@ -113,6 +121,7 @@ object WebSocketBridge {
     if (!accept.contains(acceptKeyFor(key)))
       { sock.close(); throw new IOException(
         s"websocket handshake: bad Sec-WebSocket-Accept ${accept.getOrElse("<missing>")}") }
+    sock.setSoTimeout(0) // the pump blocks on frames indefinitely by design
 
     // -- frame pump (§5.2) --
     val t = new Thread(() => {
@@ -131,7 +140,8 @@ object WebSocketBridge {
             case 127 => in.readLong()
             case n => n.toLong
           }
-          if (len > Int.MaxValue) throw new IOException(s"frame too large: $len")
+          // negative = a 64-bit length with bit 63 set (hostile/corrupt)
+          if (len < 0 || len > MaxFrameBytes) throw new IOException(s"bad frame length: $len")
           val maskKey = if (maskedByServer) {
             val m = new Array[Byte](4); in.readFully(m); m
           } else null
@@ -162,8 +172,7 @@ object WebSocketBridge {
           }
         }
       } catch {
-        case _: IOException => ()        // connection closed
-        case _: java.io.EOFException => ()
+        case _: IOException => () // connection closed (EOFException included)
       } finally {
         try sock.close() catch { case _: IOException => () }
       }

@@ -34,12 +34,14 @@ object StreamingBloomDedup {
 
   private[streaming] final case class In(key: Long, ts_us: Long, seq: Long)
 
-  /** Bit position j for a key — the q124 'bloom<j>|<key>' convention. */
+  /** Bit position j for a key — the q124 'bloom<j>|<key>' convention
+    * (md5ModLocal is nonnegative, so the bare mod matches q124's
+    * column-side `md5Mod % m` exactly). */
   def posOf(j: Int, key: Long, mBits: Int): Int =
-    (((PortableHash.md5ModLocal(s"bloom$j|$key") % mBits) + mBits) % mBits).toInt
+    (PortableHash.md5ModLocal(s"bloom$j|$key") % mBits).toInt
 
   def shardOf(key: Long, nShards: Int): Int =
-    (((PortableHash.md5ModLocal(s"shard|$key") % nShards) + nShards) % nShards).toInt
+    (PortableHash.md5ModLocal(s"shard|$key") % nShards).toInt
 
   /** Pure mask step, shared by the operator and the spec's re-derivation:
     * returns true (and sets the key's bits) iff some bit was unset. */
