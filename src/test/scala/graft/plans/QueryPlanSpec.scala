@@ -173,4 +173,37 @@ class QueryPlanSpec extends AnyFunSuite {
       s"windows not sharing one exchange:\n$p")
     assert(!p.contains("SinglePartition"), s"single-task stage:\n$p")
   }
+
+  test("q124 bloom probe is a literal bit test + broadcast classify — probe never shuffles pre-agg") {
+    val p = plan("q124_bloom_prune")
+    // the mask rides the projection as a literal (shiftright bit test);
+    // the truth join is a broadcast; the only shuffles are the final
+    // aggregation + order
+    assert(p.contains("shiftright"), s"mask bit test lost:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"truth side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe side shuffled into a join:\n$p")
+  }
+
+  test("q126 interval join is equi-keyed on (nation, bucket), never a nested loop") {
+    val p = plan("q126_interval_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"no equi join on the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap predicate planned as a product:\n$p")
+  }
+
+  test("q127 wedge join is equi-keyed on the oriented source, never a product") {
+    val p = plan("q127_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wedge enumeration planned as a product:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-task stage:\n$p")
+  }
+
+  test("q128 moment sums partial-aggregate map-side") {
+    val p = plan("q128_correlation")
+    // one hash aggregation with a partial phase before the exchange —
+    // the six integer sums collapse per partition, rows never cross raw
+    assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }
