@@ -1013,7 +1013,12 @@ object LlmQueries {
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      // tf feeds BOTH the df aggregation and the scored join: without
+      // materialization the diamond re-scans + re-explodes documents
+      // twice (the q91 lesson — constraint inference defeats exchange
+      // reuse). At 100 TB this is the term-frequency table written once.
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
