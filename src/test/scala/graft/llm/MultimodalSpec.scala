@@ -83,6 +83,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(f => f.features.sum.toInt == f.n_bytes))
   }
 
+  test("wav chunk-walk property: junk chunks, odd-size word alignment, and garbage never break framing") {
+    // seeded random RIFF layouts: junk chunks (LIST/INFO/random tags,
+    // odd sizes exercising word alignment) interleaved around fmt/data;
+    // the decoder must find the PCM data regardless, and produce frames
+    // that concatenate back to exactly the data chunk
+    val rnd = new scala.util.Random(42)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      if ((body.length & 1) == 1) bb.put(0.toByte) // word-aligned pad
+      bb.array()
+    }
+    def fmtChunk(rate: Int, ch: Int, bits: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+        .putShort(bits.toShort)
+      bb.array()
+    }
+    val dec = Multimodal.FrameDecoder.wav(25)
+    (1 to 25).foreach { _ =>
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val ch = 1 + rnd.nextInt(2)
+      val data = Array.tabulate(1 + rnd.nextInt(4000))(i => (i * 7).toByte)
+      def junk() = chunk(Seq("LIST", "fact", "cue ", "junk")(rnd.nextInt(4)),
+        Array.fill(rnd.nextInt(17))(rnd.nextInt(256).toByte)) // odd sizes too
+      val chunks = Seq.fill(rnd.nextInt(3))(junk()) ++ Seq(fmtChunk(rate, ch, 16)).map(chunk("fmt ", _)) ++
+        Seq.fill(rnd.nextInt(3))(junk()) ++ Seq(chunk("data", data)) ++ Seq.fill(rnd.nextInt(2))(junk())
+      val body = chunks.reduce(_ ++ _)
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + body.length).put("WAVE".getBytes).put(body)
+      val frames = dec.decode(bb.array()).toVector
+      val frameBytes = math.max(1, rate * ch * 2 * 25 / 1000)
+      assert(frames.length == (data.length + frameBytes - 1) / frameBytes,
+        s"rate=$rate ch=$ch len=${data.length}")
+      assert(frames.flatMap(_.bytes).toSeq == data.toSeq, "frames must tile the data chunk exactly")
+      assert(frames.map(_.idx) == frames.indices.toVector)
+      // random garbage (not RIFF) must yield zero frames, never throw
+      val garbage = Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      assert(dec.decode(garbage).isEmpty)
+    }
+  }
+
   test("pipeline integration: frame features flow into the ANN operator (quantized_dot)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
