@@ -2453,109 +2453,177 @@ object LlmQueries {
     // are driver-sized literals by definition). ----
     QuerySpec.sql("q129_ivfpq_ann",
       s"""WITH $annBaseSql,
-         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
-         |  GROUP BY vid, cid),
-         |ccos AS (SELECT vid, cid,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
-         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |probes AS (SELECT vid AS q_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
-         |cent AS (SELECT vec_id AS cell, i, xq FROM e WHERE vec_id < 8),
-         |resid AS (SELECT e.vec_id, a.cell, e.i, e.xq - c.xq AS r
-         |  FROM e JOIN assign a ON a.vec_id = e.vec_id
-         |         JOIN cent c ON c.cell = a.cell AND c.i = e.i),
-         |cw AS (SELECT vec_id - 8 AS cid, i, r FROM resid
-         |       WHERE vec_id >= 8 AND vec_id < 16),
-         |d2s AS (SELECT v.vec_id, w.cid, CAST((v.i - 1) // 16 AS INT) AS s,
-         |    sum((v.r - w.r) * (v.r - w.r)) AS d2
-         |  FROM resid v JOIN cw w ON w.i = v.i GROUP BY 1, 2, 3),
-         |codes AS (SELECT vec_id, s, cid AS code FROM (
-         |  SELECT vec_id, s, cid,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
-         |  FROM d2s) WHERE rn = 1),
-         |qres AS (SELECT p.q_id, p.cell, e.i, e.xq - c.xq AS qr
-         |  FROM probes p JOIN e ON e.vec_id = p.q_id
-         |       JOIN cent c ON c.cell = p.cell AND c.i = e.i),
-         |qd AS (SELECT q.q_id, q.cell, w.cid, CAST((q.i - 1) // 16 AS INT) AS s,
-         |    sum((q.qr - w.r) * (q.qr - w.r)) AS d2
-         |  FROM qres q JOIN cw w ON w.i = q.i GROUP BY 1, 2, 3, 4),
-         |cand AS (SELECT p.q_id, a.vec_id AS c_id, a.cell
-         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
-         |adc AS (SELECT cand.q_id, cand.c_id, cand.cell, CAST(sum(t.d2) AS BIGINT) AS adc
-         |  FROM cand JOIN codes c2 ON c2.vec_id = cand.c_id
-         |       JOIN qd t ON t.q_id = cand.q_id AND t.cell = cand.cell
-         |                AND t.s = c2.s AND t.cid = c2.code
-         |  GROUP BY 1, 2, 3)
-         |SELECT q_id, c_id, cell, adc, CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT q_id, c_id, cell, adc,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
-         |  FROM adc) WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
-        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
-      val base = emb.select($"vec_id",
-          transform($"embedding", x => VectorOps.quant(x)).as("xq"))
-        .localCheckpoint() // reused: residuals, codebook collect, queries
-      // coarse assignment + probes — the q55 discipline verbatim
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-      val scored = emb.join(broadcast(cents))
-        .select($"vec_id", $"nrm", $"cid",
-          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
-      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
-          Seq($"ccos".desc, $"cid"), 1)
-        .select($"vec_id", $"cid".as("cell"))
-      val probes = Windows.topKPerGroup(
-          scored.filter($"vec_id" >= 10 && $"vec_id" < 15), Seq("vec_id"),
-          Seq($"ccos".desc, $"cid"), 2)
-        .select($"vec_id".as("q_id"), $"cid".as("cell"))
-      // centroid components: 8×64 longs, driver-sized by definition;
-      // cells are exactly 0..7 (the vec_id < 8 literal convention)
-      val centArr = typedLit(base.filter($"vec_id" < 8).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).map(_._2).toIndexedSeq)
-      def residual(xq: Column, cell: Column): Column =
-        zip_with(xq, element_at(centArr, cell.cast("int") + 1), (a, b) => a - b)
-      val resid = base.join(assign, "vec_id")
-        .select($"vec_id", $"cell", residual($"xq", $"cell").as("r"))
-        .localCheckpoint() // feeds the codebook collect AND the encode
-      // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized)
-      val cw: IndexedSeq[IndexedSeq[Long]] = resid
-        .filter($"vec_id" >= 8 && $"vec_id" < 16).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](2).toIndexedSeq))
-        .sortBy(_._1).map(_._2).toIndexedSeq
-      def subD2(r: Column, cid: Int, sI: Int): Column =
-        aggregate(zip_with(slice(r, 1 + 16 * sI, 16),
-            typedLit(cw(cid).slice(16 * sI, 16 * sI + 16)),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v)
-      def codeFor(sI: Int): Column =
-        array_min(array(cw.indices.map(cid =>
-          struct(subD2($"r", cid, sI).as("d2"), lit(cid).as("cid"))): _*))
-          .getField("cid")
-      val coded = resid.select($"vec_id" +: $"cell" +:
-        (0 to 3).map(sI => codeFor(sI).as(s"code$sI")): _*)
-      // per-(query, probed-cell) ADC tables, keyed by cid
-      val qd = probes.join(base.select($"vec_id".as("q_id"), $"xq"), "q_id")
-        .withColumn("qr", residual($"xq", $"cell"))
-        .select($"q_id" +: $"cell" +:
-          (0 to 3).map(sI => array(cw.indices.map(cid => struct(
-            lit(cid).as("cid"), subD2($"qr", cid, sI).as("d2"))): _*)
-            .as(s"dtab$sI")): _*)
-      val adc = (0 to 3).map(sI =>
-        element_at(filter(col(s"dtab$sI"),
-          x => x.getField("cid") === col(s"code$sI")), 1).getField("d2"))
-        .reduce(_ + _)
-      val pairs = coded.join(broadcast(qd), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id".as("c_id"), $"cell", adc.as("adc"))
-      Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
+         |$ivfPqSqlChain
+         |SELECT q_id, c_id, cell, adc, CAST(rnk AS BIGINT) AS rnk
+         |FROM pqtop ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      ivfPqTop3(s, d)
         .select($"q_id", $"c_id", $"cell", $"adc", $"rnk".cast("long").as("rnk"))
         .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- IVF-PQ recall evaluation — the q87 index-quality discipline
+    // applied to the COMPRESSED index: recall@3 of q129's ADC ranking vs
+    // the exact brute-force ground truth. q87 measures cell-miss loss
+    // (IVF with exact re-rank); this adds the PQ approximation loss on
+    // top — the number a production team watches when sizing
+    // (m, k, nprobe) for a compressed corpus. Same bounded query set,
+    // ground truth exhaustive over the corpus. The fixture's recall is
+    // deliberately LOW (0–1/3 per query): 8 untrained codewords per
+    // subspace quantize coarsely, and THAT gap vs q87's exact-re-rank
+    // recall is precisely what this gate exposes — the production fix
+    // is a per-subspace Lloyd-trained codebook (q119's loop) and ADC
+    // re-rank of a wider candidate list, both of which move THIS
+    // number, which is why it must be measured, not assumed. ----
+    QuerySpec.sql("q130_ivfpq_recall",
+      s"""WITH $annBaseSql,
+         |$ivfPqSqlChain,
+         |ann AS (SELECT q_id, c_id FROM pqtop),
+         |exdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY q_id, c_id),
+         |excos AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM exdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+         |exact AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM excos) WHERE rnk <= 3)
+         |SELECT ann.q_id AS q_id,
+         |  CAST(count(exact.c_id) AS BIGINT) AS hits,
+         |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
+         |FROM ann LEFT JOIN exact
+         |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
+         |GROUP BY ann.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val ann = ivfPqTop3(s, d).select($"q_id", $"c_id")
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val qs = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val exPairs = emb.join(broadcast(qs), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"),
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      val exact = Windows.topKPerGroup(exPairs, Seq("q_id"),
+          Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id".as("ex_id"))
+      ann.join(exact, $"ex_id" === $"c_id" && exact("q_id") === ann("q_id"), "left")
+        .groupBy(ann("q_id").as("q_id"))
+        .agg(count($"ex_id").as("hits"),
+          (count($"ex_id").cast("double") / 3.0).as("recall"))
+        .orderBy($"q_id")
     }
   )
+
+  /** Shared IVF-PQ CTE chain (assumes `e`/`norms` from [[annBaseSql]]):
+    * coarse assign + probes (the q55 form) → residuals vs the assigned
+    * centroid → PQ codebook from vec_id 8..15's residuals → per-subspace
+    * codes → per-(query, probed-cell) ADC tables → ranked `pqtop`
+    * (q_id, c_id, cell, adc, rnk ≤ 3). ONE definition so q129 (the
+    * index) and q130 (its recall gate) cannot desynchronize. */
+  private def ivfPqSqlChain: String =
+    """cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+      |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
+      |  GROUP BY vid, cid),
+      |ccos AS (SELECT vid, cid,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+      |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
+      |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
+      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+      |  FROM ccos) WHERE rn = 1),
+      |probes AS (SELECT vid AS q_id, cid AS cell FROM (
+      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
+      |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+      |cent AS (SELECT vec_id AS cell, i, xq FROM e WHERE vec_id < 8),
+      |resid AS (SELECT e.vec_id, a.cell, e.i, e.xq - c.xq AS r
+      |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+      |         JOIN cent c ON c.cell = a.cell AND c.i = e.i),
+      |cw AS (SELECT vec_id - 8 AS cid, i, r FROM resid
+      |       WHERE vec_id >= 8 AND vec_id < 16),
+      |d2s AS (SELECT v.vec_id, w.cid, CAST((v.i - 1) // 16 AS INT) AS s,
+      |    sum((v.r - w.r) * (v.r - w.r)) AS d2
+      |  FROM resid v JOIN cw w ON w.i = v.i GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, s, cid AS code FROM (
+      |  SELECT vec_id, s, cid,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+      |  FROM d2s) WHERE rn = 1),
+      |qres AS (SELECT p.q_id, p.cell, e.i, e.xq - c.xq AS qr
+      |  FROM probes p JOIN e ON e.vec_id = p.q_id
+      |       JOIN cent c ON c.cell = p.cell AND c.i = e.i),
+      |qd AS (SELECT q.q_id, q.cell, w.cid, CAST((q.i - 1) // 16 AS INT) AS s,
+      |    sum((q.qr - w.r) * (q.qr - w.r)) AS d2
+      |  FROM qres q JOIN cw w ON w.i = q.i GROUP BY 1, 2, 3, 4),
+      |cand AS (SELECT p.q_id, a.vec_id AS c_id, a.cell
+      |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+      |adc AS (SELECT cand.q_id, cand.c_id, cand.cell, CAST(sum(t.d2) AS BIGINT) AS adc
+      |  FROM cand JOIN codes c2 ON c2.vec_id = cand.c_id
+      |       JOIN qd t ON t.q_id = cand.q_id AND t.cell = cand.cell
+      |                AND t.s = c2.s AND t.cid = c2.code
+      |  GROUP BY 1, 2, 3),
+      |pqtop AS (SELECT q_id, c_id, cell, adc, rnk FROM (
+      |  SELECT q_id, c_id, cell, adc,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
+      |  FROM adc) WHERE rnk <= 3)""".stripMargin
+
+  /** Spark twin of [[ivfPqSqlChain]]: returns (q_id, c_id, cell, adc,
+    * rnk ≤ 3). Centroids and the PQ codebook collect to the driver —
+    * 8×64 longs each, driver-sized BY DEFINITION (the broadcastable
+    * artifact); encode and ADC are shuffle-free projections. */
+  private def ivfPqTop3(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+      .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+    val base = emb.select($"vec_id",
+        transform($"embedding", x => VectorOps.quant(x)).as("xq"))
+      .localCheckpoint() // reused: residuals, codebook collect, queries
+    // coarse assignment + probes — the q55 discipline verbatim
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val scored = emb.join(broadcast(cents))
+      .select($"vec_id", $"nrm", $"cid",
+        cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+    val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+        Seq($"ccos".desc, $"cid"), 1)
+      .select($"vec_id", $"cid".as("cell"))
+    val probes = Windows.topKPerGroup(
+        scored.filter($"vec_id" >= 10 && $"vec_id" < 15), Seq("vec_id"),
+        Seq($"ccos".desc, $"cid"), 2)
+      .select($"vec_id".as("q_id"), $"cid".as("cell"))
+    // centroid components: 8×64 longs; cells are exactly 0..7 (the
+    // vec_id < 8 literal convention)
+    val centArr = typedLit(base.filter($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).map(_._2).toIndexedSeq)
+    def residual(xq: Column, cell: Column): Column =
+      zip_with(xq, element_at(centArr, cell.cast("int") + 1), (a, b) => a - b)
+    val resid = base.join(assign, "vec_id")
+      .select($"vec_id", $"cell", residual($"xq", $"cell").as("r"))
+      .localCheckpoint() // feeds the codebook collect AND the encode
+    // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized)
+    val cw: IndexedSeq[IndexedSeq[Long]] = resid
+      .filter($"vec_id" >= 8 && $"vec_id" < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toIndexedSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    def subD2(r: Column, cid: Int, sI: Int): Column =
+      aggregate(zip_with(slice(r, 1 + 16 * sI, 16),
+          typedLit(cw(cid).slice(16 * sI, 16 * sI + 16)),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    def codeFor(sI: Int): Column =
+      array_min(array(cw.indices.map(cid =>
+        struct(subD2($"r", cid, sI).as("d2"), lit(cid).as("cid"))): _*))
+        .getField("cid")
+    val coded = resid.select($"vec_id" +: $"cell" +:
+      (0 to 3).map(sI => codeFor(sI).as(s"code$sI")): _*)
+    // per-(query, probed-cell) ADC tables, keyed by cid
+    val qd = probes.join(base.select($"vec_id".as("q_id"), $"xq"), "q_id")
+      .withColumn("qr", residual($"xq", $"cell"))
+      .select($"q_id" +: $"cell" +:
+        (0 to 3).map(sI => array(cw.indices.map(cid => struct(
+          lit(cid).as("cid"), subD2($"qr", cid, sI).as("d2"))): _*)
+          .as(s"dtab$sI")): _*)
+    val adc = (0 to 3).map(sI =>
+      element_at(filter(col(s"dtab$sI"),
+        x => x.getField("cid") === col(s"code$sI")), 1).getField("d2"))
+      .reduce(_ + _)
+    val pairs = coded.join(broadcast(qd), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"), $"cell", adc.as("adc"))
+    Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
+  }
 }
