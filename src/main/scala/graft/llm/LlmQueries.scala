@@ -651,18 +651,7 @@ object LlmQueries {
     // Recall vs the brute-force q47 baseline is the accuracy trade. ----
     QuerySpec.sql("q55_ivf_ann",
       s"""WITH $annBaseSql,
-         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
-         |  GROUP BY vid, cid),
-         |ccos AS (SELECT vid, cid,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
-         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |probes AS (SELECT vid AS q_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+         |$ivfCoarseSql,
          |cand AS (SELECT p.q_id, a.vec_id AS c_id, a.cell
          |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
          |dots AS (SELECT cand.q_id, cand.c_id, cand.cell, sum(x.xq * y.xq) AS dot
@@ -1406,18 +1395,7 @@ object LlmQueries {
     // candidates once (q47's shape); hits = |IVF∩exact| per query. ----
     QuerySpec.sql("q87_ann_recall",
       s"""WITH $annBaseSql,
-         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
-         |  GROUP BY vid, cid),
-         |ccos AS (SELECT vid, cid,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-         |  FROM cdots JOIN norms nv ON nv.vec_id = vid JOIN norms nc ON nc.vec_id = cid),
-         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos) WHERE rn = 1),
-         |probes AS (SELECT vid AS q_id, cid AS cell FROM (
-         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-         |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+         |$ivfCoarseSql,
          |cand AS (SELECT p.q_id, a.vec_id AS c_id
          |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
          |anndots AS (SELECT cand.q_id, cand.c_id, sum(x.xq * y.xq) AS dot
@@ -1430,15 +1408,7 @@ object LlmQueries {
          |ann AS (SELECT q_id, c_id FROM (
          |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
          |  FROM anncos) WHERE rnk <= 3),
-         |exdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY q_id, c_id),
-         |excos AS (SELECT q_id, c_id,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
-         |  FROM exdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
-         |exact AS (SELECT q_id, c_id FROM (
-         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
-         |  FROM excos) WHERE rnk <= 3)
+         |$exactTop3Sql
          |SELECT ann.q_id AS q_id,
          |  CAST(count(exact.c_id) AS BIGINT) AS hits,
          |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
@@ -2478,15 +2448,7 @@ object LlmQueries {
       s"""WITH $annBaseSql,
          |$ivfPqSqlChain,
          |ann AS (SELECT q_id, c_id FROM pqtop),
-         |exdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
-         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY q_id, c_id),
-         |excos AS (SELECT q_id, c_id,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
-         |  FROM exdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
-         |exact AS (SELECT q_id, c_id FROM (
-         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
-         |  FROM excos) WHERE rnk <= 3)
+         |$exactTop3Sql
          |SELECT ann.q_id AS q_id,
          |  CAST(count(exact.c_id) AS BIGINT) AS hits,
          |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
@@ -2512,13 +2474,12 @@ object LlmQueries {
     }
   )
 
-  /** Shared IVF-PQ CTE chain (assumes `e`/`norms` from [[annBaseSql]]):
-    * coarse assign + probes (the q55 form) → residuals vs the assigned
-    * centroid → PQ codebook from vec_id 8..15's residuals → per-subspace
-    * codes → per-(query, probed-cell) ADC tables → ranked `pqtop`
-    * (q_id, c_id, cell, adc, rnk ≤ 3). ONE definition so q129 (the
-    * index) and q130 (its recall gate) cannot desynchronize. */
-  private def ivfPqSqlChain: String =
+  /** Coarse IVF quantizer CTEs (assumes `e`/`norms` from [[annBaseSql]]):
+    * static codebook vec_id < 8, argmax-cosine `assign` (ties → lower
+    * cid), `probes` = the 2 nearest cells for queries 10..14. ONE
+    * definition shared by q55/q87/q129/q130 so the convention (seed set,
+    * nprobe, tie order) cannot fork between an index and its eval. */
+  private def ivfCoarseSql: String =
     """cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
       |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 8
       |  GROUP BY vid, cid),
@@ -2530,7 +2491,30 @@ object LlmQueries {
       |  FROM ccos) WHERE rn = 1),
       |probes AS (SELECT vid AS q_id, cid AS cell FROM (
       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, cid) AS rn
-      |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2),
+      |  FROM ccos WHERE vid >= 10 AND vid < 15) WHERE rn <= 2)""".stripMargin
+
+  /** Exact ground-truth top-3 CTEs (brute force over the corpus for
+    * queries 10..14) — ONE definition shared by the recall gates
+    * q87/q130, same reasoning. */
+  private def exactTop3Sql: String =
+    """exdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
+      |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY q_id, c_id),
+      |excos AS (SELECT q_id, c_id,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+      |  FROM exdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+      |exact AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+      |  FROM excos) WHERE rnk <= 3)""".stripMargin
+
+  /** Shared IVF-PQ CTE chain (assumes `e`/`norms` from [[annBaseSql]]):
+    * coarse assign + probes (the q55 form) → residuals vs the assigned
+    * centroid → PQ codebook from vec_id 8..15's residuals → per-subspace
+    * codes → per-(query, probed-cell) ADC tables → ranked `pqtop`
+    * (q_id, c_id, cell, adc, rnk ≤ 3). ONE definition so q129 (the
+    * index) and q130 (its recall gate) cannot desynchronize. */
+  private def ivfPqSqlChain: String =
+    s"""$ivfCoarseSql,
       |cent AS (SELECT vec_id AS cell, i, xq FROM e WHERE vec_id < 8),
       |resid AS (SELECT e.vec_id, a.cell, e.i, e.xq - c.xq AS r
       |  FROM e JOIN assign a ON a.vec_id = e.vec_id
@@ -2586,19 +2570,29 @@ object LlmQueries {
         Seq($"ccos".desc, $"cid"), 2)
       .select($"vec_id".as("q_id"), $"cid".as("cell"))
     // centroid components: 8×64 longs; cells are exactly 0..7 (the
-    // vec_id < 8 literal convention)
-    val centArr = typedLit(base.filter($"vec_id" < 8).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).map(_._2).toIndexedSeq)
+    // vec_id < 8 literal convention). element_at below indexes by
+    // POSITION, so a missing seed id would silently shift every lookup
+    // while the oracle (joined by id) stayed correct — assert the
+    // convention instead of trusting it (the q108 ADVICE discipline).
+    val seedRows = base.filter($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(seedRows.map(_._1).toSeq == (0L to 7L),
+      s"IVF-PQ coarse codebook requires dim-64 vectors with vec_id 0..7; got ${seedRows.map(_._1).mkString(",")}")
+    val centArr = typedLit(seedRows.map(_._2).toIndexedSeq)
     def residual(xq: Column, cell: Column): Column =
       zip_with(xq, element_at(centArr, cell.cast("int") + 1), (a, b) => a - b)
     val resid = base.join(assign, "vec_id")
       .select($"vec_id", $"cell", residual($"xq", $"cell").as("r"))
       .localCheckpoint() // feeds the codebook collect AND the encode
-    // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized)
-    val cw: IndexedSeq[IndexedSeq[Long]] = resid
+    // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized);
+    // cw(cid) is positional too — assert the id convention likewise
+    val cwRows = resid
       .filter($"vec_id" >= 8 && $"vec_id" < 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](2).toIndexedSeq))
-      .sortBy(_._1).map(_._2).toIndexedSeq
+      .sortBy(_._1)
+    require(cwRows.map(_._1).toSeq == (8L to 15L),
+      s"PQ codebook requires dim-64 vectors with vec_id 8..15; got ${cwRows.map(_._1).mkString(",")}")
+    val cw: IndexedSeq[IndexedSeq[Long]] = cwRows.map(_._2).toIndexedSeq
     def subD2(r: Column, cid: Int, sI: Int): Column =
       aggregate(zip_with(slice(r, 1 + 16 * sI, 16),
           typedLit(cw(cid).slice(16 * sI, 16 * sI + 16)),

@@ -71,57 +71,71 @@ object WebSocketBridge {
     out.flush()
   }
 
-  /** Connect, perform the Upgrade handshake, then pump TEXT messages into
-    * `feed` until the peer closes (or [[Handle.close]]). `nowUs` is
-    * injectable for deterministic tests. */
   /** Hard cap on a single frame's payload: a hostile length prefix must
     * not drive a multi-GB allocation before any payload byte arrives. */
   val MaxFrameBytes: Long = 64L * 1024 * 1024
 
+  /** Connect, perform the Upgrade handshake, then pump TEXT messages into
+    * `feed` until the peer closes (or [[Handle.close]]). `nowUs` is
+    * injectable for deterministic tests. */
   def connect(host: String, port: Int, path: String, feed: String,
               nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
               handshakeTimeoutMs: Int = 30000): Handle = {
     val sock = new Socket(host, port)
     // bounded handshake: a half-open connection must not block the
-    // caller forever (no Handle exists yet, so close() is unreachable)
-    sock.setSoTimeout(handshakeTimeoutMs)
-    val rnd = new SecureRandom()
-    val out = sock.getOutputStream
-    val in = new DataInputStream(sock.getInputStream)
+    // caller forever (no Handle exists yet, so close() is unreachable).
+    // ANY handshake failure — timeout, refusal, bad accept — must close
+    // the socket: a reconnect loop would otherwise leak one fd per try.
+    try {
+      sock.setSoTimeout(handshakeTimeoutMs)
+      val rnd = new SecureRandom()
+      val out = sock.getOutputStream
+      val in = new DataInputStream(sock.getInputStream)
 
-    // -- handshake (§4.1) --
-    val keyBytes = new Array[Byte](16)
-    rnd.nextBytes(keyBytes)
-    val key = Base64.getEncoder.encodeToString(keyBytes)
-    out.write(
-      (s"GET $path HTTP/1.1\r\n" +
-        s"Host: $host:$port\r\n" +
-        "Upgrade: websocket\r\n" +
-        "Connection: Upgrade\r\n" +
-        s"Sec-WebSocket-Key: $key\r\n" +
-        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
-    out.flush()
-    def readLine(): String = {
-      val sb = new StringBuilder
-      var c = in.read()
-      while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
-      sb.toString
+      // -- handshake (§4.1) --
+      val keyBytes = new Array[Byte](16)
+      rnd.nextBytes(keyBytes)
+      val key = Base64.getEncoder.encodeToString(keyBytes)
+      out.write(
+        (s"GET $path HTTP/1.1\r\n" +
+          s"Host: $host:$port\r\n" +
+          "Upgrade: websocket\r\n" +
+          "Connection: Upgrade\r\n" +
+          s"Sec-WebSocket-Key: $key\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
+      out.flush()
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      val status = readLine()
+      if (!status.contains(" 101 "))
+        throw new IOException(s"websocket handshake refused: $status")
+      var accept: Option[String] = None
+      var line = readLine()
+      while (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sec-websocket-accept"))
+          accept = Some(line.substring(i + 1).trim)
+        line = readLine()
+      }
+      if (!accept.contains(acceptKeyFor(key)))
+        throw new IOException(
+          s"websocket handshake: bad Sec-WebSocket-Accept ${accept.getOrElse("<missing>")}")
+      sock.setSoTimeout(0) // the pump blocks on frames indefinitely by design
+      startPump(sock, in, out, feed, nowUs, rnd)
+    } catch {
+      case e: Throwable =>
+        try sock.close() catch { case _: IOException => () }
+        throw e
     }
-    val status = readLine()
-    if (!status.contains(" 101 "))
-      { sock.close(); throw new IOException(s"websocket handshake refused: $status") }
-    var accept: Option[String] = None
-    var line = readLine()
-    while (line.nonEmpty) {
-      val i = line.indexOf(':')
-      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sec-websocket-accept"))
-        accept = Some(line.substring(i + 1).trim)
-      line = readLine()
-    }
-    if (!accept.contains(acceptKeyFor(key)))
-      { sock.close(); throw new IOException(
-        s"websocket handshake: bad Sec-WebSocket-Accept ${accept.getOrElse("<missing>")}") }
-    sock.setSoTimeout(0) // the pump blocks on frames indefinitely by design
+  }
+
+  private def startPump(sock: Socket, in: DataInputStream, out: OutputStream,
+                        feed: String, nowUs: () => Long,
+                        rnd: SecureRandom): Handle = {
 
     // -- frame pump (§5.2) --
     val t = new Thread(() => {

@@ -32,12 +32,13 @@ object StreamingCms {
   final case class HeavyHitter(shard: Int, key: Long, est: Long)
 
   /** q89's bucket function on the JVM side: md5("cms<r>|<key>") mod P
-    * mod width — the portable hash domain, never JVM hashCode. */
+    * mod width — the portable hash domain, never JVM hashCode
+    * (md5ModLocal is nonnegative, so the bare mod suffices). */
   def bucket(r: Int, key: Long): Int =
-    (((PortableHash.md5ModLocal(s"cms$r|$key") % Width) + Width) % Width).toInt
+    (PortableHash.md5ModLocal(s"cms$r|$key") % Width).toInt
 
   def shardOf(key: Long, nShards: Int): Int =
-    (((PortableHash.md5ModLocal(s"shard|$key") % nShards) + nShards) % nShards).toInt
+    (PortableHash.md5ModLocal(s"shard|$key") % nShards).toInt
 
   /** Point estimate = min over rows of the key's counter (CMS read). */
   def estimate(counters: Array[Long], key: Long): Long = {
