@@ -2578,11 +2578,9 @@ object LlmQueries {
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     require(seedRows.map(_._1).toSeq == (0L to 7L),
       s"IVF-PQ coarse codebook requires dim-64 vectors with vec_id 0..7; got ${seedRows.map(_._1).mkString(",")}")
-    val centArr = typedLit(seedRows.map(_._2).toIndexedSeq)
-    def residual(xq: Column, cell: Column): Column =
-      zip_with(xq, element_at(centArr, cell.cast("int") + 1), (a, b) => a - b)
+    val centComps = seedRows.map(_._2.toIndexedSeq).toIndexedSeq
     val resid = base.join(assign, "vec_id")
-      .select($"vec_id", $"cell", residual($"xq", $"cell").as("r"))
+      .select($"vec_id", $"cell", IvfPq.residual($"xq", $"cell", centComps).as("r"))
       .localCheckpoint() // feeds the codebook collect AND the encode
     // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized);
     // cw(cid) is positional too — assert the id convention likewise
@@ -2593,28 +2591,16 @@ object LlmQueries {
     require(cwRows.map(_._1).toSeq == (8L to 15L),
       s"PQ codebook requires dim-64 vectors with vec_id 8..15; got ${cwRows.map(_._1).mkString(",")}")
     val cw: IndexedSeq[IndexedSeq[Long]] = cwRows.map(_._2).toIndexedSeq
-    def subD2(r: Column, cid: Int, sI: Int): Column =
-      aggregate(zip_with(slice(r, 1 + 16 * sI, 16),
-          typedLit(cw(cid).slice(16 * sI, 16 * sI + 16)),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    def codeFor(sI: Int): Column =
-      array_min(array(cw.indices.map(cid =>
-        struct(subD2($"r", cid, sI).as("d2"), lit(cid).as("cid"))): _*))
-        .getField("cid")
+    // residual/encode/ADC builders come from [[IvfPq]] — ONE definition
+    // shared with the online serving path (StreamingIvfPqSpec)
     val coded = resid.select($"vec_id" +: $"cell" +:
-      (0 to 3).map(sI => codeFor(sI).as(s"code$sI")): _*)
-    // per-(query, probed-cell) ADC tables, keyed by cid
+      (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
     val qd = probes.join(base.select($"vec_id".as("q_id"), $"xq"), "q_id")
-      .withColumn("qr", residual($"xq", $"cell"))
+      .withColumn("qr", IvfPq.residual($"xq", $"cell", centComps))
       .select($"q_id" +: $"cell" +:
-        (0 to 3).map(sI => array(cw.indices.map(cid => struct(
-          lit(cid).as("cid"), subD2($"qr", cid, sI).as("d2"))): _*)
-          .as(s"dtab$sI")): _*)
-    val adc = (0 to 3).map(sI =>
-      element_at(filter(col(s"dtab$sI"),
-        x => x.getField("cid") === col(s"code$sI")), 1).getField("d2"))
-      .reduce(_ + _)
+        (0 to 3).map(sI => IvfPq.dtab($"qr", cw, sI, 16).as(s"dtab$sI")): _*)
+    val adc = IvfPq.adc(
+      (0 to 3).map(sI => col(s"code$sI")), (0 to 3).map(sI => col(s"dtab$sI")))
     val pairs = coded.join(broadcast(qd), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("c_id"), $"cell", adc.as("adc"))
