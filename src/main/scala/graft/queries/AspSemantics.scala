@@ -39,6 +39,10 @@ object AspSemantics {
     * engines to plain microsecond epoch. */
   private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
 
+  /** q132 machine I/O (top-level so Spark derives Encoders). */
+  final case class EmaIn(user_id: Long, ts_us: Long, event_id: Long, xq: Long)
+  final case class EmaOut(user_id: Long, ts_us: Long, event_id: Long, ema: Long)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- P1/P2 replay: global delivery order with FIFO tie-break ----
@@ -1061,6 +1065,104 @@ object AspSemantics {
           (num.cast("double") / sqrt(dx.cast("double") * dy.cast("double")))
             .as("corr"))
         .orderBy($"event_type")
+    },
+
+    // ---- TWAP (time-weighted average) — W10's other half: VWAP
+    // (q28/q29) weights by traded volume, TWAP weights each observation
+    // by HOW LONG it was the live value — the mark a position is carried
+    // at between updates. Per (user, day): each event holds from its ts
+    // until the next event or day end (so sparse updates aren't
+    // over-counted and the day's tail is covered); twap = Σ value·dur /
+    // Σ dur. All weights are exact integer µs and values ride the q122
+    // ×1000 quantization, so numerator/denominator are exact int64 on
+    // both engines and the division is one IEEE op. One hash shuffle on
+    // user_id: the lead window and the aggregation share it. ----
+    QuerySpec.sql("q131_twap",
+      s"""WITH ev AS (SELECT user_id,
+         |    $tsUs AS ts_us, ($tsUs) // 86400000000 AS day,
+         |    CAST(trunc(value * 1000) AS BIGINT) AS xq, event_id
+         |  FROM events),
+         |held AS (SELECT user_id, day, xq,
+         |    coalesce(lead(ts_us) OVER (PARTITION BY user_id, day
+         |        ORDER BY ts_us, event_id),
+         |      (day + 1) * 86400000000) - ts_us AS dur_us
+         |  FROM ev)
+         |SELECT user_id, day, count(*) AS n,
+         |  CAST(sum(xq * dur_us) AS BIGINT) AS num,
+         |  CAST(sum(dur_us) AS BIGINT) AS den,
+         |  CAST(CAST(sum(xq * dur_us) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / 1000.0 AS twap
+         |FROM held GROUP BY user_id, day
+         |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id", $"day").orderBy($"ts_us", $"event_id")
+      val ev = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          ($"value" * 1000).cast("long").as("xq"), $"event_id")
+      ev.withColumn("dur_us",
+          coalesce(lead($"ts_us", 1).over(w), ($"day" + 1) * lit(86400000000L)) - $"ts_us")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n"),
+          sum($"xq" * $"dur_us").cast("long").as("num"),
+          sum($"dur_us").cast("long").as("den"))
+        .select($"user_id", $"day", $"n", $"num", $"den",
+          ($"num".cast("double") / $"den".cast("double") / 1000.0).as("twap"))
+        .orderBy($"user_id", $"day")
+    },
+
+    // ---- integer EMA THROUGH THE REPLAY MACHINE, under the hash gate:
+    // an exponential moving average is inherently RECURSIVE (each output
+    // depends on the previous one), so no window frame expresses it —
+    // exactly the shape the reference's per-key callback model exists
+    // for. Until now the machine path (Replay.run: one hash shuffle +
+    // secondary sort + streamed per-key machines) was gated indirectly
+    // (q20/q21 order contracts) and spec-gated (golden timelines); here
+    // the MACHINE'S per-row state evolution is hash-compared against a
+    // DuckDB recursive CTE replaying the identical recurrence. α = 1/2
+    // on the ×1000-quantized integer domain with floor division
+    // (Math.floorDiv ≡ DuckDB `//`) — bit-exact, no float drift over
+    // any sequence length. Scale: the machine form is the 100 TB path
+    // (per-key linear state, one shuffle); the recursive CTE is the
+    // fixture-sized test harness (the q64 closure discipline). ----
+    QuerySpec.sql("q132_ema_machine",
+      s"""WITH RECURSIVE ev AS (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    CAST(trunc(value * 1000) AS BIGINT) AS xq
+         |  FROM events),
+         |seqd AS (SELECT user_id, event_id, ts_us, xq,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+         |  FROM ev),
+         |ema AS (
+         |  SELECT user_id, event_id, ts_us, rn, xq AS ema FROM seqd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.event_id, s.ts_us, s.rn, (e.ema + s.xq) // 2
+         |  FROM ema e JOIN seqd s ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+         |SELECT user_id, ts_us, event_id, ema FROM ema
+         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      // explicit Encoders (spark.implicits' StringToColumn would clash
+      // with the package-level $ interpolator)
+      implicit val inEnc: org.apache.spark.sql.Encoder[EmaIn] =
+        org.apache.spark.sql.Encoders.product[EmaIn]
+      implicit val outEnc: org.apache.spark.sql.Encoder[EmaOut] =
+        org.apache.spark.sql.Encoders.product[EmaOut]
+      val ds = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          ($"value" * 1000).cast("long").as("xq"))
+        .as[EmaIn]
+      graft.streaming.Replay.run(ds, "user_id", "ts_us", "event_id")(
+          _.user_id, _.ts_us) { _ =>
+          new graft.streaming.KeyedStateMachine[Long, EmaIn, EmaOut] {
+            private var ema = 0L
+            private var seeded = false
+            def onEvent(ts: Long, e: EmaIn,
+                        ctx: graft.streaming.ReplayCtx[EmaOut]): Unit = {
+              ema = if (!seeded) { seeded = true; e.xq }
+                    else Math.floorDiv(ema + e.xq, 2)
+              ctx.emit(EmaOut(e.user_id, e.ts_us, e.event_id, ema))
+            }
+          }
+        }
+        .toDF()
+        .orderBy($"user_id", $"ts_us", $"event_id")
     }
   )
 }
