@@ -43,6 +43,10 @@ object AspSemantics {
   final case class EmaIn(user_id: Long, ts_us: Long, event_id: Long, xq: Long)
   final case class EmaOut(user_id: Long, ts_us: Long, event_id: Long, ema: Long)
 
+  /** q133 machine output: one row per CLOSED position. */
+  final case class TradeOut(user_id: Long, ts_us: Long, event_id: Long,
+                            entry_xq: Long, exit_xq: Long, pnl: Long)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- P1/P2 replay: global delivery order with FIFO tie-break ----
@@ -1162,6 +1166,83 @@ object AspSemantics {
           }
         }
         .toDF()
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- threshold-triggered position machine under the hash gate —
+    // the W8/W9 SHAPE (state whose transitions depend on state) that was
+    // previously only spec-gated (golden cart timelines), now
+    // oracle-compared row-for-row: over each user's purchase stream,
+    // enter a position when the price drops below 30.0, exit on take-
+    // profit (+10.0) or stop-loss (−5.0), emit one row per CLOSED trade.
+    // Entry/exit decisions depend on the held entry price — recursive
+    // state, inexpressible as a window frame, natural as a machine. The
+    // oracle carries (entry) through a recursive CTE with the identical
+    // integer thresholds (×1000 domain). Re-entry is allowed from the
+    // NEXT event after an exit (machine and CTE agree by construction).
+    // Scale: same Replay.run layout as q132 — one shuffle, per-key
+    // linear; the recursive CTE is the fixture-sized harness. ----
+    QuerySpec.sql("q133_position_machine",
+      s"""WITH RECURSIVE ev AS (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    CAST(trunc(value * 1000) AS BIGINT) AS xq
+         |  FROM events WHERE event_type = 'purchase'),
+         |seqd AS (SELECT user_id, event_id, ts_us, xq,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+         |  FROM ev),
+         |st AS (
+         |  SELECT user_id, rn, ts_us, event_id, xq,
+         |    CASE WHEN xq < 30000 THEN xq ELSE CAST(NULL AS BIGINT) END AS entry,
+         |    CAST(NULL AS BIGINT) AS closed_entry,
+         |    CAST(NULL AS BIGINT) AS exit_xq
+         |  FROM seqd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.rn, s.ts_us, s.event_id, s.xq,
+         |    CASE
+         |      WHEN p.entry IS NOT NULL
+         |           AND (s.xq >= p.entry + 10000 OR s.xq <= p.entry - 5000)
+         |        THEN CAST(NULL AS BIGINT)
+         |      WHEN p.entry IS NOT NULL THEN p.entry
+         |      WHEN s.xq < 30000 THEN s.xq
+         |      ELSE CAST(NULL AS BIGINT) END AS entry,
+         |    CASE WHEN p.entry IS NOT NULL
+         |           AND (s.xq >= p.entry + 10000 OR s.xq <= p.entry - 5000)
+         |      THEN p.entry ELSE CAST(NULL AS BIGINT) END AS closed_entry,
+         |    CASE WHEN p.entry IS NOT NULL
+         |           AND (s.xq >= p.entry + 10000 OR s.xq <= p.entry - 5000)
+         |      THEN s.xq ELSE CAST(NULL AS BIGINT) END AS exit_xq
+         |  FROM st p JOIN seqd s ON s.user_id = p.user_id AND s.rn = p.rn + 1)
+         |SELECT user_id, ts_us, event_id,
+         |  closed_entry AS entry_xq, exit_xq,
+         |  exit_xq - closed_entry AS pnl
+         |FROM st WHERE exit_xq IS NOT NULL
+         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      implicit val inEnc: org.apache.spark.sql.Encoder[EmaIn] =
+        org.apache.spark.sql.Encoders.product[EmaIn]
+      implicit val outEnc: org.apache.spark.sql.Encoder[TradeOut] =
+        org.apache.spark.sql.Encoders.product[TradeOut]
+      val ds = Tables.events(s, d)
+        .filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          ($"value" * 1000).cast("long").as("xq"))
+        .as[EmaIn]
+      graft.streaming.Replay.run(ds, "user_id", "ts_us", "event_id")(
+          _.user_id, _.ts_us) { _ =>
+          new graft.streaming.KeyedStateMachine[Long, EmaIn, TradeOut] {
+            private var entry = Long.MinValue // MinValue = flat
+            def onEvent(ts: Long, e: EmaIn,
+                        ctx: graft.streaming.ReplayCtx[TradeOut]): Unit = {
+              if (entry != Long.MinValue) {
+                if (e.xq >= entry + 10000 || e.xq <= entry - 5000) {
+                  ctx.emit(TradeOut(e.user_id, e.ts_us, e.event_id,
+                    entry, e.xq, e.xq - entry))
+                  entry = Long.MinValue // flat; re-entry from the NEXT event
+                }
+              } else if (e.xq < 30000) entry = e.xq
+            }
+          }
+        }
+        .toDF()
+        .select($"user_id", $"ts_us", $"event_id", $"entry_xq", $"exit_xq", $"pnl")
         .orderBy($"user_id", $"ts_us", $"event_id")
     }
   )
