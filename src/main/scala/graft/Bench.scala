@@ -24,6 +24,22 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // Session-state reset between queries: localCheckpoint'd RDDs (the
+    // diamond-reuse pattern in q91/q115/q127...) and cached tables stay
+    // pinned for the session unless dropped, and accumulated broadcasts
+    // only free after a GC lets ContextCleaner collect their weak refs.
+    // Without this, a 133-query suite in one JVM shows ~20%+ drift on
+    // UNCHANGED queries (r3→r4) and 3× in-bench-vs-isolated gaps —
+    // contamination, not plan cost. GC every 8 queries amortizes the
+    // breather (~100ms each) to noise while keeping pressure bounded.
+    var sinceGc = 0
+    def resetSessionState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+    }
     // name -> (seconds, ok)
     def pass(): Seq[(String, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -34,7 +50,9 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val secs = (System.nanoTime() - t0) / 1e9
+        resetSessionState()
+        (name, secs, ok)
       }
     val warmup = pass().map(_._2).sum // JVM/codegen/classloading warm-up
     // two timed passes, per-query MIN: a single pass shows one-off 5-10x
@@ -66,7 +84,9 @@ object Bench {
           (1 to 2).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val secs = (System.nanoTime() - t0) / 1e9
+            resetSessionState()
+            secs
           }.min.toString
         } catch { case e: Throwable =>
           System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")

@@ -34,6 +34,17 @@ object ScaleUp {
     def replicate(df: DataFrame, per: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(i => per(df, i)).reduce(_ unionAll _)
 
+    // Replica shifts are only collision-free when every source key sits
+    // strictly below its stride; a key at/above it would silently alias a
+    // replica's key space and corrupt uniqueness/dedup/join invariants in
+    // the fixture (and every SCALING.md number built on it). Checked per
+    // (table, column) up front — one cheap max() agg each, loud failure.
+    def assertBelowStride(df: DataFrame, table: String, c: String, stride: Long): Unit = {
+      val mx = df.agg(max(col(c)).cast("long")).head.getLong(0)
+      require(mx < stride,
+        s"[scaleup] $table.$c max=$mx >= stride=$stride — replicas would collide")
+    }
+
     def shift(c: String, stride: Long, i: Int) =
       (col(c) + lit(stride * i)).as(c)
 
@@ -43,6 +54,24 @@ object ScaleUp {
     }
 
     val t = (n: String) => spark.read.parquet(s"$src/$n.parquet")
+
+    locally {
+      assertBelowStride(t("customer"), "customer", "c_custkey", 10000000L)
+      assertBelowStride(t("supplier"), "supplier", "s_suppkey", 1000000L)
+      assertBelowStride(t("part"), "part", "p_partkey", 10000000L)
+      val o = t("orders")
+      assertBelowStride(o, "orders", "o_orderkey", 100000000L)
+      assertBelowStride(o, "orders", "o_custkey", 10000000L)
+      val l = t("lineitem")
+      assertBelowStride(l, "lineitem", "l_orderkey", 100000000L)
+      assertBelowStride(l, "lineitem", "l_partkey", 10000000L)
+      assertBelowStride(l, "lineitem", "l_suppkey", 1000000L)
+      val ev = graft.core.Tables.events(spark, src)
+      assertBelowStride(ev, "events", "event_id", 10000000L)
+      assertBelowStride(ev, "events", "user_id", 1000000L)
+      assertBelowStride(t("documents"), "documents", "doc_id", 1000000L)
+      assertBelowStride(t("embeddings"), "embeddings", "vec_id", 1000000L)
+    }
 
     write(t("region"), "region")
     write(t("nation"), "nation")

@@ -94,7 +94,14 @@ object Multimodal {
           o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
         }
         if (!pcm || byteRate <= 0 || dataOff < 0 || dataLen == 0) return Iterator.empty
-        val frameBytes = math.max(1L, byteRate * windowMs / 1000L).toInt
+        // byteRate is attacker-controlled (fmt chunk): cap it below any
+        // physical rate so byteRate*windowMs can't wrap Long, and reject a
+        // frame size outside Int range — a crafted fmt chunk must yield
+        // zero frames, never a /-by-zero or a wrapped allocation.
+        if (byteRate > (1L << 40)) return Iterator.empty
+        val frameBytesL = byteRate * windowMs / 1000L
+        if (frameBytesL <= 0L || frameBytesL > Int.MaxValue) return Iterator.empty
+        val frameBytes = math.max(1L, frameBytesL).toInt
         Iterator.range(0, (dataLen + frameBytes - 1) / frameBytes).map { i =>
           val from = dataOff + i * frameBytes
           Frame(i, java.util.Arrays.copyOfRange(blob, from,

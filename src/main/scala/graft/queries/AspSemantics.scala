@@ -955,13 +955,16 @@ object AspSemantics {
       val scd = graft.operators.Scd2
         .build(ev, "user_id", "ts_us", "event_id", "event_type")
         .select($"user_id", $"event_type".as("attr"), $"valid_from", $"valid_to")
+      // Both sides share the `ev` lineage: alias them explicitly so the
+      // equi-key is unambiguous (unaliased, the analyzer logs a
+      // "trivially true equals predicate" and has to rescue the join).
       val probes = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"event_id", ($"ts_us" + 1).as("t"))
-      probes.join(scd,
-          probes("user_id") === scd("user_id") &&
-            $"valid_from" <= $"t" && $"t" < $"valid_to")
-        .select(probes("user_id"), $"event_id", $"attr",
-          count(lit(1)).over(Window.partitionBy(probes("user_id")))
+        .select($"user_id", $"event_id", ($"ts_us" + 1).as("t")).as("p")
+      probes.join(scd.as("sc"),
+          col("p.user_id") === col("sc.user_id") &&
+            col("sc.valid_from") <= col("p.t") && col("p.t") < col("sc.valid_to"))
+        .select(col("p.user_id").as("user_id"), $"event_id", $"attr",
+          count(lit(1)).over(Window.partitionBy(col("p.user_id")))
             .as("n_lookups"))
         .orderBy($"user_id", $"event_id")
     },

@@ -74,6 +74,8 @@ object WebSocketBridge {
   /** Hard cap on a single frame's payload: a hostile length prefix must
     * not drive a multi-GB allocation before any payload byte arrives. */
   val MaxFrameBytes: Long = 64L * 1024 * 1024
+  val MaxHandshakeBytes: Int = 16 * 1024
+  val MaxHandshakeHeaders: Int = 100
 
   /** Connect, perform the Upgrade handshake, then pump TEXT messages into
     * `feed` until the peer closes (or [[Handle.close]]). `nowUs` is
@@ -104,18 +106,35 @@ object WebSocketBridge {
           s"Sec-WebSocket-Key: $key\r\n" +
           "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
       out.flush()
+      // Handshake is byte- and line-capped: a hostile server streaming
+      // endless header bytes (each read landing inside soTimeout) must not
+      // hold connect() forever or grow an unbounded line buffer. Same
+      // loud-abort discipline as the bad-accept path below.
+      var handshakeBytes = 0
       def readLine(): String = {
         val sb = new StringBuilder
         var c = in.read()
-        while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        while (c != -1 && c != '\n') {
+          handshakeBytes += 1
+          if (handshakeBytes > MaxHandshakeBytes)
+            throw new IOException(
+              s"websocket handshake exceeds $MaxHandshakeBytes bytes — aborting")
+          if (c != '\r') sb.append(c.toChar)
+          c = in.read()
+        }
         sb.toString
       }
       val status = readLine()
       if (!status.contains(" 101 "))
         throw new IOException(s"websocket handshake refused: $status")
       var accept: Option[String] = None
+      var headers = 0
       var line = readLine()
       while (line.nonEmpty) {
+        headers += 1
+        if (headers > MaxHandshakeHeaders)
+          throw new IOException(
+            s"websocket handshake exceeds $MaxHandshakeHeaders headers — aborting")
         val i = line.indexOf(':')
         if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sec-websocket-accept"))
           accept = Some(line.substring(i + 1).trim)
