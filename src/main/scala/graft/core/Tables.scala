@@ -16,21 +16,35 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[session]]), which
-    * surfaces the column as LongType nanos; this loader converts to a
-    * proper TimestampType (µs) with integer `div` — lossless on µs-aligned
-    * data (verified: all fixture rows are), and identical to DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP truncation otherwise. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = table(spark, dir, "events")
+  /** `events.ts` arrives in whatever physical type the fixture
+    * generator used — the loader normalizes every variant to
+    * TimestampType (µs, UTC session semantics) so downstream operators
+    * see ONE type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *    [[configure]]) which surfaces LongType nanos, converted here
+    *    with integer `div` — lossless on µs-aligned data, and identical
+    *    to DuckDB's TIMESTAMP_NS → TIMESTAMP truncation otherwise;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; under the UTC session timezone the cast to
+    *    TimestampType maps wall-clock → the SAME instant DuckDB's naive
+    *    TIMESTAMP sees, so `unix_micros` stays oracle-identical. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
+
+  /** The `ts`-normalization rule itself, applicable to BATCH AND
+    * STREAMING reads of the raw events parquet (streaming parity specs
+    * read the same file through `readStream`) — one definition so a
+    * fixture-encoding change cannot fork the two paths. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
 
   /** Session config every entry point needs: UTC semantics, ns-parquet
     * compatibility, fixture-scale parallelism. Input splits default to

@@ -2455,21 +2455,62 @@ object LlmQueries {
          |FROM ann LEFT JOIN exact
          |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
          |GROUP BY ann.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
-      val ann = ivfPqTop3(s, d).select($"q_id", $"c_id")
-      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
-        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
-      val qs = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-      val exPairs = emb.join(broadcast(qs), $"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id".as("c_id"),
-          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
-      val exact = Windows.topKPerGroup(exPairs, Seq("q_id"),
+      val ctx = ivfPqCtx(s, d)
+      val ann = ivfPqTop3(ctx).select($"q_id", $"c_id")
+      recallAgainst(ann, exactTop3Df(ctx.emb), "hits", "recall")
+        .orderBy($"q_id")
+    },
+
+    // ---- TRAINED IVF-PQ — the production fix q130 exposes the need
+    // for, gated end-to-end: per-subspace Lloyd-trained codebooks
+    // (the q119 loop applied to the RESIDUAL subvectors — centered
+    // data is what PQ training exists for) + ADC scan of the SAME
+    // probed-cell candidate set into a top-8 shortlist + EXACT re-rank
+    // of the shortlist (the asymmetric-distance discipline: the
+    // compressed code picks candidates, the true vectors pick
+    // winners). Output carries BOTH recalls — the untrained q130
+    // number and the trained one — so the improvement is measured in
+    // the gate, not assumed. At 100 TB: training cost is `rounds` ×
+    // (one shuffle-free encode pass + one k·m·dims-bounded partial
+    // agg); the re-rank touches only shortlist·queries true vectors. ----
+    QuerySpec.sql("q134_ivfpq_trained",
+      s"""WITH $annBaseSql,
+         |$ivfPqSqlChain,
+         |${pqTrainedSqlChain(PqTrainRounds)},
+         |$exactTop3Sql,
+         |ru AS (SELECT p.q_id, count(x.c_id) AS hits
+         |  FROM (SELECT q_id, c_id FROM pqtop) p LEFT JOIN exact x
+         |    ON x.q_id = p.q_id AND x.c_id = p.c_id GROUP BY p.q_id),
+         |rt AS (SELECT t.q_id, count(x.c_id) AS hits
+         |  FROM ttop t LEFT JOIN exact x
+         |    ON x.q_id = t.q_id AND x.c_id = t.c_id GROUP BY t.q_id)
+         |SELECT ru.q_id AS q_id,
+         |  CAST(ru.hits AS BIGINT) AS hits_untrained,
+         |  CAST(ru.hits AS DOUBLE) / 3.0 AS recall_untrained,
+         |  CAST(rt.hits AS BIGINT) AS hits_trained,
+         |  CAST(rt.hits AS DOUBLE) / 3.0 AS recall_trained
+         |FROM ru JOIN rt ON rt.q_id = ru.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val ctx = ivfPqCtx(s, d)
+      val exact = exactTop3Df(ctx.emb).localCheckpoint() // reused twice
+      val untrained = ivfPqTop3(ctx).select($"q_id", $"c_id")
+      val cwT = trainPqCodebook(ctx.resid, ctx.cwSeed, PqTrainRounds)
+      val short = Windows.topKPerGroup(
+          ivfPqAdcPairs(ctx, cwT).select($"q_id", $"c_id", $"adc"),
+          Seq("q_id"), Seq($"adc".asc, $"c_id"), PqRefineWidth)
+        .select($"q_id", $"c_id")
+      val embQ = ctx.emb.select($"vec_id".as("q_id"),
+        $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val embC = ctx.emb.select($"vec_id".as("c_id"),
+        $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val rr = embC.join(broadcast(short.join(broadcast(embQ), Seq("q_id"))), Seq("c_id"))
+        .select($"q_id", $"c_id",
+          cosineQ(dotQ($"q_emb", $"c_emb"), $"q_nrm", $"c_nrm").as("cosine"))
+      val trained = Windows.topKPerGroup(rr, Seq("q_id"),
           Seq($"cosine".desc, $"c_id"), 3)
-        .select($"q_id", $"c_id".as("ex_id"))
-      ann.join(exact, $"ex_id" === $"c_id" && exact("q_id") === ann("q_id"), "left")
-        .groupBy(ann("q_id").as("q_id"))
-        .agg(count($"ex_id").as("hits"),
-          (count($"ex_id").cast("double") / 3.0).as("recall"))
+        .select($"q_id", $"c_id")
+      recallAgainst(untrained, exact, "hits_untrained", "recall_untrained")
+        .join(recallAgainst(trained, exact, "hits_trained", "recall_trained"),
+          Seq("q_id"))
         .orderBy($"q_id")
     }
   )
@@ -2546,11 +2587,21 @@ object LlmQueries {
       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rnk
       |  FROM adc) WHERE rnk <= 3)""".stripMargin
 
-  /** Spark twin of [[ivfPqSqlChain]]: returns (q_id, c_id, cell, adc,
-    * rnk ≤ 3). Centroids and the PQ codebook collect to the driver —
-    * 8×64 longs each, driver-sized BY DEFINITION (the broadcastable
-    * artifact); encode and ADC are shuffle-free projections. */
-  private def ivfPqTop3(s: SparkSession, d: String): DataFrame = {
+  /** Shared driver-side context for the IVF-PQ family (q129/q130/q134):
+    * quantized base, coarse probes, residuals, and the two driver-sized
+    * component tables — coarse centroids and the SEED PQ codebook. ONE
+    * builder so the index, its recall gate, and the trained variant
+    * cannot desynchronize on the conventions (seed set, tie rules,
+    * quantization). */
+  private final case class IvfPqCtx(
+      emb: DataFrame,
+      base: DataFrame,
+      probes: DataFrame,
+      resid: DataFrame,
+      centComps: IndexedSeq[IndexedSeq[Long]],
+      cwSeed: IndexedSeq[IndexedSeq[Long]])
+
+  private def ivfPqCtx(s: SparkSession, d: String): IvfPqCtx = {
     val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
       .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
     val base = emb.select($"vec_id",
@@ -2582,28 +2633,171 @@ object LlmQueries {
     val resid = base.join(assign, "vec_id")
       .select($"vec_id", $"cell", IvfPq.residual($"xq", $"cell", centComps).as("r"))
       .localCheckpoint() // feeds the codebook collect AND the encode
-    // PQ codebook = residuals of vec_id 8..15 (8×64 longs, driver-sized);
-    // cw(cid) is positional too — assert the id convention likewise
+    // seed PQ codebook = residuals of vec_id 8..15 (8×64 longs,
+    // driver-sized); cw(cid) is positional too — assert likewise
     val cwRows = resid
       .filter($"vec_id" >= 8 && $"vec_id" < 16).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](2).toIndexedSeq))
       .sortBy(_._1)
     require(cwRows.map(_._1).toSeq == (8L to 15L),
       s"PQ codebook requires dim-64 vectors with vec_id 8..15; got ${cwRows.map(_._1).mkString(",")}")
-    val cw: IndexedSeq[IndexedSeq[Long]] = cwRows.map(_._2).toIndexedSeq
-    // residual/encode/ADC builders come from [[IvfPq]] — ONE definition
-    // shared with the online serving path (StreamingIvfPqSpec)
-    val coded = resid.select($"vec_id" +: $"cell" +:
+    IvfPqCtx(emb, base, probes, resid, centComps, cwRows.map(_._2).toIndexedSeq)
+  }
+
+  /** Encode + ADC with codebook `cw` (seed or trained): returns
+    * (q_id, c_id, cell, adc). Residual/encode/ADC builders come from
+    * [[IvfPq]] — ONE definition shared with the online serving path
+    * (StreamingIvfPqSpec); encode and ADC are shuffle-free projections
+    * over broadcast driver-sized component tables. */
+  private def ivfPqAdcPairs(ctx: IvfPqCtx, cw: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    val coded = ctx.resid.select($"vec_id" +: $"cell" +:
       (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
-    val qd = probes.join(base.select($"vec_id".as("q_id"), $"xq"), "q_id")
-      .withColumn("qr", IvfPq.residual($"xq", $"cell", centComps))
+    val qd = ctx.probes.join(ctx.base.select($"vec_id".as("q_id"), $"xq"), "q_id")
+      .withColumn("qr", IvfPq.residual($"xq", $"cell", ctx.centComps))
       .select($"q_id" +: $"cell" +:
         (0 to 3).map(sI => IvfPq.dtab($"qr", cw, sI, 16).as(s"dtab$sI")): _*)
     val adc = IvfPq.adc(
       (0 to 3).map(sI => col(s"code$sI")), (0 to 3).map(sI => col(s"dtab$sI")))
-    val pairs = coded.join(broadcast(qd), Seq("cell"))
+    coded.join(broadcast(qd), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("c_id"), $"cell", adc.as("adc"))
-    Windows.topKPerGroup(pairs, Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
+  }
+
+  /** Spark twin of [[ivfPqSqlChain]]: returns (q_id, c_id, cell, adc,
+    * rnk ≤ 3) under the SEED (untrained) codebook. */
+  private def ivfPqTop3(ctx: IvfPqCtx): DataFrame =
+    Windows.topKPerGroup(ivfPqAdcPairs(ctx, ctx.cwSeed),
+      Seq("q_id"), Seq($"adc".asc, $"c_id"), 3)
+
+  private def ivfPqTop3(s: SparkSession, d: String): DataFrame =
+    ivfPqTop3(ivfPqCtx(s, d))
+
+  /** Exact brute-force ground-truth top-3 (q_id, ex_id) for queries
+    * 10..14 — the Spark twin of [[exactTop3Sql]], shared by the recall
+    * gates q130/q134. */
+  private def exactTop3Df(emb: DataFrame): DataFrame = {
+    val qs = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val exPairs = emb.join(broadcast(qs), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"),
+        cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+    Windows.topKPerGroup(exPairs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+      .select($"q_id", $"c_id".as("ex_id"))
+  }
+
+  /** hits + recall@3 per query: LEFT-join an ANN top-3 (q_id, c_id)
+    * against the exact ground truth (q_id, ex_id) and count matches. */
+  private def recallAgainst(ann: DataFrame, exact: DataFrame,
+      hitsName: String, recallName: String): DataFrame =
+    ann.join(exact,
+        exact("ex_id") === ann("c_id") && exact("q_id") === ann("q_id"), "left")
+      .groupBy(ann("q_id").as("q_id"))
+      .agg(count(exact("ex_id")).as(hitsName),
+        (count(exact("ex_id")).cast("double") / 3.0).as(recallName))
+
+  /** Lloyd rounds for the TRAINED PQ codebook (q134) — ONE constant
+    * threaded into both the operator and the SQL oracle. `final val`
+    * literal: inlined at compile time, so the `specs` val (initialized
+    * earlier in the object) cannot observe a zero default. */
+  private final val PqTrainRounds = 2
+
+  /** ADC shortlist width for the exact re-rank (q134) — the "refine
+    * factor" knob of a production IVF-PQ. 16×k here because the
+    * fixture's codebook is deliberately tiny (m=4, 8 codewords ⇒
+    * coarse ADC resolution); production sizes refine to the measured
+    * ADC/exact rank correlation. Still a >2× reduction of the probed
+    * cells before any exact math touches a vector. */
+  private final val PqRefineWidth = 48
+
+  /** Per-subspace Lloyd training of the PQ codebook on the residuals —
+    * the production fix whose need the q130 gate exposes. Each round:
+    * encode with the current codebook ([[IvfPq.codeFor]] — the SAME
+    * tie rule as serving), then per-(subspace, codeword, dim) exact
+    * integer sums with the [[KMeans]] truncated-mean math. A codeword
+    * that loses every member KEEPS its previous components (carry-over
+    * — deterministic in both engines, and keeps the codebook
+    * rectangular, unlike the k-means empty-cluster contraction).
+    * Per-round collected state is 8×64 longs — driver-sized by
+    * definition; the heavy side stays a shuffle-free projection plus
+    * one k·dims-bounded partial aggregation, exactly the
+    * [[KMeans.train]] scale shape. */
+  private def trainPqCodebook(resid: DataFrame,
+      seed: IndexedSeq[IndexedSeq[Long]], rounds: Int): IndexedSeq[IndexedSeq[Long]] = {
+    var cw = seed
+    for (_ <- 1 to rounds) {
+      val coded = resid.select($"r" +:
+        (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
+      val sums = coded
+        .select(col("code0"), col("code1"), col("code2"), col("code3"),
+          posexplode(col("r")).as(Seq("pos", "x")))
+        .select(($"pos" / 16).cast("int").as("s"), pmod($"pos", lit(16)).as("j"), $"x",
+          element_at(array($"code0", $"code1", $"code2", $"code3"),
+            ($"pos" / 16).cast("int") + 1).as("cid"))
+        .groupBy($"s", $"cid", $"j")
+        .agg(sum($"x").as("sm"), count(lit(1)).as("cnt"))
+        .collect()
+      val means = sums.map { r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3).toDouble / r.getLong(4).toDouble).toLong)
+      }.toMap
+      cw = IndexedSeq.tabulate(8) { cid =>
+        IndexedSeq.tabulate(64) { pos =>
+          means.getOrElse((pos / 16, cid, pos % 16), cw(cid)(pos))
+        }
+      }
+    }
+    cw
+  }
+
+  /** Trained-PQ CTE chain (assumes [[ivfPqSqlChain]]'s names): residual
+    * subvectors keyed by (subspace s, dim j) → `rounds` unrolled Lloyd
+    * rounds (encode with the current codebook, truncated-mean update,
+    * carry-over for empty codewords) → trained codes + ADC over the
+    * SAME candidate set as q129 → top-8 shortlist → EXACT re-rank →
+    * `ttop` (q_id, c_id). Mirrors [[trainPqCodebook]] +
+    * [[ivfPqAdcPairs]] step for step. */
+  private def pqTrainedSqlChain(rounds: Int): String = {
+    def round(r: Int): String =
+      s"""tsum$r AS (SELECT a.s, a.cid, v.j, sum(v.r) AS sm, count(*) AS cnt
+         |  FROM rsub v JOIN tas${r - 1} a ON a.vec_id = v.vec_id AND a.s = v.s
+         |  GROUP BY 1, 2, 3),
+         |cwt$r AS (SELECT w.s, w.cid, w.j,
+         |    COALESCE(CAST(trunc(CAST(t.sm AS DOUBLE) / CAST(t.cnt AS DOUBLE)) AS BIGINT), w.r) AS r
+         |  FROM cwt${r - 1} w LEFT JOIN tsum$r t
+         |    ON t.s = w.s AND t.cid = w.cid AND t.j = w.j),
+         |td$r AS (SELECT v.vec_id, v.s, w.cid, sum((v.r - w.r) * (v.r - w.r)) AS d2
+         |  FROM rsub v JOIN cwt$r w ON w.s = v.s AND w.j = v.j GROUP BY 1, 2, 3),
+         |tas$r AS (SELECT vec_id, s, cid FROM (
+         |  SELECT vec_id, s, cid,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+         |  FROM td$r) WHERE rn = 1)""".stripMargin
+    s"""rsub AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS j, r
+       |  FROM resid),
+       |cwt0 AS (SELECT vec_id - 8 AS cid, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS j, r
+       |  FROM resid WHERE vec_id >= 8 AND vec_id < 16),
+       |tas0 AS (SELECT vec_id, s, code AS cid FROM codes),
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |qsub AS (SELECT q_id, cell, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS j, qr
+       |  FROM qres),
+       |tqd AS (SELECT q.q_id, q.cell, q.s, w.cid, sum((q.qr - w.r) * (q.qr - w.r)) AS d2
+       |  FROM qsub q JOIN cwt$rounds w ON w.s = q.s AND w.j = q.j GROUP BY 1, 2, 3, 4),
+       |tadc AS (SELECT cand.q_id, cand.c_id, CAST(sum(t.d2) AS BIGINT) AS adc
+       |  FROM cand JOIN tas$rounds c2 ON c2.vec_id = cand.c_id
+       |       JOIN tqd t ON t.q_id = cand.q_id AND t.cell = cand.cell
+       |                 AND t.s = c2.s AND t.cid = c2.cid
+       |  GROUP BY 1, 2),
+       |tshort AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+       |  FROM tadc) WHERE rn <= $PqRefineWidth),
+       |trr AS (SELECT st.q_id, st.c_id, sum(a.xq * b.xq) AS dot
+       |  FROM tshort st JOIN e a ON a.vec_id = st.q_id
+       |       JOIN e b ON b.vec_id = st.c_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |trrc AS (SELECT q_id, c_id,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+       |  FROM trr JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+       |ttop AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+       |  FROM trrc) WHERE rn <= 3)""".stripMargin
   }
 }

@@ -337,7 +337,7 @@ class StreamingParitySpec extends AnyFunSuite {
       srcDir.resolve("events.parquet"))
     val streamEv = sp.readStream.schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
     val agg = streamEv
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -380,7 +380,7 @@ class StreamingParitySpec extends AnyFunSuite {
       srcDir.resolve("events.parquet")) // file stream sources read directories
     val streamEv = sp.readStream.schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
       .withColumn("weight", get_json_object(col("props"), "$.k").cast("long"))
     val agg = graft.operators.Windows.hoppingAgg(streamEv, "1 day", "1 day", Nil,
@@ -422,7 +422,7 @@ class StreamingParitySpec extends AnyFunSuite {
       srcDir.resolve("events.parquet"))
     val streamEv = sp.readStream.schema(schema)
       .parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.core.Tables.normalizeEventTs)
       .withWatermark("ts", "0 seconds")
     // two CHAINED stateful aggregations in one append-mode query (the
     // Spark 4 multi-stateful-operator path): the q36 tie rule first
