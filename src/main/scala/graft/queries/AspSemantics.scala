@@ -1247,6 +1247,134 @@ object AspSemantics {
         .toDF()
         .select($"user_id", $"ts_us", $"event_id", $"entry_xq", $"exit_xq", $"pnl")
         .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- the W8 CART MACHINE under the hash gate — list-valued state
+    // with qty matching + timer discount expiry (reference
+    // e5_retail_cart.py:34-68), previously only golden-spec'd. Fixture
+    // mapping (arbitrary but deterministic, exercises every branch):
+    // non-purchase events ADD 1-or-2 units of one of 5 item names at
+    // the ×1000-quantized cost; purchases REMOVE one unit of that name
+    // (multi-lot partial removal stays covered by the golden spec and
+    // the streaming parity spec — the CTE implements the single-unit
+    // rule the mapping guarantees). The discount timer is scheduled at
+    // simulation start + 7 days (the reference's absolute-expiry shape,
+    // e5_retail_cart.py:46-48 note); replay fires timers BEFORE
+    // same-time events, so "discounted" ≡ ts_us < expiry strictly —
+    // which is exactly the oracle's predicate. Discounted cost =
+    // floorDiv(cost·9, 10) ≡ DuckDB `//` (the q132 integer
+    // portability discipline). The oracle carries the WHOLE cart as a
+    // LIST OF STRUCTS through a recursive CTE — rn=0 seeds an empty
+    // cart per user so the transition expression exists exactly once.
+    // Scale: machine side is the standard Replay.run layout — one
+    // shuffle, per-key linear state, nothing driver-sized but the
+    // 8-byte expiry scalar. ----
+    QuerySpec.sql("q135_cart_machine", {
+      val idx = "list_position(list_transform(p.items, l -> l.name), s.name)"
+      s"""WITH RECURSIVE ev AS (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    'i' || CAST(event_id % 5 AS VARCHAR) AS name,
+         |    CAST(trunc(value * 1000) AS BIGINT) AS cost,
+         |    (event_type <> 'purchase') AS add_f,
+         |    CASE WHEN event_type <> 'purchase' THEN event_id % 2 + 1 ELSE 1 END AS qty
+         |  FROM events),
+         |x AS (SELECT min(ts_us) + 604800000000 AS expiry FROM ev),
+         |seqd AS (SELECT ev.*, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS rn FROM ev),
+         |cart AS (
+         |  SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS ts_us,
+         |    CAST(NULL AS BIGINT) AS event_id,
+         |    CAST([] AS STRUCT(name VARCHAR, cost BIGINT, qty BIGINT)[]) AS items
+         |  FROM (SELECT DISTINCT user_id FROM ev)
+         |  UNION ALL
+         |  SELECT s.user_id, s.rn, s.ts_us, s.event_id,
+         |    CASE WHEN s.add_f THEN list_append(p.items,
+         |        {'name': s.name,
+         |         'cost': CASE WHEN s.ts_us < (SELECT expiry FROM x)
+         |                      THEN (s.cost * 9) // 10 ELSE s.cost END,
+         |         'qty': s.qty})
+         |      WHEN COALESCE($idx, 0) = 0 THEN p.items
+         |      WHEN p.items[$idx].qty > 1
+         |        THEN p.items[:$idx - 1]
+         |          || [{'name': s.name, 'cost': p.items[$idx].cost,
+         |               'qty': p.items[$idx].qty - 1}]
+         |          || p.items[$idx + 1:]
+         |      ELSE p.items[:$idx - 1] || p.items[$idx + 1:]
+         |    END AS items
+         |  FROM cart p JOIN seqd s ON s.user_id = p.user_id AND s.rn = p.rn + 1)
+         |SELECT user_id, ts_us, event_id,
+         |  CAST(COALESCE(list_sum(list_transform(items, l -> l.cost * l.qty)), 0) AS BIGINT) AS total_milli,
+         |  CAST(COALESCE(list_sum(list_transform(items, l -> l.qty)), 0) AS BIGINT) AS n_items
+         |FROM cart WHERE rn > 0
+         |ORDER BY user_id, ts_us, event_id""".stripMargin
+    }) { (s, d) =>
+      implicit val inEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartOpQ] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartOpQ]
+      implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartTotalQ] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartTotalQ]
+      val isAdd = $"event_type" =!= "purchase"
+      val ev = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          concat(lit("i"), ($"event_id" % 5).cast("string")).as("name"),
+          ($"value" * 1000).cast("long").as("cost"),
+          when(isAdd, ($"event_id" % 2 + 1)).otherwise(lit(1L))
+            .cast("int").as("qty"),
+          isAdd.as("add"))
+      // 8-byte driver scalar — the reference's simulation-start anchor
+      val expiry = ev.agg(min($"ts_us")).head.getLong(0) + 7L * 86400000000L
+      graft.streaming.Replay.run(
+          ev.as[graft.streaming.Machines.CartOpQ],
+          "user_id", "ts_us", "event_id")(_.user_id, _.ts_us)(
+          uid => new graft.streaming.Machines.CartMachineQ(uid, expiry))
+        .toDF()
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- the W9 FEEDBACK MACHINE under the hash gate (reference
+    // e1_feedback.py:27-66): the order ⇄ ACK cycle — inexpressible as a
+    // DAG of operators, so it lives inside ONE keyed machine whose
+    // timers carry both parties' latencies (0.3 s to the exchange,
+    // 0.7 s back). Each user's first event seeds a session; the machine
+    // then generates the whole timeline from timers alone: order k at
+    // seed+(k−1)·1 s, exec_report k at seed+k·1 s triggering order k+1,
+    // stop after order 10 (→ 10 orders, 9 ACKs — the reference's exact
+    // counts). The oracle replays the SAME recurrence in a recursive
+    // CTE; the price walk accumulates +0.01 step by step on BOTH sides
+    // (iterative IEEE adds in identical order — bit-exact), never the
+    // closed form (100 + k·0.01 rounds differently). 'exec_report' <
+    // 'order' lexically, so the (ts, kind) sort is deterministic at the
+    // ACK/next-order tie. Scale: one seed row per key through the
+    // standard Replay.run layout — state is two scalars per machine. ----
+    QuerySpec.sql("q136_feedback_machine",
+      s"""WITH RECURSIVE seeds AS (
+         |  SELECT user_id AS session_id, min($tsUs) AS ts0
+         |  FROM events GROUP BY user_id),
+         |ord AS (
+         |  SELECT session_id, 1 AS k, ts0 AS ts_us, CAST(100.0 AS DOUBLE) AS price
+         |  FROM seeds
+         |  UNION ALL
+         |  SELECT session_id, k + 1, ts_us + 1000000, price + 0.01
+         |  FROM ord WHERE k < 10)
+         |SELECT session_id, ts_us, kind, order_id, price FROM (
+         |  SELECT session_id, ts_us, 'order' AS kind,
+         |    CAST(k AS BIGINT) AS order_id, price FROM ord
+         |  UNION ALL
+         |  SELECT session_id, ts_us + 1000000, 'exec_report',
+         |    CAST(k AS BIGINT), 0.0 FROM ord WHERE k <= 9)
+         |ORDER BY session_id, ts_us, kind, order_id""".stripMargin) { (s, d) =>
+      implicit val inEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.SessionSeed] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Machines.SessionSeed]
+      implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.FeedbackEvent] =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Machines.FeedbackEvent]
+      val seeds = Tables.events(s, d)
+        .groupBy($"user_id".as("session_id"))
+        .agg(min(unix_micros($"ts")).as("ts_us"), min($"event_id").as("seq"))
+      graft.streaming.Replay.run(
+          seeds.as[graft.streaming.Machines.SessionSeed],
+          "session_id", "ts_us", "seq")(_.session_id, _.ts_us)(
+          sid => new graft.streaming.Machines.FeedbackMachine(sid))
+        .toDF()
+        .select($"session_id", $"ts_us", $"kind", $"order_id", $"price")
+        .orderBy($"session_id", $"ts_us", $"kind", $"order_id")
     }
   )
 }

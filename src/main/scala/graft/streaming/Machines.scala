@@ -17,6 +17,25 @@ object Machines {
                               name: String, cost: Double, qty: Int, add: Boolean)
   final case class CartTotal(user_id: Long, ts_us: Long, total: Double, num_items: Long)
 
+  /** FIFO multi-lot removal (reference e5_retail_cart.py:53-64): remove
+    * `qty` units of the matching name across lots, oldest first; a lot
+    * holding more than the remainder is reduced in place. Generic over
+    * the lot type — ONE definition shared by the Double reference
+    * machine, the transformWithState cart ([[TypedCartProcessor]]), and
+    * the integer-domain hash gate ([[CartMachineQ]], q135), so the
+    * subtle branch (partial vs whole-lot consumption) cannot fork. */
+  def removeFifo[L](items: Vector[L], qty: Int)(
+      matches: L => Boolean, qtyOf: L => Int, withQty: (L, Int) => L): Vector[L] = {
+    var remaining = qty
+    items.flatMap { it =>
+      if (matches(it) && remaining > 0) {
+        if (qtyOf(it) > remaining) {
+          val r = withQty(it, qtyOf(it) - remaining); remaining = 0; Some(r)
+        } else { remaining -= qtyOf(it); None }
+      } else Some(it)
+    }
+  }
+
   /** @param discountExpiryUs absolute expiry (the reference schedules it
     *   relative to simulation start, not first cart activity — see the
     *   comment at e5_retail_cart.py:46-48). */
@@ -35,18 +54,49 @@ object Machines {
       if (u.add) {
         items :+= CartItem(u.name, u.cost * discount, u.qty)
       } else {
-        // remove u.qty units of u.name across lots, oldest first
-        var remaining = u.qty
-        items = items.flatMap { it =>
-          if (it.name == u.name && remaining > 0) {
-            if (it.qty > remaining) { val r = it.copy(qty = it.qty - remaining); remaining = 0; Some(r) }
-            else { remaining -= it.qty; None }
-          } else Some(it)
-        }
+        items = Machines.removeFifo(items, u.qty)(
+          _.name == u.name, _.qty, (it, q) => it.copy(qty = q))
       }
       val total = items.map(it => it.cost * it.qty).sum
       val n = items.map(_.qty.toLong).sum
       ctx.emit(CartTotal(userId, ts, total, n))
+    }
+  }
+
+  // ---------- W8 under the hash gate: integer-domain cart (q135) ----------
+  // The SAME transitions as CartMachine on the ×1000-quantized integer
+  // domain: discounted cost = floorDiv(cost·9, 10) (≡ DuckDB `//` — the
+  // q132 portability discipline), totals are exact Long sums, so the
+  // replay output hash-compares against a DuckDB recursive CTE carrying
+  // the cart list. Removal IS [[removeFifo]] — one definition.
+
+  final case class CartOpQ(user_id: Long, ts_us: Long, event_id: Long,
+                           name: String, cost: Long, qty: Int, add: Boolean)
+  final case class LotQ(name: String, cost: Long, qty: Int)
+  final case class CartTotalQ(user_id: Long, ts_us: Long, event_id: Long,
+                              total_milli: Long, n_items: Long)
+
+  final class CartMachineQ(userId: Long, discountExpiryUs: Long)
+      extends KeyedStateMachine[Long, CartOpQ, CartTotalQ] {
+    private var items = Vector.empty[LotQ]
+    private var discounted = true
+
+    override def onStart(key: Long, ctx: ReplayCtx[CartTotalQ]): Unit =
+      ctx.callAt(discountExpiryUs, "discount_off")
+
+    override def onTimer(ts: Long, tag: String, ctx: ReplayCtx[CartTotalQ]): Unit =
+      if (tag == "discount_off") discounted = false
+
+    override def onEvent(ts: Long, u: CartOpQ, ctx: ReplayCtx[CartTotalQ]): Unit = {
+      if (u.add) {
+        val c = if (discounted) Math.floorDiv(u.cost * 9, 10) else u.cost
+        items :+= LotQ(u.name, c, u.qty)
+      } else {
+        items = Machines.removeFifo(items, u.qty)(
+          _.name == u.name, _.qty, (l, q) => l.copy(qty = q))
+      }
+      ctx.emit(CartTotalQ(userId, u.ts_us, u.event_id,
+        items.map(l => l.cost * l.qty).sum, items.map(_.qty.toLong).sum))
     }
   }
 

@@ -48,13 +48,8 @@ final class TypedCartProcessor(discountExpiryUs: Long)
       val d = currentDiscount(u.ts_us)
       if (u.add) items.appendValue(CartItem(u.name, u.cost * d, u.qty))
       else {
-        var remaining = u.qty
-        val kept = items.get().flatMap { it =>
-          if (it.name == u.name && remaining > 0) {
-            if (it.qty > remaining) { val r = it.copy(qty = it.qty - remaining); remaining = 0; Some(r) }
-            else { remaining -= it.qty; None }
-          } else Some(it)
-        }.toVector
+        val kept = Machines.removeFifo(items.get().toVector, u.qty)(
+          _.name == u.name, _.qty, (it, q) => it.copy(qty = q))
         items.clear()
         if (kept.nonEmpty) items.appendList(kept.toArray)
       }
