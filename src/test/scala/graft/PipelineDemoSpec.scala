@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed five-stage pipeline (ingest → compact → dedup → index
+  * → train-mix) end-to-end on the committed fixture. Stage correctness
+  * lives in the oracle gates; what this pins is the COMPOSITION — each
+  * stage's artifact is readable by the next, the internal row-count
+  * cross-checks (survivor join, postings == q119 gate, packing bound)
+  * all hold, and the stage boundaries stay in their expected order. */
+class PipelineDemoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("all five stages run end-to-end with consistent counts") {
+    val work = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val stages = PipelineDemo.run(spark, "/root/testdata/sf0.001", work)
+    assert(stages.map(_.name) ==
+      Seq("ingest", "compact", "dedup", "index", "train-mix"))
+    val byName = stages.map(s => s.name -> s).toMap
+    // ingest landed the corpus; dedup kept a non-trivial strict subset
+    assert(byName("ingest").rows == byName("compact").rows)
+    assert(byName("dedup").rows > 0 &&
+      byName("dedup").rows <= byName("compact").rows)
+    // packing emitted at most one row per surviving doc
+    assert(byName("train-mix").rows > 0 &&
+      byName("train-mix").rows <= byName("dedup").rows)
+  }
+}
