@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.queries._
 import graft.core.Tables
 import graft.functions.{PortableHash, VectorOps}
-import graft.operators.{ConnectedComponents, Windows}
+import graft.operators.{ConnectedComponents, Skew, Windows}
 
 /** LLM-training-data pipeline operators (mandated extension — not in the
   * reference, which has no relational/text layer; see SURVEY §2.3 last row):
@@ -231,6 +231,81 @@ object LlmQueries {
   private val NdPlanes = 16
   private val BandPlanes: Seq[Seq[Seq[Long]]] =
     (0 until NdBands).map(k => (k * NdPlanes until (k + 1) * NdPlanes).map(planeRow))
+
+  /** Bucket-population caps for the SKEW-BOUNDED candidate generation
+    * (q137 text / q138 embeddings — [[Skew.boundedBucketPairs]]).
+    * Fixture-sized so the gates exercise the cap (production sizes the
+    * cap to the expected population c = n/2^R): the sf0.01 text chain
+    * has buckets of population 3 that cap 2 drops; the embedding cap
+    * bites on replicated corpora (identical vectors stack their
+    * buckets — the SCALING.md quadratic case). `final val` literals:
+    * inlined, immune to object-init order. */
+  private final val TextBucketCap = 2
+  private final val EmbBucketCap = 8
+
+  /** `vec_id, embedding, nrm` — the shared base of the banded near-dup
+    * chain (q61/q138). Dim guard as in [[bucketedEmb]]. */
+  private def ndBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"), sqNormQ(col("embedding")).as("nrm"))
+
+  /** One (vec_id, band, bucket) row per band — one codegen'd
+    * [[VectorOps.lshBucket]] pass per band per row (R·B plane dots/row,
+    * linear in n; LshPlaneBits takes any R ≤ 63). */
+  private def ndBanded(base: DataFrame): DataFrame = {
+    val bandStructs = (0 until NdBands).map { k =>
+      struct(lit(k).as("band"),
+        VectorOps.lshBucket(col("embedding"), BandPlanes(k)).as("bucket"))
+    }
+    base.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Exact-cosine verification of candidate `pairs` (a_id, b_id) against
+    * `base` — the verify stage both banded variants share. */
+  private def ndCosineVerify(pairs: DataFrame, base: DataFrame): DataFrame =
+    pairs
+      .join(base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineQ(dotQ(col("a_emb"), col("b_emb")), col("a_nrm"), col("b_nrm")).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+
+  /** Shared oracle CTE chain for the banded near-dup family
+    * (q61/q138): quantized elements `e`, the NdBands·NdPlanes plane
+    * family `pl`, sign sums `bits`, per-band `bands` (vec_id, band,
+    * bucket). ONE definition so the capped and uncapped variants cannot
+    * fork on the banding convention. */
+  private def ndBandsSql: String = {
+    val nPl = NdBands * NdPlanes
+    s"""e AS (SELECT vec_id,
+       |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${nPl - 1})) AS j),
+       |       (SELECT unnest(generate_series(1, 64)) AS i)),
+       |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
+       |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
+       |bands AS (SELECT vec_id, j // $NdPlanes AS band,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % $NdPlanes)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY vec_id, j // $NdPlanes)""".stripMargin
+  }
+
+  /** Exact-cosine verify CTEs over `pairs` (assumes `e` from
+    * [[ndBandsSql]]) — shared by q61/q138. */
+  private def ndVerifySql: String =
+    """norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+      |dots AS (SELECT p.a_id, p.b_id, sum(x.xq * y.xq) AS dot
+      |  FROM pairs p JOIN e x ON x.vec_id = p.a_id
+      |               JOIN e y ON y.vec_id = p.b_id AND y.i = x.i
+      |  GROUP BY p.a_id, p.b_id),
+      |cos AS (SELECT a_id, b_id,
+      |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+      |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)""".stripMargin
 
   /** `vec_id, embedding, nrm, bucket` — the LSH-bucketed vector index.
     * Dim guard (both sides): a short/long embedding would silently land in
@@ -589,57 +664,53 @@ object LlmQueries {
     // Contrast q54's fixed 8-plane single code, whose pair space stays
     // n²/256 at any n. The band join hash-partitions on (band, bucket);
     // the verify joins candidates (small) back to embeddings by id. ----
-    QuerySpec.sql("q61_neardup_banded", {
-      val nPl = NdBands * NdPlanes
-      s"""WITH e AS (SELECT vec_id,
-         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
-         |    unnest(generate_series(1, len(embedding))) AS i
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |pl AS (SELECT j, i, (${md5ModSql("'p' || j || '|' || (i - 1)")} % 2001) - 1000 AS w
-         |  FROM (SELECT unnest(generate_series(0, ${nPl - 1})) AS j),
-         |       (SELECT unnest(generate_series(1, 64)) AS i)),
-         |bits AS (SELECT e.vec_id, pl.j, sum(e.xq * pl.w) AS s
-         |         FROM e JOIN pl ON pl.i = e.i GROUP BY e.vec_id, pl.j),
-         |bands AS (SELECT vec_id, j // $NdPlanes AS band,
-         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (j % $NdPlanes)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM bits GROUP BY vec_id, j // $NdPlanes),
+    QuerySpec.sql("q61_neardup_banded",
+      s"""WITH $ndBandsSql,
          |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
-         |dots AS (SELECT p.a_id, p.b_id, sum(x.xq * y.xq) AS dot
-         |  FROM pairs p JOIN e x ON x.vec_id = p.a_id
-         |               JOIN e y ON y.vec_id = p.b_id AND y.i = x.i
-         |  GROUP BY p.a_id, p.b_id),
-         |cos AS (SELECT a_id, b_id,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
-         |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+         |$ndVerifySql
          |SELECT a_id, b_id, cosine FROM cos WHERE cosine >= 0.3
-         |ORDER BY a_id, b_id""".stripMargin
-    }) { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .filter(size($"embedding") === 64)
-        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
-      // one 16-plane codegen'd pass per band per row (R·B plane dots/row —
-      // linear in n; LshPlaneBits takes any R ≤ 63)
-      val bandStructs = (0 until NdBands).map { k =>
-        struct(lit(k).as("band"),
-          VectorOps.lshBucket($"embedding", BandPlanes(k)).as("bucket"))
-      }
-      val banded = base.select($"vec_id", explode(array(bandStructs: _*)).as("bb"))
-        .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val base = ndBase(s, d)
+      val banded = ndBanded(base)
       val pairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
-      pairs
-        .join(base.select($"vec_id".as("a_id"), $"embedding".as("a_emb"), $"nrm".as("a_nrm")), "a_id")
-        .join(base.select($"vec_id".as("b_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm")), "b_id")
-        .select($"a_id", $"b_id",
-          cosineQ(dotQ($"a_emb", $"b_emb"), $"a_nrm", $"b_nrm").as("cosine"))
-        .filter($"cosine" >= 0.3)
-        .orderBy($"a_id", $"b_id")
+      ndCosineVerify(pairs, base).orderBy($"a_id", $"b_id")
+    },
+
+    // ---- the BOUNDED variant of the band join — q61 with the
+    // bucket-population cap ([[Skew.boundedBucketPairs]]). The round-5
+    // shuffle probe measured the uncapped chain's exchange records
+    // growing with exponent 1.91 on the identical-replica fixture (every
+    // cross-replica pair a true duplicate — SCALING.md); the cap bounds
+    // the self-join's output at buckets × cap² no matter how degenerate
+    // the corpus, which is the production posture: an over-cap bucket is
+    // exact-dup material (q40's digest groupBy handles it linearly) or a
+    // degenerate signature, never something to enumerate pairwise. Cap
+    // is fixture-sized (8) so the gate composes both engines' cap
+    // semantics; production sizes it to the expected bucket population
+    // c = n/2^R. ----
+    QuerySpec.sql("q138_bounded_neardup",
+      s"""WITH $ndBandsSql,
+         |pops AS (SELECT band, bucket, count(*) AS pop FROM bands
+         |  GROUP BY band, bucket),
+         |kept AS (SELECT b.vec_id, b.band, b.bucket FROM bands b
+         |  JOIN pops p ON p.band = b.band AND p.bucket = b.bucket
+         |             AND p.pop <= $EmbBucketCap),
+         |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |$ndVerifySql
+         |SELECT a_id, b_id, cosine FROM cos WHERE cosine >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val base = ndBase(s, d)
+      val pairs = Skew.boundedBucketPairs(ndBanded(base),
+        Seq("band", "bucket"), "vec_id", EmbBucketCap)
+      ndCosineVerify(pairs, base).orderBy($"a_id", $"b_id")
     },
 
     // ---- IVF-style ANN (coarse quantizer + cell probing): centroids are
@@ -2512,6 +2583,30 @@ object LlmQueries {
         .join(recallAgainst(trained, exact, "hits_trained", "recall_trained"),
           Seq("q_id"))
         .orderBy($"q_id")
+    },
+
+    // ---- skew-bounded LSH banding over the TEXT chain — q44's
+    // candidate generation through [[Skew.boundedBucketPairs]]: buckets
+    // whose population exceeds the cap are dropped WHOLE before the
+    // self-join, bounding output at buckets × cap² (the guard against
+    // boilerplate/empty-signature buckets going quadratic — see q138
+    // and SCALING.md's measured exponent for the unbounded case). Cap 2
+    // is fixture-sized so BOTH branches gate at sf0.01 (population-3
+    // buckets exist and are dropped; population-2 pairs survive). ----
+    QuerySpec.sql("q137_bounded_banding",
+      s"""WITH $pairsSql,
+         |pops AS (SELECT band, bkey, count(*) AS pop FROM bands
+         |  GROUP BY band, bkey),
+         |kept AS (SELECT b.doc_id, b.band, b.bkey FROM bands b
+         |  JOIN pops p ON p.band = b.band AND p.bkey = b.bkey
+         |             AND p.pop <= $TextBucketCap),
+         |bpairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id FROM bpairs ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      Skew.boundedBucketPairs(bandKeys(minhashSig(Tables.documents(s, d))),
+          Seq("band", "bkey"), "doc_id", TextBucketCap)
+        .orderBy($"a_id", $"b_id")
     }
   )
 

@@ -91,4 +91,36 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Candidate pairs from hash buckets with a POPULATION CAP — the
+    * LSH-specific skew guard. A bucket self-join emits Σ pop² pairs
+    * over buckets, so ONE degenerate bucket (boilerplate text,
+    * bit-identical corpus shards, empty-signature documents) turns a
+    * pair-bounded near-dup scan quadratic: the round-5 shuffle probe
+    * measured exactly this on the identical-replica embedding fixture —
+    * records-growth exponent 1.91 for the uncapped chain (SCALING.md).
+    * Buckets over `cap` are dropped WHOLE: at corpus scale an over-cap
+    * bucket is either exact-duplicate material (the digest groupBy,
+    * q40, handles it in linear time) or a degenerate signature with no
+    * pairwise value — enumerating its pairs is the one thing a 100 TB
+    * run must never do. Output is bounded by buckets × cap² pairs —
+    * linear in the corpus for fixed cap.
+    *
+    * Plan shape: one windowed count over hashpartitioning(`keys`) and
+    * the self-join reuses that partitioning — one effective exchange of
+    * the bucket table, no second shuffle. `buckets`: one row per
+    * (member `idCol`, bucket `keys...`). */
+  def boundedBucketPairs(buckets: DataFrame, keys: Seq[String], idCol: String,
+                         cap: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val kept = buckets
+      .withColumn("_pop", count(lit(1)).over(w))
+      .filter(col("_pop") <= cap)
+      .drop("_pop")
+    kept.as("a").join(kept.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
 }
