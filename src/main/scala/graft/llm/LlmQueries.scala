@@ -2511,10 +2511,12 @@ object LlmQueries {
     // ground truth exhaustive over the corpus. The fixture's recall is
     // deliberately LOW (0–1/3 per query): 8 untrained codewords per
     // subspace quantize coarsely, and THAT gap vs q87's exact-re-rank
-    // recall is precisely what this gate exposes — the production fix
-    // is a per-subspace Lloyd-trained codebook (q119's loop) and ADC
-    // re-rank of a wider candidate list, both of which move THIS
-    // number, which is why it must be measured, not assumed. ----
+    // recall is precisely what this gate exposes. The production fix —
+    // per-subspace Lloyd-trained codebooks + exact re-rank of a wider
+    // ADC shortlist — is BUILT and gated as q134_ivfpq_trained, whose
+    // output measures both recalls side by side (trained strictly
+    // higher on both fixtures). This gate stays as the untrained
+    // baseline the improvement is measured against. ----
     QuerySpec.sql("q130_ivfpq_recall",
       s"""WITH $annBaseSql,
          |$ivfPqSqlChain,
