@@ -1307,23 +1307,11 @@ object AspSemantics {
          |FROM cart WHERE rn > 0
          |ORDER BY user_id, ts_us, event_id""".stripMargin
     }) { (s, d) =>
-      implicit val inEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartOpQ] =
-        org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartOpQ]
       implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartTotalQ] =
         org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartTotalQ]
-      val isAdd = $"event_type" =!= "purchase"
-      val ev = Tables.events(s, d)
-        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
-          concat(lit("i"), ($"event_id" % 5).cast("string")).as("name"),
-          ($"value" * 1000).cast("long").as("cost"),
-          when(isAdd, ($"event_id" % 2 + 1)).otherwise(lit(1L))
-            .cast("int").as("qty"),
-          isAdd.as("add"))
-      // 8-byte driver scalar — the reference's simulation-start anchor
-      val expiry = ev.agg(min($"ts_us")).head.getLong(0) + 7L * 86400000000L
-      graft.streaming.Replay.run(
-          ev.as[graft.streaming.Machines.CartOpQ],
-          "user_id", "ts_us", "event_id")(_.user_id, _.ts_us)(
+      val (ev, expiry) = cartOps(s, d)
+      graft.streaming.Replay.run(ev, "user_id", "ts_us", "event_id")(
+          _.user_id, _.ts_us)(
           uid => new graft.streaming.Machines.CartMachineQ(uid, expiry))
         .toDF()
         .orderBy($"user_id", $"ts_us", $"event_id")
@@ -1377,4 +1365,26 @@ object AspSemantics {
         .orderBy($"session_id", $"ts_us", $"kind", $"order_id")
     }
   )
+
+  /** The q135 cart-op derivation (fixture events → integer-domain cart
+    * updates) + the discount-expiry scalar — ONE definition shared by
+    * the gate and the streaming parity spec, so the mapping cannot fork
+    * between the oracle-gated batch path and the live path. */
+  private[graft] def cartOps(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.Dataset[graft.streaming.Machines.CartOpQ], Long) = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartOpQ] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartOpQ]
+    val isAdd = $"event_type" =!= "purchase"
+    val ev = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        concat(lit("i"), ($"event_id" % 5).cast("string")).as("name"),
+        ($"value" * 1000).cast("long").as("cost"),
+        when(isAdd, ($"event_id" % 2 + 1)).otherwise(lit(1L))
+          .cast("int").as("qty"),
+        isAdd.as("add"))
+      .as[graft.streaming.Machines.CartOpQ]
+    // 8-byte driver scalar — the reference's simulation-start anchor
+    val expiry = ev.agg(min($"ts_us")).head.getLong(0) + 7L * 86400000000L
+    (ev, expiry)
+  }
 }

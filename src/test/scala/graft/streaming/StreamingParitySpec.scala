@@ -134,6 +134,48 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("q135 integer cart machine: live ≡ batch replay on fixture ops, expiry timer mid-stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.Machines.{CartOpQ, CartTotalQ}
+
+    // the gate's own op derivation (ONE definition — AspSemantics.cartOps),
+    // restricted to 3 users so the MemoryStream feed stays small
+    val (evAll, expiry) = graft.queries.AspSemantics.cartOps(sp, "/root/testdata/sf0.001")
+    val ops = evAll.filter(col("user_id") < 3).collect().toSeq
+      .sortBy(o => (o.ts_us, o.event_id))
+    assert(ops.exists(_.ts_us < expiry) && ops.exists(_.ts_us >= expiry),
+      "fixture subset must straddle the discount expiry")
+
+    val batchOut = Replay.run(sp.createDataset(ops), "user_id", "ts_us", "event_id")(
+        _.user_id, _.ts_us)(uid => new Machines.CartMachineQ(uid, expiry))
+      .collect().toSeq.sortBy(t => (t.user_id, t.ts_us, t.event_id))
+
+    val mem = MemoryStream[CartOpQ]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[CartOpQ]
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(
+      uid => new Machines.CartMachineQ(uid, expiry))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("cartq_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // feed in two micro-batches split AT the expiry so the discount
+      // timer fires between them (the inline/registered timer rule)
+      val (before, after) = ops.partition(_.ts_us < expiry)
+      mem.addData(before)
+      q.processAllAvailable()
+      mem.addData(after)
+      q.processAllAvailable()
+      val streamOut = sp.sql("SELECT * FROM cartq_stream").as[CartTotalQ]
+        .collect().toSeq.sortBy(t => (t.user_id, t.ts_us, t.event_id))
+      assert(streamOut == batchOut)
+    } finally q.stop()
+  }
+
   test("W12 dynamic demux: a key first seen mid-stream spawns its machine on the fly") {
     val sp = spark
     import sp.implicits._
