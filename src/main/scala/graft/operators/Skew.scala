@@ -106,10 +106,15 @@ object Skew {
     * run must never do. Output is bounded by buckets × cap² pairs —
     * linear in the corpus for fixed cap.
     *
-    * Plan shape: one windowed count over hashpartitioning(`keys`) and
-    * the self-join reuses that partitioning — one effective exchange of
-    * the bucket table, no second shuffle. `buckets`: one row per
-    * (member `idCol`, bucket `keys...`). */
+    * Plan shape: one windowed count over hashpartitioning(`keys`), then
+    * the capped table is MATERIALIZED once (localCheckpoint — the
+    * diamond-reuse discipline, q68/q91: a self-join's two branches are
+    * separate subtrees to Catalyst, so without the materialization the
+    * whole upstream signature pipeline computes and shuffles TWICE;
+    * verified against the executed plan, exchange reuse does not rescue
+    * it). At 100 TB the materialization is the signatures table written
+    * to storage. `buckets`: one row per (member `idCol`,
+    * bucket `keys...`). */
   def boundedBucketPairs(buckets: DataFrame, keys: Seq[String], idCol: String,
                          cap: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
@@ -117,6 +122,7 @@ object Skew {
       .withColumn("_pop", count(lit(1)).over(w))
       .filter(col("_pop") <= cap)
       .drop("_pop")
+      .localCheckpoint()
     kept.as("a").join(kept.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
