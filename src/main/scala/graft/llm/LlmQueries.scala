@@ -204,7 +204,12 @@ object LlmQueries {
     * that, so the shingle+md5 pipeline doesn't re-run per self-join
     * branch. */
   private def lshPairsFromSig(sig: DataFrame): DataFrame = {
-    val bands = bandKeys(sig)
+    // materialize before the self-join: the two branches are separate
+    // subtrees to Catalyst (exchange reuse does not apply across the
+    // alias split — verified on the executed plan), so without this the
+    // whole shingle→md5→16-min signature pipeline computes TWICE. At
+    // 100 TB this is the signatures table written to storage.
+    val bands = bandKeys(sig).localCheckpoint()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -641,7 +646,7 @@ object LlmQueries {
          |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
          |SELECT a_id, b_id, bucket, cosine FROM cos WHERE cosine >= 0.35
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val b = bucketedEmb(s, d)
+      val b = bucketedEmb(s, d).localCheckpoint() // self-join: one compute
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -673,7 +678,10 @@ object LlmQueries {
          |SELECT a_id, b_id, cosine FROM cos WHERE cosine >= 0.3
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val base = ndBase(s, d)
-      val banded = ndBanded(base)
+      // materialized for the same self-join double-compute reason as
+      // lshPairsFromSig (q138's capped variant checkpoints after the
+      // population window instead)
+      val banded = ndBanded(base).localCheckpoint()
       val pairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
