@@ -506,7 +506,9 @@ object LlmQueries {
          |JOIN counts cb ON cb.doc_id = b_id
          |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.01
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val grams = shingles(Tables.documents(s, d)).filter($"doc_id" < 100).distinct()
+      val grams = shingles(Tables.documents(s, d)).filter($"doc_id" < 100)
+        .distinct()
+        .localCheckpoint() // feeds counts + BOTH self-join branches: one compute
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1181,6 +1183,7 @@ object LlmQueries {
          |SELECT b_id AS doc_id, min(a_id) AS dup_of
          |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val bands = bandKeys(rowSignature(Tables.documents(s, d)))
+        .localCheckpoint() // self-join: one signature compute
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
