@@ -121,7 +121,11 @@ object Bench {
           }.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      try { val secs = math.min(onePass(), onePass()); n / secs }
+      // min of FOUR passes: at sf0.1 one pass is ~0.2-0.5 s, so two
+      // passes still let a single scheduler hiccup set the round's
+      // headline number (observed 503k vs 356k ev/s on back-to-back
+      // otherwise-idle runs); four passes cost <2 s and pin the min
+      try { val secs = (1 to 4).map(_ => onePass()).min; n / secs }
       catch { case e: Throwable =>
         System.err.println(s"[bench] replay microbench failed: ${e.getMessage}"); -1.0
       }
