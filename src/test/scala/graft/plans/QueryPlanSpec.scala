@@ -207,6 +207,23 @@ class QueryPlanSpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("LSH self-joins read the materialized band table, not the pipeline twice") {
+    // a self-join's two branches are separate subtrees to Catalyst
+    // (exchange reuse does not apply across the alias split), so
+    // without materialization the signature pipeline computes and scans
+    // TWICE. The localCheckpoint makes the final plan read ExistingRDD:
+    // parquet scans remaining in the plan = pipelines still recomputed.
+    for ((q, maxScans) <- Seq(
+        "q44_lsh_pairs" -> 0,          // both branches from the checkpoint
+        "q137_bounded_banding" -> 0,   // capped variant likewise
+        "q61_neardup_banded" -> 2)) {  // 2 = the verify joins back to base
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans <= maxScans,
+        s"$q recomputes its pipeline: $scans parquet scans (max $maxScans):\n$p")
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
     // The dominant scan saver for star joins at 100 TB: the fact is laid
     // out partitionBy(dim key); a filter that only exists on the DIM side
