@@ -2701,7 +2701,7 @@ object LlmQueries {
     * builder so the index, its recall gate, and the trained variant
     * cannot desynchronize on the conventions (seed set, tie rules,
     * quantization). */
-  private final case class IvfPqCtx(
+  private[llm] final case class IvfPqCtx(
       emb: DataFrame,
       base: DataFrame,
       probes: DataFrame,
@@ -2709,7 +2709,7 @@ object LlmQueries {
       centComps: IndexedSeq[IndexedSeq[Long]],
       cwSeed: IndexedSeq[IndexedSeq[Long]])
 
-  private def ivfPqCtx(s: SparkSession, d: String): IvfPqCtx = {
+  private[llm] def ivfPqCtx(s: SparkSession, d: String): IvfPqCtx = {
     val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
       .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
     val base = emb.select($"vec_id",
@@ -2757,7 +2757,7 @@ object LlmQueries {
     * [[IvfPq]] — ONE definition shared with the online serving path
     * (StreamingIvfPqSpec); encode and ADC are shuffle-free projections
     * over broadcast driver-sized component tables. */
-  private def ivfPqAdcPairs(ctx: IvfPqCtx, cw: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+  private[llm] def ivfPqAdcPairs(ctx: IvfPqCtx, cw: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
     val coded = ctx.resid.select($"vec_id" +: $"cell" +:
       (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
     val qd = ctx.probes.join(ctx.base.select($"vec_id".as("q_id"), $"xq"), "q_id")
@@ -2829,7 +2829,7 @@ object LlmQueries {
     * definition; the heavy side stays a shuffle-free projection plus
     * one k·dims-bounded partial aggregation, exactly the
     * [[KMeans.train]] scale shape. */
-  private def trainPqCodebook(resid: DataFrame,
+  private[llm] def trainPqCodebook(resid: DataFrame,
       seed: IndexedSeq[IndexedSeq[Long]], rounds: Int): IndexedSeq[IndexedSeq[Long]] = {
     var cw = seed
     for (_ <- 1 to rounds) {
