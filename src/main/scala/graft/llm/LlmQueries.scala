@@ -207,8 +207,14 @@ object LlmQueries {
     // materialize before the self-join: the two branches are separate
     // subtrees to Catalyst (exchange reuse does not apply across the
     // alias split — verified on the executed plan), so without this the
-    // whole shingle→md5→16-min signature pipeline computes TWICE. At
-    // 100 TB this is the signatures table written to storage.
+    // whole shingle→md5→16-min signature pipeline computes TWICE.
+    // localCheckpoint is the LOCAL-mode stand-in only: it is eager
+    // (constructing the frame launches the upstream jobs) and
+    // non-fault-tolerant (lineage truncated — executor loss is
+    // unrecoverable). The production substitute at 100 TB is a RELIABLE
+    // materialization: the signatures/bands table written to storage
+    // (parquet or df.checkpoint on a reliable dir), then banded from
+    // that.
     val bands = bandKeys(sig).localCheckpoint()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -2549,7 +2555,8 @@ object LlmQueries {
     // for, gated end-to-end: per-subspace Lloyd-trained codebooks
     // (the q119 loop applied to the RESIDUAL subvectors — centered
     // data is what PQ training exists for) + ADC scan of the SAME
-    // probed-cell candidate set into a top-8 shortlist + EXACT re-rank
+    // probed-cell candidate set into a PqRefineWidth-wide (48 = 16×k)
+    // shortlist + EXACT re-rank
     // of the shortlist (the asymmetric-distance discipline: the
     // compressed code picks candidates, the true vectors pick
     // winners). Output carries BOTH recalls — the untrained q130
@@ -2861,7 +2868,8 @@ object LlmQueries {
     * subvectors keyed by (subspace s, dim j) → `rounds` unrolled Lloyd
     * rounds (encode with the current codebook, truncated-mean update,
     * carry-over for empty codewords) → trained codes + ADC over the
-    * SAME candidate set as q129 → top-8 shortlist → EXACT re-rank →
+    * SAME candidate set as q129 → PqRefineWidth-wide (48) shortlist →
+    * EXACT re-rank →
     * `ttop` (q_id, c_id). Mirrors [[trainPqCodebook]] +
     * [[ivfPqAdcPairs]] step for step. */
   private def pqTrainedSqlChain(rounds: Int): String = {

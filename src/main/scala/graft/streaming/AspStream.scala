@@ -24,11 +24,15 @@ import scala.collection.mutable
   *     time (`handleExpiredTimer`). A timer already fired inline is a
   *     no-op on expiry.
   *
-  * Divergences from the reference (documented): due times are floored to
-  * ms for the store (the µs remainder only matters for timer-vs-event
-  * ordering within one ms); a live stream never "ends", so the
-  * end-of-replay timer drain has no live analogue — quiescent keys drain
-  * via the watermark path instead.
+  * Divergences from the reference (documented): pending dues are
+  * persisted at FULL µs precision (so timer-vs-event ordering within a
+  * millisecond survives micro-batch boundaries — an event with ts in
+  * [floor-ms(due), due) delivered in a later batch still precedes the
+  * timer, exactly as in replay); only the STORE timer registration is
+  * ms-granular (Spark's API), rounded UP so the watermark push path can
+  * never fire early. A live stream never "ends", so the end-of-replay
+  * timer drain has no live analogue — quiescent keys drain via the
+  * watermark path instead.
   *
   * Cross-batch disorder: event-time order is restored *within* each
   * micro-batch, but a row arriving in a later batch with an earlier
@@ -72,8 +76,17 @@ object AspStream {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       blob = getHandle.getValueState[Array[Byte]]("aspMachine", Encoders.BINARY, TTLConfig.NONE)
 
-    /** Pending timers as persisted: due-ms → tags (FIFO within a due). */
+    /** Pending timers as persisted: due-µs → tags (FIFO within a due).
+      * Full µs precision — the store timer is registered at ceil-ms
+      * separately (see [[storeMs]]). */
     private type Pending = Vector[(Long, String)]
+
+    /** Store-timer registration granularity: round the µs due UP to ms
+      * so the watermark push path fires at-or-after the true due, never
+      * before it (an early store fire would flip timer-gated state —
+      * e.g. CartMachineQ's discount — ahead of events in
+      * [floor-ms(due), due) that land in a later micro-batch). */
+    private def storeMs(dueUs: Long): Long = Math.floorDiv(dueUs + 999, 1000)
 
     /** Load machine + seed the ctx schedule from persisted pending timers
       * (insertion order preserved → FIFO tie-breaks survive restarts).
@@ -82,20 +95,26 @@ object AspStream {
     private def load(key: K, t0: Long): (KeyedStateMachine[K, I, O], Set[Long], ReplayCtx[O], Long) = {
       val ctx = new ReplayCtx[O](t0)
       if (blob.exists()) {
-        // blob layout is versioned by tuple arity: a pre-clock-floor
-        // checkpoint holds (machine, pending); current holds
-        // (machine, pending, lastEventUs). Legacy blobs restore with an
-        // open clock floor instead of throwing ClassCastException.
+        // blob layout is versioned by tuple arity: (machine, pending)
+        // is the oldest (no clock floor, ms dues); (machine, pending,
+        // lastEventUs) is the pre-µs layout (ms dues); current is
+        // (machine, pending, lastEventUs, versionTag) with µs dues.
+        // Legacy blobs restore (scaled to µs) instead of throwing.
         val (m, p, lastUs) = deser(blob.get()) match {
-          case (m, p, last) =>
+          case (m, p, last, _) =>
             (m.asInstanceOf[KeyedStateMachine[K, I, O]],
               p.asInstanceOf[Pending], last.asInstanceOf[Long])
+          case (m, p, last) =>
+            (m.asInstanceOf[KeyedStateMachine[K, I, O]],
+              p.asInstanceOf[Pending].map { case (ms, tag) => (ms * 1000, tag) },
+              last.asInstanceOf[Long])
           case (m, p) =>
             (m.asInstanceOf[KeyedStateMachine[K, I, O]],
-              p.asInstanceOf[Pending], Long.MinValue)
+              p.asInstanceOf[Pending].map { case (ms, tag) => (ms * 1000, tag) },
+              Long.MinValue)
         }
-        p.foreach { case (dueMs, tag) => ctx.callAt(dueMs * 1000, tag) }
-        (m, p.map(_._1).toSet, ctx, lastUs)
+        p.foreach { case (dueUs, tag) => ctx.callAt(dueUs, tag) }
+        (m, p.map(x => storeMs(x._1)).toSet, ctx, lastUs)
       } else {
         val m = factory(key)
         m.onStart(key, ctx)
@@ -104,27 +123,33 @@ object AspStream {
     }
 
     /** Persist machine + remaining schedule + clock floor; sync store
-      * timers (register new dues, delete consumed ones). */
+      * timers (register new ceil-ms dues, delete consumed ones). */
     private def flush(m: KeyedStateMachine[K, I, O], registered: Set[Long],
                       ctx: ReplayCtx[O], lastEventUs: Long): Unit = {
       val pending = mutable.ArrayBuffer.empty[(Long, String)]
       while (ctx.timers.nonEmpty) {
         val (dueUs, _, tag) = ctx.timers.dequeue() // (due, fifo) order
-        pending += ((dueUs / 1000, tag))
+        pending += ((dueUs, tag))
       }
       val p: Pending = pending.toVector
-      val dues = p.map(_._1).toSet
+      val dues = p.map(x => storeMs(x._1)).toSet
       (dues diff registered).foreach(getHandle.registerTimer)
       (registered diff dues).foreach(getHandle.deleteTimer)
-      blob.update(ser((m, p, lastEventUs)))
+      blob.update(ser((m, p, lastEventUs, 1L)))
     }
 
-    private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Unit =
+    /** Fire every pending timer with due ≤ `upTo`; returns the last
+      * fired due (Long.MinValue if none fired). */
+    private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Long = {
+      var lastFired = Long.MinValue
       while (ctx.timers.nonEmpty && ctx.timers.head._1 <= upTo) {
         val (due, _, tag) = ctx.timers.dequeue()
         ctx.nowMicros = due
         m.onTimer(due, tag, ctx)
+        lastFired = due
       }
+      lastFired
+    }
 
     override def handleInputRows(key: K, rows: Iterator[I], timerValues: TimerValues): Iterator[O] = {
       // micro-batch rows are not globally ordered: restore event-time
@@ -152,10 +177,15 @@ object AspStream {
 
     override def handleExpiredTimer(key: K, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
-      val dueUs = expiredTimerInfo.getExpiryTimeInMs * 1000
-      val (m, registered, ctx, lastUs) = load(key, dueUs)
-      fireDue(m, ctx, upTo = dueUs) // no-op if already consumed inline
-      flush(m, registered, ctx, lastEventUs = math.max(lastUs, dueUs))
+      // Store timers are registered at ceil-ms, so this expiry covers
+      // every pending µs due ≤ expiryMs·1000 — fire those; no-op if
+      // already consumed inline. The clock floor advances only to the
+      // last FIRED due (not the ms boundary), so an event inside the
+      // (due, ceil-ms) remainder keeps its own timestamp.
+      val upToUs = expiredTimerInfo.getExpiryTimeInMs * 1000
+      val (m, registered, ctx, lastUs) = load(key, upToUs)
+      val lastFired = fireDue(m, ctx, upTo = upToUs)
+      flush(m, registered, ctx, lastEventUs = math.max(lastUs, lastFired))
       ctx.drain().iterator
     }
   }

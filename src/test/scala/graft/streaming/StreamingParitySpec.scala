@@ -176,6 +176,47 @@ class StreamingParitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sub-ms timer precision: event in [floor-ms(due), due) in a LATER batch stays before the timer") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.Machines.{CartOpQ, CartTotalQ}
+
+    // expiry NOT ms-aligned: a ms-floored persisted due (the pre-r6 blob
+    // layout) would restore as expiry−500 µs and fire BEFORE the
+    // expiry−300 µs event below, turning the discount off early — the
+    // exact window ADVICE r5 flagged. µs-precision dues keep replay ≡ live.
+    val expiry = T0 + 60L * 1000000L + 500L
+    val ops = Seq(
+      CartOpQ(7L, s(10), 1L, "A", 1000L, 1, add = true),     // batch 1: registers the timer
+      CartOpQ(7L, expiry - 300L, 2L, "B", 1000L, 1, add = true), // batch 2: still discounted
+      CartOpQ(7L, expiry + 700L, 3L, "C", 1000L, 1, add = true)) // batch 2: undiscounted
+
+    val batchOut = Replay.run(sp.createDataset(ops), "user_id", "ts_us", "event_id")(
+        _.user_id, _.ts_us)(uid => new Machines.CartMachineQ(uid, expiry))
+      .collect().toSeq.sortBy(_.event_id)
+    // ground truth: A and B at 900 milli-cost each, C at full 1000
+    assert(batchOut.map(_.total_milli) == Seq(900L, 1800L, 2800L))
+
+    val mem = MemoryStream[CartOpQ]
+    val withWm = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[CartOpQ]
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(
+      uid => new Machines.CartMachineQ(uid, expiry))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = out.writeStream.format("memory").queryName("subms_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData(ops(0)); q.processAllAvailable()
+      mem.addData(ops(1), ops(2)); q.processAllAvailable()
+      val streamOut = sp.sql("SELECT * FROM subms_stream").as[CartTotalQ]
+        .collect().toSeq.sortBy(_.event_id)
+      assert(streamOut == batchOut)
+    } finally q.stop()
+  }
+
   test("W12 dynamic demux: a key first seen mid-stream spawns its machine on the fly") {
     val sp = spark
     import sp.implicits._
