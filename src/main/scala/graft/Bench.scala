@@ -130,6 +130,24 @@ object Bench {
         System.err.println(s"[bench] replay microbench failed: ${e.getMessage}"); -1.0
       }
     }
+    // LIVE streaming path (VERDICT r5 #1): the same machines under
+    // Structured Streaming — GraftFeed → transformWithState (RocksDB) →
+    // AvailableNow drain — with batch-replay parity asserted in-bench.
+    // A failure reports -1, never a silent omission.
+    val streamRes =
+      try Some(StreamBench.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
+        None
+      }
+    val streamFields = streamRes match {
+      case Some(r) =>
+        s""""streaming_events_per_sec":${r.eventsPerSec},""" +
+        s""""streaming_batch_ms":{"avg":${r.batchAvgMs},"max":${r.batchMaxMs},"n":${r.batches}},""" +
+        s""""streaming_parity":${r.parity}"""
+      case None =>
+        """"streaming_events_per_sec":-1,"streaming_batch_ms":{"avg":-1,"max":-1,"n":0},"streaming_parity":false"""
+    }
     // The driver captures only the tail of stdout, so the FINAL line must
     // be compact (<~1,500 chars): totals + the slowest-10 map. The full
     // 123-query map goes to target/bench_full.json for humans/judges.
@@ -142,13 +160,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""warmup_sec":$warmup,"isolated":$isolated,""" +
-      s""""replay_events_per_sec":${replayPerSec.round},"sf":"$sfDir"}"""
+      s""""replay_events_per_sec":${replayPerSec.round},$streamFields,"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,""" +
       s""""n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""warmup_sec":${fmt(warmup)},"isolated":$isolated,""" +
-      s""""replay_events_per_sec":${replayPerSec.round},""" +
+      s""""replay_events_per_sec":${replayPerSec.round},$streamFields,""" +
       s""""full_json":"target/bench_full.json","sf":"$sfDir"}"""
     // a failed side-file write must not lose the measured compact line
     // (same discipline as the isolated re-measure above)

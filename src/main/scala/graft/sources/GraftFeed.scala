@@ -214,9 +214,16 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
   /** Admission control (the Kafka `maxOffsetsPerTrigger` model): a huge
     * backlog on the live path is consumed in bounded micro-batches
     * instead of one batch sized by the outage — bounded executor memory,
-    * steady checkpoint cadence. The cap is spread greedily in shard
-    * order (deterministic; per-batch fairness matters less than the
-    * bound — every shard drains within finitely many batches). */
+    * steady checkpoint cadence. The cap is spread PROPORTIONALLY to each
+    * shard's lag (Kafka's rate-limit split): a greedy in-shard-order
+    * spread would drain one shard arbitrarily far ahead of the others,
+    * so a watermarked downstream (every stateful op) sees the lead
+    * shard's event time race ahead and the trailing shards' rows arrive
+    * late-by-construction. Proportional spread keeps per-shard lag — and
+    * therefore cross-shard event-time skew — balanced while backfilling.
+    * Floor shares first, remainder distributed in shard order:
+    * deterministic, Σ = cap, every shard drains within finitely many
+    * batches. */
   override def getDefaultReadLimit: ReadLimit =
     if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxPerTrigger)
@@ -231,12 +238,23 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftFeedOffset].counts.toMap
-    var remaining = maxRowsOf(limit)
-    offset(shards.map { n =>
-      val take = math.max(0L, math.min(available(n) - from(n), remaining))
-      remaining -= take
-      from(n) + take
-    })
+    val cap = maxRowsOf(limit)
+    val lags = shards.map(n => n -> math.max(0L, available(n) - from(n)))
+    val totalLag = lags.map(_._2).sum
+    val take: Map[String, Long] =
+      if (totalLag <= cap) lags.toMap
+      else {
+        // BigInt: cap·lag would overflow Long for large backlogs
+        val base = mutable.LinkedHashMap(lags.map { case (n, l) =>
+          n -> (BigInt(cap) * l / totalLag).toLong }: _*)
+        var left = cap - base.values.sum // < #shards, from the floors
+        lags.foreach { case (n, l) =>
+          val add = math.min(left, l - base(n))
+          if (add > 0) { base(n) += add; left -= add }
+        }
+        base.toMap
+      }
+    offset(shards.map(n => from(n) + take(n)))
   }
 
   /** True head of each feed, uncapped — backlog metrics in progress

@@ -198,8 +198,11 @@ class GraftFeedSpec extends AnyFunSuite {
         retention = Long.MaxValue, maxPerTrigger = 4)
       def next(o: org.apache.spark.sql.connector.read.streaming.Offset) =
         s.latestOffset(o, s.getDefaultReadLimit).asInstanceOf[GraftFeedOffset]
+      // proportional to lag (the Kafka split): lags (5,4), cap 4 →
+      // floors (⌊20/9⌋,⌊16/9⌋) = (2,1), remainder 1 → first shard
       val o1 = next(s.initialOffset())
-      assert(o1.counts == Seq(a -> 4L, b -> 0L)) // greedy in shard order
+      assert(o1.counts == Seq(a -> 3L, b -> 1L))
+      // lags now (2,3) → floors (⌊8/5⌋,⌊12/5⌋) = (1,2), remainder 1 → a
       val o2 = next(o1)
       assert(o2.counts == Seq(a -> 5L, b -> 3L))
       val o3 = next(o2)
