@@ -2627,6 +2627,93 @@ object LlmQueries {
       Skew.boundedBucketPairs(bandKeys(minhashSig(Tables.documents(s, d))),
           Seq("band", "bkey"), "doc_id", TextBucketCap)
         .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- recall-measured STAR-mode banding cap (VERDICT r5 #2):
+    // q137's drop-whole cap loses EVERY pair of a hot bucket whose
+    // members are non-identical near-dups. [[Skew.boundedBucketPairsStar]]
+    // keeps O(pop) representative star edges instead, preserving
+    // connected components EXACTLY while staying pair-bounded. This gate
+    // measures — in one hash-compared row — both pair recalls in basis
+    // points (capped/drop vs star, against the unbounded enumeration,
+    // integer floor-division so both engines agree bit-exactly) AND
+    // component equality (full-outer label compare + component counts),
+    // on the real fixture whose population-3 buckets at the cap-2 knob
+    // are exactly the non-identical-near-dup shape the drop mode is
+    // blind to. At 100 TB the three pair sets share one materialized
+    // bucket table; components come from the q64 star-alternation. ----
+    QuerySpec.sql("q139_star_banding",
+      s"""WITH RECURSIVE $pairsSql,
+         |pops AS (SELECT band, bkey, count(*) AS pop FROM bands
+         |  GROUP BY band, bkey),
+         |kept AS (SELECT b.doc_id, b.band, b.bkey FROM bands b
+         |  JOIN pops p ON p.band = b.band AND p.bkey = b.bkey
+         |             AND p.pop <= $TextBucketCap),
+         |bpairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |overb AS (SELECT b.doc_id, b.band, b.bkey FROM bands b
+         |  JOIN pops p ON p.band = b.band AND p.bkey = b.bkey
+         |             AND p.pop > $TextBucketCap),
+         |reps AS (SELECT band, bkey, min(doc_id) AS rep FROM overb
+         |  GROUP BY band, bkey),
+         |stars AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT r.rep AS a_id, o.doc_id AS b_id FROM overb o
+         |    JOIN reps r ON r.band = o.band AND r.bkey = o.bkey
+         |  WHERE o.doc_id <> r.rep
+         |  UNION SELECT a_id, b_id FROM bpairs)),
+         |tedges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |           UNION SELECT b_id, a_id FROM pairs),
+         |sedges AS (SELECT a_id AS u, b_id AS v FROM stars
+         |           UNION SELECT b_id, a_id FROM stars),
+         |treach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM tedges)
+         |  UNION
+         |  SELECT treach.id, e.v FROM treach JOIN tedges e ON e.u = treach.r),
+         |tlabels AS (SELECT id, min(r) AS c FROM treach GROUP BY id),
+         |sreach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM sedges)
+         |  UNION
+         |  SELECT sreach.id, e.v FROM sreach JOIN sedges e ON e.u = sreach.r),
+         |slabels AS (SELECT id, min(r) AS c FROM sreach GROUP BY id),
+         |cmp AS (SELECT count(*) AS n_nodes,
+         |    count(*) FILTER (WHERE t.c IS DISTINCT FROM s.c) AS n_label_mismatch,
+         |    count(DISTINCT t.c) AS n_comp_true,
+         |    count(DISTINCT s.c) AS n_comp_star
+         |  FROM tlabels t FULL JOIN slabels s ON s.id = t.id),
+         |m AS (SELECT
+         |    (SELECT count(*) FROM pairs) AS n_true_pairs,
+         |    (SELECT count(*) FROM bpairs) AS n_capped_pairs,
+         |    (SELECT count(*) FROM stars) AS n_star_pairs)
+         |SELECT m.n_true_pairs, m.n_capped_pairs, m.n_star_pairs,
+         |  m.n_capped_pairs * 10000 // m.n_true_pairs AS recall_capped_bp,
+         |  m.n_star_pairs * 10000 // m.n_true_pairs AS recall_star_bp,
+         |  cmp.n_nodes, cmp.n_label_mismatch, cmp.n_comp_true, cmp.n_comp_star
+         |FROM m, cmp""".stripMargin) { (s, d) =>
+      val bands = bandKeys(minhashSig(Tables.documents(s, d))).localCheckpoint()
+      val truePairs = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+        .distinct().localCheckpoint()
+      val capped = Skew.boundedBucketPairs(bands, Seq("band", "bkey"), "doc_id",
+        TextBucketCap)
+      val star = Skew.boundedBucketPairsStar(bands, Seq("band", "bkey"), "doc_id",
+        TextBucketCap).localCheckpoint()
+      val compTrue = graft.operators.ConnectedComponents.run(truePairs, "a_id", "b_id")
+      val compStar = graft.operators.ConnectedComponents.run(star, "a_id", "b_id")
+      val cmp = compTrue.select($"node", $"component".as("c_t"))
+        .join(compStar.select($"node", $"component".as("c_s")), Seq("node"), "full_outer")
+        .agg(count(lit(1)).as("n_nodes"),
+          count(when(!($"c_t" <=> $"c_s"), lit(1))).as("n_label_mismatch"),
+          countDistinct($"c_t").as("n_comp_true"),
+          countDistinct($"c_s").as("n_comp_star"))
+      truePairs.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped_pairs")))
+        .crossJoin(star.agg(count(lit(1)).as("n_star_pairs")))
+        .withColumn("recall_capped_bp", expr("n_capped_pairs * 10000L div n_true_pairs"))
+        .withColumn("recall_star_bp", expr("n_star_pairs * 10000L div n_true_pairs"))
+        .crossJoin(cmp)
     }
   )
 

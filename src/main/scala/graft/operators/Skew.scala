@@ -129,4 +129,42 @@ object Skew {
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
   }
+
+  /** Recall-preserving variant of [[boundedBucketPairs]]: over-cap
+    * buckets, instead of being dropped whole, contribute O(pop) STAR
+    * edges from the bucket's representative (min `idCol`) to every other
+    * member. Work stays bounded — buckets × cap² enumerated pairs plus
+    * Σ_overcap pop star edges, linear in the corpus for fixed cap — while
+    * CONNECTIVITY is fully preserved: a hot bucket's members remain one
+    * connected set through the representative, so connected components
+    * over this pair set (the q64 clustering / q65 survivor pipelines —
+    * the artifact dedup actually consumes) are IDENTICAL to components
+    * over the unbounded enumeration. What the cap still loses vs
+    * unbounded is only the in-bucket pair ENUMERATION (pairwise-verify
+    * workloads); q139 measures both pair recalls and gates component
+    * equality, closing the drop-mode blind spot VERDICT r5 flagged
+    * (a hot bucket of NON-identical near-dups silently lost all pairs).
+    *
+    * Plan shape: ONE windowed (count, min) pass over
+    * hashpartitioning(`keys`), materialized once (localCheckpoint here;
+    * a persisted bucket table at 100 TB — see [[boundedBucketPairs]]),
+    * then the under-cap self-join + the over-cap star projection read
+    * that one materialization. */
+  def boundedBucketPairsStar(buckets: DataFrame, keys: Seq[String], idCol: String,
+                             cap: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val withPop = buckets
+      .withColumn("_pop", count(lit(1)).over(w))
+      .withColumn("_rep", min(col(idCol)).over(w))
+      .localCheckpoint()
+    val kept = withPop.filter(col("_pop") <= cap)
+    val full = kept.as("a").join(kept.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+    val star = withPop
+      .filter(col("_pop") > cap && col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("a_id"), col(idCol).as("b_id"))
+    full.union(star).distinct()
+  }
 }

@@ -29,6 +29,28 @@ class SkewBoundedSpec extends AnyFunSuite {
     assert(all == 11L) // C(5,2) + 1
   }
 
+  test("star mode: over-cap bucket keeps O(pop) representative edges, components preserved") {
+    val sp = spark
+    import sp.implicits._
+    // bucket A: 5 NON-identical members (the drop-mode blind spot),
+    // bucket B: 2 members
+    val buckets = (
+      (1L to 5L).map(i => (0L, "A", i)) ++ Seq((0L, "B", 10L), (0L, "B", 11L))
+    ).toDF("band", "bkey", "id")
+    val pairs = Skew.boundedBucketPairsStar(buckets, Seq("band", "bkey"), "id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket B enumerated fully; bucket A reduced to rep(1) → {2,3,4,5}
+    assert(pairs == Set((10L, 11L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)),
+      s"got $pairs")
+    // connectivity identical to the unbounded enumeration
+    val full = Skew.boundedBucketPairs(buckets, Seq("band", "bkey"), "id", 5)
+    def comps(df: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.run(df, "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(full.toDF("a_id", "b_id")) ==
+      comps(Skew.boundedBucketPairsStar(buckets, Seq("band", "bkey"), "id", 4)))
+  }
+
   test("capped text chain is a strict subset of the uncapped chain") {
     val sf = "/root/testdata/sf0.001"
     val capped = graft.SparkEntry.queries("q137_bounded_banding")(spark, sf)
