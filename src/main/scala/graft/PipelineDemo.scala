@@ -75,7 +75,7 @@ object PipelineDemo {
       // the gated survivor selection (bands -> components -> best per
       // cluster) run against the compacted tables
       val survivors = SparkEntry.queries("q65_dedup_survivors")(spark, tables)
-        .select(col("keep_id").as("doc_id")).localCheckpoint()
+        .select(col("keep_id").as("doc_id")).localCheckpoint(eager = false)
       val kept = docs.join(survivors, "doc_id")
       kept.write.mode("overwrite").parquet(s"$dedup/documents.parquet")
       val n = spark.read.parquet(s"$dedup/documents.parquet").count()

@@ -122,7 +122,7 @@ object Skew {
       .withColumn("_pop", count(lit(1)).over(w))
       .filter(col("_pop") <= cap)
       .drop("_pop")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     kept.as("a").join(kept.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -156,7 +156,7 @@ object Skew {
     val withPop = buckets
       .withColumn("_pop", count(lit(1)).over(w))
       .withColumn("_rep", min(col(idCol)).over(w))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val kept = withPop.filter(col("_pop") <= cap)
     val full = kept.as("a").join(kept.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&

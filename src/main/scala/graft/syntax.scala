@@ -70,7 +70,7 @@ object syntax {
       val band = graft.llm.CorpusDedup.bandIndex(corpus)
       val hash = graft.llm.CorpusDedup.hashIndex(corpus)
       if (df.isStreaming)
-        graft.llm.CorpusDedup.probe(df, band.localCheckpoint(), hash.localCheckpoint())
+        graft.llm.CorpusDedup.probe(df, band.localCheckpoint(eager = false), hash.localCheckpoint(eager = false))
       else graft.llm.CorpusDedup.probe(df, band, hash)
     }
 
