@@ -2718,6 +2718,41 @@ object LlmQueries {
         .withColumn("recall_capped_bp", expr("n_capped_pairs * 10000L div n_true_pairs"))
         .withColumn("recall_star_bp", expr("n_star_pairs * 10000L div n_true_pairs"))
         .crossJoin(cmp)
+    },
+
+    // ---- REAL compressed-image decode through the multimodal boundary
+    // ([[Multimodal.FrameDecoder.png]], JDK ImageIO — no external
+    // library): per-doc grayscale PNG blobs → decode → one frame per
+    // pixel ROW → hex + md5 per row. The oracle never sees a PNG: it
+    // recomputes the ground-truth pixel bytes from the same
+    // (doc_id, x, y) generator, so a green hash proves the compressed
+    // encode→decode round trip is LOSSLESS, and the corrupt population
+    // (doc_id % 7 == 3, signature smashed post-encode) drops to zero
+    // rows on the Spark side exactly as the oracle's WHERE excludes it —
+    // corrupt media degrades the corpus, never the job. Decode is
+    // mapPartitions, no shuffle; only (id, idx, W-byte row) crosses the
+    // stage boundary, never blobs. ----
+    QuerySpec.sql("q140_png_frames",
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |  WHERE doc_id % 7 <> 3),
+        |rws AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7 + doc_id % 5)) AS y FROM ids),
+        |px AS (SELECT doc_id, y, unnest(generate_series(0, 31)) AS x FROM rws),
+        |hx AS (SELECT doc_id, y,
+        |    string_agg(printf('%02X', CAST((doc_id + 7 * x + 13 * y) % 256 AS INT)),
+        |               '' ORDER BY x) AS row_hex
+        |  FROM px GROUP BY doc_id, y)
+        |SELECT doc_id, CAST(y AS BIGINT) AS frame_idx, 32 AS n_bytes,
+        |  row_hex, md5(row_hex) AS row_md5
+        |FROM hx ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val frames = Multimodal.decodedRows(
+        Multimodal.pngFixture(Tables.documents(s, d), width = 32),
+        "doc_id", "blob", Multimodal.FrameDecoder.png)
+      frames.select($"media_id".as("doc_id"),
+          $"frame_idx".cast("long").as("frame_idx"), $"n_bytes",
+          hex($"bytes").as("row_hex"))
+        .withColumn("row_md5", md5(encode($"row_hex", "UTF-8")))
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 

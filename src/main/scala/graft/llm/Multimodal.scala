@@ -9,16 +9,18 @@ import org.apache.spark.sql.types._
   * metadata; decode / frame-sample / feature-extract run distributed via
   * `mapPartitions` over the binary batches.
   *
-  * Compressed-media codecs are STUBBED (this container has no image/audio
-  * libraries — see the build brief): [[FrameDecoder.stub]] produces
-  * deterministic fixed-size "frames" and [[FrameDecoder.stubFeatures]] a
-  * deterministic byte-histogram embedding. The Spark-side plumbing —
-  * schema, binary batching, partition-parallel decode, feature vectors
-  * flowing into the ANN operators ([[LlmQueries]] cosine/LSH) — is real
-  * and tested, and [[FrameDecoder.wav]] is a REAL pure-JVM codec
-  * (RIFF/WAVE PCM) through the same trait: variable frames per blob
-  * (duration windows over blob-specific sample rates) and corrupt-blob
-  * failure rows, proving the boundary carries a real decode shape.
+  * Two REAL codecs run through the boundary with zero external
+  * libraries: [[FrameDecoder.wav]] (hand-rolled RIFF/WAVE PCM parser —
+  * variable frames per blob from blob-specific sample rates) and
+  * [[FrameDecoder.png]] (the JDK's `javax.imageio` PNG reader — a real
+  * COMPRESSED format, frames = pixel rows, gated end-to-end as q140).
+  * Both decode corrupt blobs to zero frames rather than failing the
+  * task. Codecs the JDK genuinely lacks (JPEG video, MP3/AAC) remain
+  * behind [[FrameDecoder.stub]] / [[FrameDecoder.stubFeatures]]
+  * (deterministic fixed-size frames + byte-histogram embeddings), with
+  * the Spark-side plumbing — schema, binary batching,
+  * partition-parallel decode, feature vectors flowing into the ANN
+  * operators ([[LlmQueries]] cosine/LSH) — real and tested either way.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); frames explode rows but carry only (id, idx, hash/features),
@@ -109,6 +111,103 @@ object Multimodal {
         }
       }
     }
+
+    /** A REAL compressed-image codec through the same boundary, using
+      * the JDK's built-in `javax.imageio` PNG reader — no external
+      * library (the sandbox has no media libs, but ImageIO ships in
+      * every JDK). Frames are IMAGE ROWS: frame `y` carries row `y`'s
+      * band-0 samples (the gray value for grayscale PNGs, the red
+      * channel for RGB) as one byte per pixel — the row-major shape a
+      * pixel fingerprint / embedding stage consumes. Malformed blobs
+      * (bad signature, truncated stream, junk bytes, zero-dim images)
+      * decode to ZERO frames — the same corrupt-row discipline as
+      * [[wav]]: at 100 TB some fraction of any media corpus IS corrupt,
+      * and a bad row must drop out, not kill the task. */
+    val png: FrameDecoder = new FrameDecoder {
+      def decode(blob: Array[Byte]): Iterator[Frame] = {
+        // in-memory decode only: ImageIO's default disk cache would
+        // write a temp file per blob on every executor
+        javax.imageio.ImageIO.setUseCache(false)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          catch { case _: Exception => null } // malformed chunk structure
+        if (img == null) return Iterator.empty // unrecognized / corrupt
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= 0 || h <= 0) return Iterator.empty
+        val raster = img.getRaster
+        Iterator.range(0, h).map { y =>
+          val s = raster.getSamples(0, y, w, 1, 0, null: Array[Int])
+          val row = new Array[Byte](w)
+          var x = 0
+          while (x < w) { row(x) = (s(x) & 0xff).toByte; x += 1 }
+          Frame(y, row)
+        }
+      }
+    }
+  }
+
+  /** PNG-encode a grayscale pixel matrix (row-major, one byte per
+    * pixel) via the JDK encoder — the encode side of the
+    * [[FrameDecoder.png]] round trip, used by the q140 gate fixture and
+    * specs. All rows must share one width. */
+  def encodeGrayPng(rows: Array[Array[Byte]]): Array[Byte] = {
+    require(rows.nonEmpty && rows.head.nonEmpty, "need a non-empty pixel matrix")
+    val (h, w) = (rows.length, rows.head.length)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, rows(y)(x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Distributed decode keeping the RAW frame bytes (vs
+    * [[extractFrames]], which reduces to hash + features): one
+    * mapPartitions pass, no shuffle. Only (id, idx, row bytes) leaves
+    * the stage — for image rows that is W bytes, not the compressed
+    * blob. */
+  def decodedRows(media: DataFrame, idCol: String, blobCol: String,
+                  decoder: FrameDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          decoder.decode(blob).map(f => (id, f.idx, f.bytes.length, f.bytes))
+        }
+      }.toDF("media_id", "frame_idx", "n_bytes", "bytes")
+  }
+
+  /** q140 gate fixture: a deterministic grayscale PNG blob per doc_id —
+    * pixel(x, y) = (doc_id + 7x + 13y) mod 256, height 8 + doc_id mod 5
+    * (variable frames per blob), REAL JDK PNG encoding. Every
+    * doc_id % 7 == 3 blob gets its signature byte smashed post-encode:
+    * the corrupt-row population the decoder must drop to zero frames.
+    * The DuckDB oracle recomputes the same pixel generator directly —
+    * it never sees a PNG — so the gate proves the compressed round trip
+    * is lossless. */
+  def pngFixture(docs: DataFrame, width: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val h = 8 + (id % 5).toInt
+          val rows = Array.tabulate(h, width)((y, x) =>
+            ((id + 7L * x + 13L * y) % 256).toByte)
+          val blob = encodeGrayPng(rows)
+          if (id % 7 == 3) blob(1) = 'Z'.toByte // smash the PNG signature
+          (id, blob)
+        }
+      }.toDF("doc_id", "blob")
   }
 
   final case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Int,

@@ -5,9 +5,9 @@ import graft.TestSpark
 import graft.core.Tables
 
 /** Multimodal plumbing: binary column → distributed frame decode →
-  * per-frame digest + feature vector. Decode is the deterministic stub
-  * (no media libs in this container); the schema/partitioning/batch
-  * shape is the real pipeline. */
+  * per-frame digest + feature vector. The stub decoder pins the
+  * schema/partitioning/batch shape; the REAL codecs (RIFF/WAVE PCM and
+  * JDK-ImageIO PNG) run through the same trait boundary below. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -126,6 +126,46 @@ class MultimodalSpec extends AnyFunSuite {
       val garbage = Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte)
       assert(dec.decode(garbage).isEmpty)
     }
+  }
+
+  test("png codec: lossless row round trip, variable heights, corrupt blobs drop to zero frames") {
+    import spark.implicits._
+    val dec = Multimodal.FrameDecoder.png
+    // exact round trip: random gray matrices encode → decode to the
+    // same bytes, frame idx = row idx, one frame per row
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val (h, w) = (1 + rnd.nextInt(12), 1 + rnd.nextInt(40))
+      val rows = Array.fill(h, w)(rnd.nextInt(256).toByte)
+      val out = dec.decode(Multimodal.encodeGrayPng(rows)).toVector
+      assert(out.length == h)
+      assert(out.map(_.idx) == (0 until h).toVector)
+      assert(out.map(_.bytes.toSeq) == rows.map(_.toSeq).toVector, s"h=$h w=$w")
+    }
+    // property vs junk: garbage, truncations and signature smashes must
+    // yield zero frames, never throw
+    val good = Multimodal.encodeGrayPng(Array.fill(6, 9)(42.toByte))
+    (1 to 40).foreach { _ =>
+      assert(dec.decode(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)).isEmpty)
+      // truncation inside the signature/IHDR must be empty; any longer
+      // truncation must at least never throw (ImageIO may salvage a
+      // complete IDAT even when IEND is missing)
+      assert(dec.decode(good.take(rnd.nextInt(33))).isEmpty)
+      dec.decode(good.take(33 + rnd.nextInt(good.length - 33))).size
+      val smashed = good.clone(); smashed(rnd.nextInt(8)) = rnd.nextInt(256).toByte
+      dec.decode(smashed).size // signature/header damage: no throw
+    }
+    assert(dec.decode(Array.emptyByteArray).isEmpty)
+
+    // distributed: the q140 fixture through extractFrames (trait
+    // plumbing) — corrupt population absent, heights follow doc_id % 5
+    val fix = Multimodal.pngFixture(
+      Tables.documents(spark, "/root/testdata/sf0.001").filter($"doc_id" < 30))
+    val frames = Multimodal.extractFrames(fix, "doc_id", "blob", dec).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.keySet.forall(_ % 7 != 3) && byId.nonEmpty)
+    assert(byId.forall { case (id, fs) => fs.length == 8 + (id % 5).toInt })
+    assert(frames.forall(_.n_bytes == 32))
   }
 
   test("pipeline integration: frame features flow into the ANN operator (quantized_dot)") {
