@@ -66,6 +66,23 @@ object Tables {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "131072"))
+      // Runtime-bloom sizing: when AQE injects a bloom semi-filter whose
+      // build side has NO stats (every materialized/checkpointed reuse
+      // point is an ExistingRDD scan), Spark falls back to these
+      // defaults — 1M expected items ≈ a 1 MB serialized filter that
+      // rides EVERY task binary referencing the filtered scan (the
+      // "Broadcasting large task binary" warnings: measured 2×1 MB
+      // ScalarSubquery.result blobs inside q91/q134 stage plans, vs
+      // ~100 KB for the rest of the plan). Fixture key spaces are ≤~100k,
+      // so 64k items (~60 KB filter) keeps the filter effective and the
+      // task binary small; an undersized bloom only raises its false-
+      // positive rate, never wrongness. At production scale size to the
+      // real build-side cardinality via the env override (or leave
+      // Spark's default by setting 1000000).
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        sys.env.getOrElse("SPARK_GRAFT_BLOOM_ITEMS", "65536"))
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits",
+        sys.env.getOrElse("SPARK_GRAFT_BLOOM_BITS", "524288"))
       .config("spark.ui.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
