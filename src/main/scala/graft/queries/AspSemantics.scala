@@ -47,6 +47,11 @@ object AspSemantics {
   final case class TradeOut(user_id: Long, ts_us: Long, event_id: Long,
                             entry_xq: Long, exit_xq: Long, pnl: Long)
 
+  /** q141 spliced-replay I/O (integer cents domain — see q141). */
+  final case class SpliceIn(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
+  final case class SpliceOut(user_id: Long, ts_us: Long, event_id: Long,
+                             run_cents: Long, run_n: Long)
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- P1/P2 replay: global delivery order with FIFO tie-break ----
@@ -1363,8 +1368,60 @@ object AspSemantics {
         .toDF()
         .select($"session_id", $"ts_us", $"kind", $"order_id", $"price")
         .orderBy($"session_id", $"ts_us", $"kind", $"order_id")
+    },
+
+    // ---- HOT-KEY-SAFE replay ([[Replay.runSpliced]]) under the hash
+    // gate: the W6 running aggregation executed as a parallel prefix
+    // scan — per-(key, time-slice) summary fold, O(slices) per-key
+    // exclusive scan, co-partitioned re-fold — instead of Replay.run's
+    // one-task-per-key sequential chain. Same emissions row-for-row
+    // (integer cents domain: truncation and addition are associative,
+    // so the slice-tree fold ≡ the sequential fold ≡ the oracle's
+    // window frame). This is the mitigation for the skew cliff a 90%
+    // hot key opens in the per-key machine model; the degradation curve
+    // of the unspliced path and this bound are measured in SCALING.md
+    // ("Hot-key replay"). ----
+    QuerySpec.sql("q141_spliced_replay",
+      s"""SELECT user_id, $tsUs AS ts_us, event_id,
+         |  CAST(sum(CAST(trunc(value * 100) AS BIGINT)) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+         |  CAST(count(*) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+      implicit val inEnc: org.apache.spark.sql.Encoder[SpliceIn] =
+        org.apache.spark.sql.Encoders.product[SpliceIn]
+      implicit val outEnc: org.apache.spark.sql.Encoder[SpliceOut] =
+        org.apache.spark.sql.Encoders.product[SpliceOut]
+      implicit val kEnc: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      implicit val sEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)
+      val ds = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          ($"value" * 100).cast("long").as("cents"))
+        .as[SpliceIn]
+      graft.streaming.Replay.runSpliced(ds, slices = 32)(
+          _.user_id, _.ts_us, _.event_id)(RunningCents)
+        .toDF()
+        .orderBy($"user_id", $"ts_us", $"event_id")
     }
   )
+
+  /** q141's monoid machine: running (cents, count) per key. Top-level
+    * object — serializable without closure capture. */
+  object RunningCents
+      extends graft.streaming.SplicedMachine[SpliceIn, SpliceOut, (Long, Long)] {
+    def zero: (Long, Long) = (0L, 0L)
+    def unit(ts: Long, v: SpliceIn): (Long, Long) = (v.cents, 1L)
+    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def output(p: (Long, Long), ts: Long, v: SpliceIn): SpliceOut =
+      SpliceOut(v.user_id, v.ts_us, v.event_id, p._1, p._2)
+  }
 
   /** The q135 cart-op derivation (fixture events → integer-domain cart
     * updates) + the discount-expiry scalar — ONE definition shared by

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.{broadcast, col, floor, max, min, struct}
 import scala.collection.mutable
 
 /** The reference's engine core — a virtual-time event loop with scheduled
@@ -135,4 +135,143 @@ object Replay {
       m.onTimer(due, tag, ctx)
     }
 
+  /** HOT-KEY BOUND of [[run]], and the mitigation for spliceable state.
+    *
+    * [[run]] serializes each key into one task: a key owning fraction h
+    * of N events makes the replay stage Ω(h·N) wall-clock regardless of
+    * cluster size — the skew cliff of the per-key machine model (a 90%
+    * hot key ≈ a single-threaded replay of 90% of the data). That bound
+    * is FUNDAMENTAL for arbitrary machines: event i's emission may
+    * depend on all of events 0..i-1 through opaque mutable state.
+    *
+    * It is NOT fundamental when the machine's state factors through a
+    * MONOID — each event maps to a state element ([[SplicedMachine.unit]])
+    * combined by an associative [[SplicedMachine.merge]], with the
+    * emission a function of the inclusive prefix state (running
+    * sums/counts/min/max/last-value — W5/W6-shape machines; NOT timer or
+    * feedback machines, whose transitions don't compose associatively).
+    * Then replay is a parallel prefix scan:
+    *
+    *  1. bucket each key's events into `slices` time ranges (bounds from
+    *     one tiny agg, broadcast — no driver collect);
+    *  2. per (key, slice): fold a slice SUMMARY — parallel across slices,
+    *     so the hot key spreads over `slices` tasks;
+    *  3. per key: exclusive-scan the ≤`slices` summaries into each
+    *     slice's entry state (per-key work is O(slices), data-size-free);
+    *  4. per (key, slice): re-fold from the entry state, emitting per
+    *     event — again parallel across slices.
+    *
+    * Cost: two shuffles of the events (phase-2 co-partitioned join +
+    * sort) vs [[run]]'s one — the price of breaking the sequential
+    * chain. Hot-key wall-clock drops from Ω(h·N) to Ω(h·N / slices).
+    * Outputs are row-identical to [[run]] with the equivalent machine
+    * (integer/exact state only: float merge is not associative).
+    */
+  def runSpliced[I, K, O, S](ds: Dataset[I], slices: Int)(
+      key: I => K, ts: I => Long, tie: I => Long)(m: SplicedMachine[I, O, S])(
+      implicit iEnc: Encoder[I], kEnc: Encoder[K], oEnc: Encoder[O],
+      sEnc: Encoder[S]): Dataset[O] = {
+    implicit val baseEnc: Encoder[(K, Long, Long, I)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.scalaLong, iEnc)
+    implicit val sumEnc: Encoder[(K, Int, S)] =
+      Encoders.tuple(kEnc, Encoders.scalaInt, sEnc)
+    implicit val tagEnc: Encoder[(K, Long, Long, I, Int)] =
+      Encoders.tuple(kEnc, Encoders.scalaLong, Encoders.scalaLong, iEnc,
+        Encoders.scalaInt)
+    implicit val joinEnc: Encoder[((K, Int), Long, Long, I, S)] =
+      Encoders.tuple(Encoders.tuple(kEnc, Encoders.scalaInt),
+        Encoders.scalaLong, Encoders.scalaLong, iEnc, sEnc)
+
+    // (key, ts, tie, value) + time-slice id; bounds come from one tiny
+    // broadcast scalar agg — plan-only construction, no driver action
+    val base = ds.map(r => (key(r), ts(r), tie(r), r))
+    val bounds = base.select(min(col("_2")).as("lo"), max(col("_2")).as("hi"))
+    val tagged: Dataset[(K, Long, Long, I, Int)] = base.toDF()
+      .crossJoin(broadcast(bounds))
+      .withColumn("_5",
+        floor((col("_2") - col("lo")) * slices / (col("hi") - col("lo") + 1))
+          .cast("int"))
+      .drop("lo", "hi")
+      .as[(K, Long, Long, I, Int)]
+
+    // phase 1+2: per-(key, slice) summary fold — the hot key fans out
+    // over `slices` tasks here
+    def groupFold[T](it: Iterator[(K, Long, Long, I, Int)])(
+        start: (K, Int) => S, each: (S, Long, I) => S,
+        finish: (K, Int, S) => T): Iterator[T] = {
+      val buf = it.buffered
+      new Iterator[T] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): T = {
+          val (k, _, _, _, sl) = buf.head
+          var acc = start(k, sl)
+          while (buf.hasNext && buf.head._1 == k && buf.head._5 == sl) {
+            val e = buf.next(); acc = each(acc, e._2, e._4)
+          }
+          finish(k, sl, acc)
+        }
+      }
+    }
+    val summaries: Dataset[(K, Int, S)] = tagged
+      .repartition(col("_1"), col("_5"))
+      .sortWithinPartitions(col("_1"), col("_5"), col("_2"), col("_3"))
+      .mapPartitions(it => groupFold(it)(
+        (_, _) => m.zero, (s, t, v) => m.merge(s, m.unit(t, v)), (k, sl, s) => (k, sl, s)))
+
+    // phase 3: per-key EXCLUSIVE scan of ≤`slices` summaries into each
+    // slice's entry state — O(slices) per key, independent of data size
+    val entries: Dataset[(K, Int, S)] = summaries
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        var acc = m.zero
+        it.toSeq.sortBy(_._2).map { case (_, sl, s) =>
+          val e = (k, sl, acc); acc = m.merge(acc, s); e
+        }.iterator
+      }
+
+    // phase 4: co-partitioned (key, slice) join of events to entry
+    // states, re-fold from the entry, emit per event — parallel again.
+    // (key, slice) rides as ONE struct column: partition/sort on it
+    // keeps each group contiguous.
+    val joined: Dataset[((K, Int), Long, Long, I, S)] = tagged.toDF()
+      .join(entries.toDF("j1", "j2", "j3"),
+        col("_1") === col("j1") && col("_5") === col("j2"))
+      .select(struct(col("_1").as("_1"), col("_5").as("_2")).as("g"),
+        col("_2").as("t"), col("_3").as("tb"), col("_4").as("v"), col("j3").as("e"))
+      .toDF("_1", "_2", "_3", "_4", "_5")
+      .as[((K, Int), Long, Long, I, S)]
+    joined
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Seq[O]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[O] = {
+            val (g, _, _, _, entry) = buf.head
+            var acc = entry
+            val out = mutable.ArrayBuffer.empty[O]
+            while (buf.hasNext && buf.head._1 == g) {
+              val (_, t, _, v, _) = buf.next()
+              acc = m.merge(acc, m.unit(t, v))
+              out += m.output(acc, t, v)
+            }
+            out.toSeq
+          }
+        }.flatten
+      }
+  }
+
+}
+
+/** Monoid-factored machine for [[Replay.runSpliced]]: each event maps to
+  * a state element, combined associatively; the emission for an event is
+  * a pure function of the INCLUSIVE prefix state. See runSpliced docs
+  * for which machines qualify. */
+trait SplicedMachine[I, O, S] extends Serializable {
+  def zero: S
+  def unit(tsMicros: Long, v: I): S
+  /** MUST be associative (integer/exact state — float sums are not). */
+  def merge(a: S, b: S): S
+  def output(prefixIncl: S, tsMicros: Long, v: I): O
 }
