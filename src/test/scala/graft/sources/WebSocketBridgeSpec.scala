@@ -148,6 +148,82 @@ class WebSocketBridgeSpec extends AnyFunSuite {
     } finally { bridge.close(); server.close(); GraftFeed.clear(feed) }
   }
 
+  test("server drop mid-stream: resilient reconnect, ONE continuous query, no loss, no dup") {
+    import spark.implicits._
+    val feed = "ws-drop-" + System.nanoTime()
+    val server = new java.net.ServerSocket(0)
+    val goLive = new java.util.concurrent.Semaphore(0)
+    val goSecond = new java.util.concurrent.Semaphore(0)
+
+    // Session 1: m0..m2 backlog, then (after handover) m3 — then the
+    // socket is KILLED abruptly (no CLOSE frame: a real network drop).
+    // Session 2 (same server socket, the reconnect): m3 is RESENT (its
+    // delivery was in doubt when the stream died — the at-least-once
+    // contract), then m4, m5.
+    val serverThread = new Thread(() => {
+      val s1 = server.accept()
+      val (_, out1) = serveHandshake(s1)
+      Seq("m0", "m1", "m2").foreach(sendText(out1, _))
+      goLive.acquire()
+      sendText(out1, "m3")
+      s1.close() // abrupt drop, mid-conversation
+
+      val s2 = server.accept() // the bridge's supervisor reconnecting
+      val (_, out2) = serveHandshake(s2)
+      Seq("m3", "m4", "m5").foreach(sendText(out2, _)) // m3 = overlap
+      goSecond.acquire() // hold the connection until the test is done
+      s2.close()
+    }, "ws-drop-producer")
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val connects = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val bridge = WebSocketBridge.connectResilient(
+      "127.0.0.1", server.getLocalPort, "/", feed,
+      backoffMs = 50, onConnect = a => { connects.add(a); () })
+    try {
+      await("ws backlog")(GraftFeed.size(feed) == 3L)
+
+      val got = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      val phases = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ws-drop").toString
+      // END-TO-END exactly-once = reconnecting bridge (at-least-once
+      // into the feed) + first-seen dedup on the message identity (W1)
+      def start(t: org.apache.spark.sql.streaming.Trigger) =
+        spark.readStream.format("graft-feed").option("feed", feed).load()
+          .select($"value")
+          .dropDuplicates("value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.as[String].collect().foreach(got.add)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(t)
+          .start()
+
+      // runContinuous: ONE query across backlog, handover, the adapter
+      // drop AND the reconnect — the query itself never restarts
+      val q = Crossover.runContinuous(start, Crossover.Hooks(
+          onLiveStart = () => { phases.add(s"live:${got.size()}"); () }),
+        liveTrigger = Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        await("handover")(phases.size() == 1)
+        goLive.release()
+        // drop + reconnect + resend happen here; feed sees m3 TWICE
+        await("reconnected feed")(GraftFeed.size(feed) == 7L)
+        assert(connects.size() == 2, "supervisor must have reconnected exactly once")
+        q.processAllAvailable()
+
+        import scala.jdk.CollectionConverters._
+        // no loss (m4/m5 arrived only on connection 2), no dup (m3 once)
+        assert(got.asScala.toVector.sorted == Vector("m0", "m1", "m2", "m3", "m4", "m5"))
+        assert(q.isActive, "the consuming query must have survived the adapter drop")
+      } finally q.stop()
+    } finally {
+      goSecond.release(); bridge.close(); server.close(); GraftFeed.clear(feed)
+    }
+  }
+
   test("handshake verification: wrong accept key aborts instead of pumping bytes") {
     val server = new java.net.ServerSocket(0)
     val bad = new Thread(() => {
