@@ -16,19 +16,36 @@ import java.util.concurrent.atomic.AtomicLong
   * Usage:
   *   runMain graft.ShuffleProbe q1_pricing_summary,q61_neardup_banded \
   *     /root/testdata/sf0.1:1 /tmp/sfx5:5 /tmp/sfx10:10
+  *   runMain graft.ShuffleProbe all /root/testdata/sf0.1:1 /tmp/sfx5:5
   *
-  * Each dir argument carries its scale factor after a colon. Output:
-  * one JSON line per dir {"sf_dir":…,"k":…,"bytes":{q:…},"secs":{q:…}},
-  * then per-query fitted byte exponents across the first→last dir and
-  * a loud SUPERLINEAR flag (exit 1) when bytes(k_max)/bytes(k_min)
-  * exceeds (k_max/k_min) × 1.2 — the slack absorbs fixed-size sketch /
-  * codebook floors that do not scale at all.
+  * Each dir argument carries its scale factor after a colon; the query
+  * list `all` expands to EVERY SparkEntry query — the standing
+  * whole-suite regression gate. Output: one JSON line per dir
+  * {"sf_dir":…,"k":…,"bytes":{q:…},"secs":{q:…}}, then per-query fitted
+  * exponents and a loud SUPERLINEAR flag (exit 1) when
+  * records(k_max)/records(k_min) exceeds (k_max/k_min) × 1.2 — the
+  * slack absorbs fixed-size sketch / codebook floors that do not scale
+  * at all. When SPARK_GRAFT_SHUFFLE_OUT is set, a consolidated JSON
+  * artifact (one row per query: records at each scale, exponents,
+  * superlinear, allowlisted) is written there — SHUFFLE_r{N}.json.
+  *
+  * Allowlist: queries whose superlinear growth is DESIGNED and
+  * documented get recorded but do not fail the gate — currently only
+  * q61_neardup_banded, the deliberately-unbounded LSH banding kept as
+  * the measured counter-example to its own mitigations (q137/q138/q139;
+  * SCALING.md "Shuffle volume").
   */
 object ShuffleProbe {
+  private val Allowlist = Map(
+    "q61_neardup_banded" ->
+      "designed-unbounded banding; mitigations gated as q137/q138/q139")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ShuffleProbe <q1,q2,…> <dir:k> [<dir:k>…]")
-    val queries = args(0).split(",").toSeq
+      "usage: ShuffleProbe <q1,q2,…|all> <dir:k> [<dir:k>…]")
+    val queries =
+      if (args(0) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(0).split(",").toSeq
     val dirs = args.drop(1).toSeq.map { a =>
       val Array(d, k) = a.split(":"); (d, k.toDouble)
     }
@@ -68,18 +85,24 @@ object ShuffleProbe {
 
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // (dir, k) -> query -> (bytes, records, secs)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val measured = dirs.map { case (dir, k) =>
       val per = queries.map { q =>
         val fn = SparkEntry.queries(q)
         settle(); bytes.set(0L); records.set(0L)
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val ok =
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[shuffleprobe] $q @ $dir FAILED: ${e.getMessage}")
+            errors += s"$q@$dir"; false
+          }
         val secs = (System.nanoTime() - t0) / 1e9
         val (b, r) = settle()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
-        q -> (b, r, secs)
+        q -> (if (ok) (b, r, secs) else (-1L, -1L, secs))
       }.toMap
       val bJson = queries.map(q => "\"" + q + "\":" + per(q)._1).mkString("{", ",", "}")
       val rJson = queries.map(q => "\"" + q + "\":" + per(q)._2).mkString("{", ",", "}")
@@ -99,6 +122,7 @@ object ShuffleProbe {
     //    exchanges don't grow at all) — asymptotics are the last pair.
     // Full-span exponents for both measures are still reported.
     var superlinear = List.empty[String]
+    val artifactRows = scala.collection.mutable.ArrayBuffer.empty[String]
     if (measured.size >= 2) {
       val (k0, m0) = measured.head
       val (k1, m1) = measured.last
@@ -111,15 +135,38 @@ object ShuffleProbe {
           else math.log(b.toDouble / a) / math.log(kk1 / kk0)
         val rp = mp(q)._2
         val lin = rp > 0 && r1 > rp * (k1 / kp) * 1.2
-        if (lin) superlinear ::= q
-        println(s"""{"query":"$q","bytes_exponent":${fmt(ex(b0, b1, k0, k1))},""" +
+        val allowed = Allowlist.contains(q)
+        if (lin && !allowed) superlinear ::= q
+        val row = s"""{"query":"$q","records":${measured.map(m => m._2(q)._2).mkString("[", ",", "]")},""" +
+          s""""secs":${measured.map(m => fmt(m._2(q)._3)).mkString("[", ",", "]")},""" +
           s""""records_exponent":${fmt(ex(r0, r1, k0, k1))},""" +
-          s""""records_exponent_large":${fmt(ex(rp, r1, kp, k1))},"superlinear":$lin}""")
+          s""""records_exponent_large":${fmt(ex(rp, r1, kp, k1))},""" +
+          s""""bytes_exponent":${fmt(ex(b0, b1, k0, k1))},""" +
+          s""""superlinear":$lin,"allowlisted":$allowed}"""
+        artifactRows += row
+        println(row)
       }
     }
+    sys.env.get("SPARK_GRAFT_SHUFFLE_OUT").foreach { out =>
+      val ks = dirs.map(_._2).mkString("[", ",", "]")
+      val allow = Allowlist.map { case (q, why) => s""""$q":"$why"""" }.mkString("{", ",", "}")
+      val body =
+        s"""{"scales":$ks,"dirs":${dirs.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
+           |"ceiling":"records(k_max) <= records(k_penultimate) * (k_max/k_penultimate) * 1.2",
+           |"allowlist":$allow,
+           |"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"superlinear_unallowed":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"queries":[
+           |${artifactRows.mkString(",\n")}
+           |]}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[shuffleprobe] wrote $out (${artifactRows.size} queries)")
+    }
     spark.stop()
-    if (superlinear.nonEmpty) {
-      System.err.println(s"[shuffleprobe] SUPERLINEAR shuffle growth: ${superlinear.mkString(", ")}")
+    if (superlinear.nonEmpty || errors.nonEmpty) {
+      System.err.println(s"[shuffleprobe] SUPERLINEAR shuffle growth: ${superlinear.mkString(", ")}" +
+        (if (errors.nonEmpty) s"; ERRORS: ${errors.mkString(", ")}" else ""))
       sys.exit(1)
     }
   }

@@ -80,9 +80,9 @@ object Tables {
       // real build-side cardinality via the env override (or leave
       // Spark's default by setting 1000000).
       .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
-        sys.env.getOrElse("SPARK_GRAFT_BLOOM_ITEMS", "65536"))
+        sys.env.getOrElse("SPARK_GRAFT_BLOOM_ITEMS", "16384"))
       .config("spark.sql.optimizer.runtime.bloomFilter.numBits",
-        sys.env.getOrElse("SPARK_GRAFT_BLOOM_BITS", "524288"))
+        sys.env.getOrElse("SPARK_GRAFT_BLOOM_BITS", "131072"))
       .config("spark.ui.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
