@@ -20,6 +20,14 @@ object Bench {
     val spark = graft.core.Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // resetSessionState() unpersists lazily-localCheckpointed RDDs of
+    // FINISHED queries — the data is meant to be dropped, but each
+    // unpersist logs a "lineage has been truncated and cannot be
+    // recomputed" WARN. ~150 of those bury the one JSON line the driver
+    // reads from the tail; silence that single logger (real warnings —
+    // task binaries, scheduler — keep their own loggers).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // optional args = bench only these queries (isolation profiling)
     val selected =
       if (args.isEmpty) SparkEntry.queries

@@ -38,7 +38,16 @@ import java.util.concurrent.atomic.AtomicLong
 object ShuffleProbe {
   private val Allowlist = Map(
     "q61_neardup_banded" ->
-      "designed-unbounded banding; mitigations gated as q137/q138/q139")
+      "designed-unbounded banding; mitigations gated as q137/q138/q139",
+    "q54_cosine_neardup" ->
+      ("fixed 8-plane single-code baseline: pair space n^2/256 by design " +
+        "(documented contrast case; scale path = banded q61 + caps q137/q138)"),
+    "q117_semantic_dedup" ->
+      ("fixed 16-cell SemDeDup baseline: within-cell pairs n^2/16 by design; " +
+        "flat operator gated as q144, cap cost measured by q143"),
+    "q143_semdedup_capped" ->
+      ("cap CALIBRATION gate: carries the unbounded baseline on purpose to " +
+        "measure recall/survivor deltas in-gate; the operator alone is q144"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

@@ -256,6 +256,11 @@ object LlmQueries {
     * buckets — the SCALING.md quadratic case). `final val` literals:
     * inlined, immune to object-init order. */
   private final val TextBucketCap = 2
+
+  /** q143's cell-population cap. Fixture cell populations run 20–42 at
+    * both gate scales (measured), so 30 exercises BOTH branches: some
+    * cells enumerate pairs fully, some go through the star-edge cap. */
+  private final val SemCap = 30
   private final val EmbBucketCap = 8
 
   /** `vec_id, embedding, nrm` — the shared base of the banded near-dup
@@ -2753,6 +2758,307 @@ object LlmQueries {
           hex($"bytes").as("row_hex"))
         .withColumn("row_md5", md5(encode($"row_hex", "UTF-8")))
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ---- multimodal → similarity-search, END TO END under one gate:
+    // real PNG decode ([[Multimodal.FrameDecoder.png]]) → per-frame
+    // byte-histogram features ([[Multimodal.extractFrames]], the
+    // embedding-model stand-in) → per-doc feature vector (frame sum) →
+    // exact cosine top-3 neighbors. The oracle recomputes the features
+    // from the pixel GENERATOR (never decoding a PNG), so a green hash
+    // proves decode + feature extraction + the integer-exact cosine
+    // ranking compose losslessly — the q47 discipline (integer dot /
+    // norm, one deterministic double division + sqrt at the end, ties
+    // → lower c_id) applied to decoded media instead of stored
+    // embeddings. Bounded query set (doc_id < 60 minus the corrupt
+    // population) keeps the all-pairs oracle fixture-sized; the scale
+    // path for real corpora is the q48/q55 LSH/IVF candidate
+    // generation over the same feature rows. ----
+    QuerySpec.sql("q142_png_ann",
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 7 <> 3),
+        |rws AS (SELECT doc_id,
+        |    unnest(generate_series(0, 7 + doc_id % 5)) AS y FROM ids),
+        |px AS (SELECT doc_id, y, unnest(generate_series(0, 31)) AS x FROM rws),
+        |hist AS (SELECT doc_id,
+        |    CAST(((doc_id + 7 * x + 13 * y) % 256) // 16 AS INT) AS i,
+        |    count(*) AS c
+        |  FROM px GROUP BY doc_id, i),
+        |norms AS (SELECT doc_id, sum(c * c) AS nrm FROM hist GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS q_id, b.doc_id AS c_id, sum(a.c * b.c) AS dot
+        |  FROM hist a JOIN hist b ON b.i = a.i AND b.doc_id <> a.doc_id
+        |  GROUP BY q_id, c_id),
+        |cs AS (SELECT q_id, c_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots JOIN norms na ON na.doc_id = q_id
+        |            JOIN norms nb ON nb.doc_id = c_id)
+        |SELECT q_id, c_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT q_id, c_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+        |  FROM cs)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+      val fix = Multimodal.pngFixture(
+        Tables.documents(s, d).filter($"doc_id" < 60), width = 32)
+      val frames = Multimodal.extractFrames(fix, "doc_id", "blob",
+        Multimodal.FrameDecoder.png).toDF()
+      // per-doc histogram: frame features are per-frame 16-bin byte
+      // histograms (integer counts in float32 — exact), summed across
+      // frames; all math integer until the final cosine division
+      val hist = frames
+        .select($"media_id".as("doc_id"), posexplode($"features"))
+        .groupBy($"doc_id", $"pos")
+        .agg(sum($"col").cast("long").as("c"))
+      val norms = hist.groupBy($"doc_id").agg(sum($"c" * $"c").as("nrm"))
+      val dots = hist.as("a").join(hist.as("b"),
+          $"b.pos" === $"a.pos" && $"b.doc_id" =!= $"a.doc_id")
+        .groupBy($"a.doc_id".as("q_id"), $"b.doc_id".as("c_id"))
+        .agg(sum($"a.c" * $"b.c").as("dot"))
+      val cs = dots
+        .join(norms.select($"doc_id".as("q_id"), $"nrm".as("na")), "q_id")
+        .join(norms.select($"doc_id".as("c_id"), $"nrm".as("nb")), "c_id")
+        .select($"q_id", $"c_id",
+          ($"dot".cast("double") /
+            sqrt($"na".cast("double") * $"nb".cast("double"))).as("cosine"))
+      Windows.topKPerGroup(cs, Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id", $"cosine", $"rnk".cast("long").as("rnk"))
+        .orderBy($"q_id", $"rnk")
+    },
+
+    // ---- SemDeDup CAP CALIBRATION — the q139 treatment applied to
+    // q117: q117's within-cell candidate space is n²/16 BY CONSTRUCTION
+    // (fixed 16-cell codebook; ShuffleProbe measures e≈1.4 on the
+    // replica fixture — it is the documented contrast case, like q54's
+    // fixed 8-plane code). The capped pipeline replaces full in-cell
+    // enumeration with [[Skew.boundedBucketPairsStar]]: under-cap cells
+    // enumerate pairs, over-cap cells contribute O(pop) star edges to
+    // their min-id representative. Because SemDeDup VERIFIES candidates
+    // (cosine ≥ 0.4) before clustering, a star edge can fail the
+    // threshold where a dropped member-member pair would have passed —
+    // so unlike q139, component equality is NOT guaranteed, and this
+    // gate MEASURES the delta instead of assuming it: verified-pair
+    // recall in basis points, cluster (= survivor) counts from both
+    // pipelines, and per-vector label mismatches, in one hash-compared
+    // row (the cap errs toward KEEPING near-dups — the conservative
+    // direction for training data). NOTE this calibration query carries
+    // the UNBOUNDED baseline on purpose, so it is itself quadratic and
+    // probe-allowlisted; the production operator alone is q144 (probe-
+    // flat). In production the cap composes with k ∝ corpus/cell-size;
+    // the cap backstops the cells that stay hot anyway. ----
+    QuerySpec.sql("q143_semdedup_capped",
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 16
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS c
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+         |             JOIN norms nc ON nc.vec_id = cid),
+         |assign AS (SELECT vid AS vec_id, cid AS cell FROM (
+         |  SELECT vid, cid,
+         |    row_number() OVER (PARTITION BY vid ORDER BY c DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |tc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |tdots AS (SELECT c.a_id, c.b_id, sum(x.xq * y.xq) AS dot
+         |  FROM tc c JOIN e x ON x.vec_id = c.a_id
+         |            JOIN e y ON y.vec_id = c.b_id AND y.i = x.i
+         |  GROUP BY c.a_id, c.b_id),
+         |tpairs AS (SELECT a_id, b_id
+         |  FROM tdots JOIN norms na ON na.vec_id = a_id
+         |             JOIN norms nb ON nb.vec_id = b_id
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+         |pops AS (SELECT cell, count(*) AS pop, min(vec_id) AS rep
+         |  FROM assign GROUP BY cell),
+         |keptc AS (SELECT a.vec_id, a.cell FROM assign a
+         |  JOIN pops p ON p.cell = a.cell AND p.pop <= $SemCap),
+         |cc0 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM keptc a JOIN keptc b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |stars AS (SELECT p.rep AS a_id, a.vec_id AS b_id
+         |  FROM assign a JOIN pops p ON p.cell = a.cell AND p.pop > $SemCap
+         |  WHERE a.vec_id <> p.rep),
+         |ccand AS (SELECT DISTINCT a_id, b_id FROM
+         |  (SELECT a_id, b_id FROM cc0 UNION SELECT a_id, b_id FROM stars)),
+         |vdots AS (SELECT c.a_id, c.b_id, sum(x.xq * y.xq) AS dot
+         |  FROM ccand c JOIN e x ON x.vec_id = c.a_id
+         |               JOIN e y ON y.vec_id = c.b_id AND y.i = x.i
+         |  GROUP BY c.a_id, c.b_id),
+         |cpairs AS (SELECT a_id, b_id
+         |  FROM vdots JOIN norms na ON na.vec_id = a_id
+         |             JOIN norms nb ON nb.vec_id = b_id
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+         |tedges AS (SELECT a_id AS u, b_id AS v FROM tpairs
+         |           UNION SELECT b_id, a_id FROM tpairs),
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM cpairs
+         |           UNION SELECT b_id, a_id FROM cpairs),
+         |treach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM tedges)
+         |  UNION
+         |  SELECT treach.id, ed.v FROM treach JOIN tedges ed ON ed.u = treach.r),
+         |tlab0 AS (SELECT id, min(r) AS c FROM treach GROUP BY id),
+         |creach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT creach.id, ed.v FROM creach JOIN cedges ed ON ed.u = creach.r),
+         |clab0 AS (SELECT id, min(r) AS c FROM creach GROUP BY id),
+         |labs AS (SELECT a.vec_id,
+         |    coalesce(t.c, a.vec_id) AS ct, coalesce(cl.c, a.vec_id) AS cc
+         |  FROM assign a LEFT JOIN tlab0 t ON t.id = a.vec_id
+         |                LEFT JOIN clab0 cl ON cl.id = a.vec_id),
+         |cmp AS (SELECT count(*) AS n_vecs,
+         |    count(*) FILTER (WHERE ct <> cc) AS n_label_mismatch,
+         |    count(DISTINCT ct) AS n_keep_true,
+         |    count(DISTINCT cc) AS n_keep_capped
+         |  FROM labs),
+         |m AS (SELECT (SELECT count(*) FROM tpairs) AS n_true_pairs,
+         |             (SELECT count(*) FROM cpairs) AS n_capped_pairs)
+         |SELECT m.n_true_pairs, m.n_capped_pairs,
+         |  m.n_capped_pairs * 10000 // m.n_true_pairs AS recall_capped_bp,
+         |  cmp.n_vecs, cmp.n_label_mismatch, cmp.n_keep_true, cmp.n_keep_capped
+         |FROM m, cmp""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
+        .localCheckpoint(eager = false)
+      // exact verify of a candidate set: join true vectors back by id,
+      // keep pairs over the threshold — SAME expression shape both
+      // engines (integer dot/norm, one double division + sqrt)
+      def verified(cand: DataFrame): DataFrame = cand
+        .join(assign.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+          $"nrm".as("a_nrm")), "a_id")
+        .join(assign.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+          $"nrm".as("b_nrm")), "b_id")
+        .filter(cosineQ(dotQ($"a_emb", $"b_emb"), $"a_nrm", $"b_nrm") >= 0.4)
+        .select($"a_id", $"b_id")
+      val trueCand = assign.as("a").join(assign.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      val truePairs = verified(trueCand).localCheckpoint(eager = false)
+      val cappedCand = Skew.boundedBucketPairsStar(
+        assign.select($"vec_id", $"cell"), Seq("cell"), "vec_id", SemCap)
+      val cappedPairs = verified(cappedCand).localCheckpoint(eager = false)
+      val compT = ConnectedComponents.run(truePairs, "a_id", "b_id")
+        .select($"node".as("vec_id"), $"component".as("ct0"))
+      val compC = ConnectedComponents.run(cappedPairs, "a_id", "b_id")
+        .select($"node".as("vec_id"), $"component".as("cc0"))
+      val labs = assign.select($"vec_id")
+        .join(compT, Seq("vec_id"), "left")
+        .join(compC, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"ct0", $"vec_id").as("ct"),
+          coalesce($"cc0", $"vec_id").as("cc"))
+      val cmp = labs.agg(count(lit(1)).as("n_vecs"),
+        count(when($"ct" =!= $"cc", lit(1))).as("n_label_mismatch"),
+        countDistinct($"ct").as("n_keep_true"),
+        countDistinct($"cc").as("n_keep_capped"))
+      truePairs.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(cappedPairs.agg(count(lit(1)).as("n_capped_pairs")))
+        .withColumn("recall_capped_bp",
+          expr("n_capped_pairs * 10000L div n_true_pairs"))
+        .crossJoin(cmp)
+    },
+
+    // ---- SCALE-SAFE SemDeDup, the production operator alone: q117's
+    // exact output shape (per-vector cell / cluster / keep-drop
+    // verdict, keep = farthest-from-centroid per cluster) with
+    // candidate generation through the star cap — no unbounded
+    // baseline in the plan. Candidate work is buckets × cap² pairs +
+    // O(pop) star edges: LINEAR for fixed cap (probe-verified at
+    // 1×/5×/10×, where q117 runs e≈1.4); the recall/survivor cost of
+    // the cap is measured by q143. A user swaps q117 → this query and
+    // changes nothing downstream. ----
+    QuerySpec.sql("q144_semdedup_survivors",
+      s"""WITH RECURSIVE e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |cdots AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id < 16
+         |  GROUP BY vid, cid),
+         |ccos AS (SELECT vid, cid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nv.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS c
+         |  FROM cdots JOIN norms nv ON nv.vec_id = vid
+         |             JOIN norms nc ON nc.vec_id = cid),
+         |assign AS (SELECT vid AS vec_id, cid AS cell, c AS ccos FROM (
+         |  SELECT vid, cid, c,
+         |    row_number() OVER (PARTITION BY vid ORDER BY c DESC, cid) AS rn
+         |  FROM ccos) WHERE rn = 1),
+         |pops AS (SELECT cell, count(*) AS pop, min(vec_id) AS rep
+         |  FROM assign GROUP BY cell),
+         |keptc AS (SELECT a.vec_id, a.cell FROM assign a
+         |  JOIN pops p ON p.cell = a.cell AND p.pop <= $SemCap),
+         |cc0 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM keptc a JOIN keptc b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |stars AS (SELECT p.rep AS a_id, a.vec_id AS b_id
+         |  FROM assign a JOIN pops p ON p.cell = a.cell AND p.pop > $SemCap
+         |  WHERE a.vec_id <> p.rep),
+         |ccand AS (SELECT DISTINCT a_id, b_id FROM
+         |  (SELECT a_id, b_id FROM cc0 UNION SELECT a_id, b_id FROM stars)),
+         |vdots AS (SELECT c.a_id, c.b_id, sum(x.xq * y.xq) AS dot
+         |  FROM ccand c JOIN e x ON x.vec_id = c.a_id
+         |               JOIN e y ON y.vec_id = c.b_id AND y.i = x.i
+         |  GROUP BY c.a_id, c.b_id),
+         |cpairs AS (SELECT a_id, b_id
+         |  FROM vdots JOIN norms na ON na.vec_id = a_id
+         |             JOIN norms nb ON nb.vec_id = b_id
+         |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+         |cedges AS (SELECT a_id AS u, b_id AS v FROM cpairs
+         |           UNION SELECT b_id, a_id FROM cpairs),
+         |creach(id, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM cedges)
+         |  UNION
+         |  SELECT creach.id, ed.v FROM creach JOIN cedges ed ON ed.u = creach.r),
+         |clab AS (SELECT id, min(r) AS cluster_id FROM creach GROUP BY id),
+         |members AS (SELECT a.vec_id, a.cell, a.ccos,
+         |    coalesce(l.cluster_id, a.vec_id) AS cluster_id
+         |  FROM assign a LEFT JOIN clab l ON l.id = a.vec_id)
+         |SELECT vec_id, cell, cluster_id,
+         |  CASE WHEN row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY ccos ASC, vec_id) = 1 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM members ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      val cents = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"), $"ccos")
+        .localCheckpoint(eager = false)
+      val cand = Skew.boundedBucketPairsStar(
+        assign.select($"vec_id", $"cell"), Seq("cell"), "vec_id", SemCap)
+      val pairs = cand
+        .join(assign.select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+          $"nrm".as("a_nrm")), "a_id")
+        .join(assign.select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+          $"nrm".as("b_nrm")), "b_id")
+        .filter(cosineQ(dotQ($"a_emb", $"b_emb"), $"a_nrm", $"b_nrm") >= 0.4)
+        .select($"a_id", $"b_id")
+      val labels = ConnectedComponents.run(pairs, "a_id", "b_id")
+      val members = assign.join(labels, assign("vec_id") === labels("node"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"component", $"vec_id").as("cluster_id"), $"ccos")
+      members
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cluster_id").orderBy($"ccos".asc, $"vec_id")))
+        .select($"vec_id", $"cell", $"cluster_id",
+          when($"rn" === 1, "keep").otherwise("drop").as("verdict"))
+        .orderBy($"vec_id")
     }
   )
 
