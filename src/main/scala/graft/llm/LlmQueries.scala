@@ -3059,6 +3059,83 @@ object LlmQueries {
         .select($"vec_id", $"cell", $"cluster_id",
           when($"rn" === 1, "keep").otherwise("drop").as("verdict"))
         .orderBy($"vec_id")
+    },
+
+    // ---- Image RESIZE + frame-sample through the multimodal boundary
+    // ([[Multimodal.resizeGrayRows]]): real PNG decode → nearest-
+    // neighbor resample to 8×8, expressed relationally — vertical
+    // resample IS frame-sampling (per-media dims explode to 8 output
+    // coords whose src_y joins back to the frame rows; unsampled rows
+    // are dropped by the join, never carried), horizontal resample is
+    // a codegen'd transform/substring over the row bytes. The oracle
+    // recomputes the pixel generator at the SAMPLED coordinates
+    // (⌊y·h/8⌋, ⌊x·w/8⌋) directly — it never sees a PNG — so a green
+    // hash proves decode + the two resample axes compose losslessly,
+    // and the corrupt population (doc_id % 7 == 3) drops out entirely.
+    // Scale: post-join work is 8 rows × 8 byte lookups per media
+    // regardless of source resolution — the whole point of resizing
+    // early in a media pipeline. ----
+    QuerySpec.sql("q145_image_resize",
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |  WHERE doc_id % 7 <> 3),
+        |dims AS (SELECT doc_id, 8 + doc_id % 5 AS h, 32 AS w FROM ids),
+        |oy AS (SELECT doc_id, h, w, unnest(generate_series(0, 7)) AS y FROM dims),
+        |px AS (SELECT doc_id, h, w, y, (y * h) // 8 AS sy,
+        |    unnest(generate_series(0, 7)) AS x FROM oy),
+        |hx AS (SELECT doc_id, y,
+        |    string_agg(printf('%02X',
+        |        CAST((doc_id + 7 * ((x * w) // 8) + 13 * sy) % 256 AS INT)),
+        |      '' ORDER BY x) AS row_hex
+        |  FROM px GROUP BY doc_id, y)
+        |SELECT doc_id, CAST(y AS BIGINT) AS y, row_hex
+        |FROM hx ORDER BY doc_id, y""".stripMargin) { (s, d) =>
+      val frames = Multimodal.decodedRows(
+        Multimodal.pngFixture(Tables.documents(s, d), width = 32),
+        "doc_id", "blob", Multimodal.FrameDecoder.png)
+      Multimodal.resizeGrayRows(frames, 8, 8)
+        .select($"media_id".as("doc_id"), $"y".cast("long").as("y"), $"row_hex")
+        .orderBy($"doc_id", $"y")
+    },
+
+    // ---- Audio FEATURE-EXTRACT through the multimodal boundary
+    // ([[Multimodal.extractAudioFeatures]]): real RIFF/WAVE decode
+    // fused with per-frame integer DSP (Σs², peak |s|, zero
+    // crossings) in one mapPartitions pass — PCM bytes never leave
+    // the stage, only (id, frame, 4 longs). The fixture varies BOTH
+    // audio parameters per blob (sample rate 8/12/16 kHz → the 50 ms
+    // frame byte-size differs per blob; 600–1200 samples → the frame
+    // count differs too), and the oracle recomputes the sample
+    // generator directly — it never parses a WAV — so a green hash
+    // proves header synthesis, the chunk walk, LE16 sample decode,
+    // and the all-integer feature math compose losslessly; the
+    // corrupt population (RIFF magic smashed) yields zero rows on
+    // both sides. ----
+    QuerySpec.sql("q146_audio_features",
+      """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        |  WHERE doc_id % 7 <> 3),
+        |p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+        |    600 + (doc_id % 4) * 200 AS nsamp FROM ids),
+        |s AS (SELECT doc_id, sr // 20 AS spf,
+        |    unnest(generate_series(0, nsamp - 1)) AS i FROM p),
+        |v AS (SELECT doc_id, i // spf AS frame_idx, i,
+        |    (doc_id * 31 + i * 17) % 4096 - 2048 AS smp FROM s),
+        |w AS (SELECT doc_id, frame_idx, smp,
+        |    lag(smp) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS prev
+        |  FROM v)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sumsq,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
+        |    AND (smp >= 0) <> (prev >= 0)) AS BIGINT) AS zc
+        |FROM w GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.extractAudioFeatures(
+          Multimodal.wavFixture(Tables.documents(s, d)), "doc_id", "blob", 50)
+        .toDF()
+        .select($"media_id".as("doc_id"), $"frame_idx", $"n_samples",
+          $"sumsq", $"peak", $"zc")
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 

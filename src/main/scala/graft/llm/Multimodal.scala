@@ -210,6 +210,130 @@ object Multimodal {
       }.toDF("doc_id", "blob")
   }
 
+  /** Nearest-neighbor grayscale resize over DECODED frame rows (the
+    * [[decodedRows]] shape: one row per image row), to a fixed
+    * `outH`×`outW` — the resize + frame-sample stage of an image
+    * pipeline, expressed RELATIONALLY so Catalyst owns it end to end:
+    *  - vertical resample = frame-SAMPLING: per-media dims (one small
+    *    hash agg) explode to `outH` output coordinates whose
+    *    `src_y = ⌊y·h/outH⌋` join back to the frame rows — only the
+    *    sampled rows flow on; unsampled rows are dropped by the join,
+    *    never carried;
+    *  - horizontal resample = a codegen'd `transform` over the row
+    *    bytes (`substring` at `⌊x·w/outW⌋`) emitted as hex — no UDF,
+    *    no Scala closure in the hot path.
+    * Scale: two shuffles total (the dims agg + the dims⋈frames hash
+    * join, both on media_id — AQE broadcasts dims when small); work
+    * after the join is outH rows × outW byte lookups per media
+    * regardless of source resolution. */
+  def resizeGrayRows(frames: DataFrame, outH: Int, outW: Int): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    // distinct column names on the dims side: `dims` derives from
+    // `frames`, so joining on media_id === media_id would hit Spark's
+    // ambiguous-self-join resolution (the q121 lesson) — rename instead
+    val dims = frames.groupBy($"media_id".as("m_id"))
+      .agg((max($"frame_idx") + 1).as("h"), max($"n_bytes").as("w"))
+    val wanted = dims
+      .select($"m_id", $"h", $"w",
+        explode(sequence(lit(0), lit(outH - 1))).as("y"))
+      .withColumn("src_y", expr(s"y * h div $outH"))
+    wanted.join(frames,
+        $"m_id" === $"media_id" && $"frame_idx" === $"src_y")
+      .select($"m_id".as("media_id"), $"y",
+        expr(s"""array_join(transform(sequence(0, ${outW - 1}),
+                 |  x -> hex(substring(bytes, CAST(CAST(x AS BIGINT) * w div $outW AS INT) + 1, 1))), '')"""
+          .stripMargin).as("row_hex"))
+  }
+
+  /** Per-frame integer DSP features: sample count, Σs² (energy), peak
+    * |s|, and zero-crossing count over the frame's 16-bit LE PCM
+    * samples. All-integer math → hash-exact against an oracle that
+    * recomputes from the sample GENERATOR (never parsing a WAV). */
+  final case class AudioFeatureRow(media_id: Long, frame_idx: Long,
+                                   n_samples: Long, sumsq: Long,
+                                   peak: Long, zc: Long)
+
+  /** Fused WAV decode → per-frame feature extraction in ONE
+    * mapPartitions pass: the heavy PCM bytes never leave the stage —
+    * only (id, frame, 4 longs) crosses the boundary (the same
+    * keep-bytes-inside-the-partition rule as [[extractFrames]]).
+    * Frames come from [[FrameDecoder.wav]] (fixed-duration windows
+    * whose byte size depends on each blob's own sample rate), so the
+    * feature stream inherits the corrupt-row discipline: malformed
+    * blobs contribute zero rows. Odd trailing bytes (a frame that
+    * splits a sample) are ignored sample-wise. */
+  def extractAudioFeatures(media: DataFrame, idCol: String, blobCol: String,
+                           windowMs: Int): Dataset[AudioFeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val dec = FrameDecoder.wav(windowMs)
+    media.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          dec.decode(blob).map { f =>
+            val b = f.bytes
+            val n = b.length / 2
+            var sumsq = 0L; var peak = 0L; var zc = 0L
+            var prevNonNeg = false
+            var i = 0
+            while (i < n) {
+              val s = (((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort).toInt
+              sumsq += s.toLong * s
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              val nonNeg = s >= 0
+              if (i > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              i += 1
+            }
+            AudioFeatureRow(id, f.idx.toLong, n.toLong, sumsq, peak, zc)
+          }
+        }
+      }
+  }
+
+  /** q146 gate fixture: a deterministic mono 16-bit PCM WAV per doc_id
+    * with per-blob audio parameters — sampleRate 8/12/16 kHz by
+    * doc_id % 3 (so the 50 ms frame SIZE varies per blob) and
+    * 600..1200 samples by doc_id % 4 (so the frame COUNT varies too);
+    * sample i = ((doc_id·31 + i·17) mod 4096) − 2048, LE16. Every
+    * doc_id % 7 == 3 blob gets its RIFF magic smashed post-encode: the
+    * corrupt population the decoder must drop to zero frames. The
+    * DuckDB oracle recomputes the same generator directly — it never
+    * parses a WAV — so a green hash proves header synthesis, chunk
+    * walk, LE16 decode, and the integer feature math all compose
+    * losslessly. */
+  def wavFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sampleRate = 8000 + (id % 3).toInt * 4000
+          val nSamp = 600 + (id % 4).toInt * 200
+          val dataLen = 2 * nSamp
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16)
+            .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+            .putInt(sampleRate).putInt(sampleRate * 2)
+            .putShort(2.toShort).putShort(16.toShort)
+          bb.put("data".getBytes).putInt(dataLen)
+          var i = 0
+          while (i < nSamp) {
+            bb.putShort((((id * 31 + i.toLong * 17) % 4096) - 2048).toShort)
+            i += 1
+          }
+          val blob = bb.array()
+          if (id % 7 == 3) blob(0) = 'X'.toByte // smash the RIFF magic
+          (id, blob)
+        }
+      }.toDF("doc_id", "blob")
+  }
+
   final case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Int,
                             frame_md5: String, features: Array[Float])
 

@@ -199,4 +199,74 @@ class MultimodalSpec extends AnyFunSuite {
       val cos = r.getAs[Double]("cosine"); cos >= -1.0001 && cos <= 1.0001
     })
   }
+
+  test("resizeGrayRows: nearest-neighbor sampling hits exact source pixels; corrupt media drop out") {
+    import spark.implicits._
+    // two known images through a REAL PNG round trip: 16×8 gradient and
+    // 32×12 checker; plus one corrupt blob that must vanish, not crash
+    def px(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Byte]] =
+      Array.tabulate(h, w)((y, x) => (f(x, y) & 0xff).toByte)
+    val grad = Multimodal.encodeGrayPng(px(16, 8)((x, y) => x * 16 + y))
+    val check = Multimodal.encodeGrayPng(px(32, 12)((x, y) => ((x + y) % 2) * 255))
+    val media = Seq((1L, grad), (2L, check), (3L, "junk".getBytes))
+      .toDF("media_id", "blob")
+    val frames = Multimodal.decodedRows(media, "media_id", "blob",
+      Multimodal.FrameDecoder.png)
+    val out = Multimodal.resizeGrayRows(frames, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+
+    assert(out.size == 8 && !out.keys.exists(_._1 == 3L)) // 2 media × 4 rows
+    // nearest-neighbor = EXACT source pixels at (⌊x·w/4⌋, ⌊y·h/4⌋)
+    def hexRow(w: Int, h: Int, y: Int)(f: (Int, Int) => Int): String =
+      (0 until 4).map(x => f"${f(x * w / 4, y * h / 4) & 0xff}%02X").mkString
+    (0 until 4).foreach { y =>
+      assert(out((1L, y)) == hexRow(16, 8, y)((x, yy) => x * 16 + yy))
+      assert(out((2L, y)) == hexRow(32, 12, y)((x, yy) => ((x + yy) % 2) * 255))
+    }
+  }
+
+  test("extractAudioFeatures: integer DSP vs a hand-computed frame; corrupt and split-sample edges") {
+    import spark.implicits._
+    // one 8 kHz mono 16-bit blob with KNOWN samples: 50 ms frames = 400
+    // samples; 500 samples total → frame 0 full, frame 1 partial (100)
+    def wav(samples: Seq[Int], dropBytes: Int = 0): Array[Byte] = {
+      val dataLen = samples.length * 2 - dropBytes // declared AND written
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(1.toShort)
+        .putInt(8000).putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      bb.put("data".getBytes).putInt(dataLen)
+      val raw = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => raw.putShort(s.toShort))
+      bb.put(raw.array(), 0, dataLen)
+      bb.array()
+    }
+    val samples = (0 until 500).map(i => (i % 7) * 100 - 300) // crosses zero
+    val media = Seq((1L, wav(samples)), (2L, "nope".getBytes))
+      .toDF("media_id", "blob")
+    val rows = Multimodal.extractAudioFeatures(media, "media_id", "blob", 50)
+      .collect().sortBy(_.frame_idx)
+
+    assert(rows.map(_.media_id).toSet == Set(1L)) // corrupt row dropped
+    assert(rows.map(r => (r.frame_idx, r.n_samples)).toSeq == Seq((0L, 400L), (1L, 100L)))
+    def feats(s: Seq[Int]): (Long, Long, Long) = {
+      val sumsq = s.map(v => v.toLong * v).sum
+      val peak = s.map(v => math.abs(v.toLong)).max
+      val zc = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      (sumsq, peak, zc.toLong)
+    }
+    val (s0, p0, z0) = feats(samples.take(400))
+    val (s1, p1, z1) = feats(samples.drop(400))
+    assert((rows(0).sumsq, rows(0).peak, rows(0).zc) == ((s0, p0, z0)))
+    assert((rows(1).sumsq, rows(1).peak, rows(1).zc) == ((s1, p1, z1)))
+
+    // a data chunk with an odd byte count (last frame splits a sample):
+    // the dangling byte is ignored sample-wise, never an index error
+    val odd = wav(samples, dropBytes = 1) // declared dataLen 999
+    val oddRows = Multimodal.extractAudioFeatures(
+      Seq((1L, odd)).toDF("media_id", "blob"), "media_id", "blob", 50).collect()
+    assert(oddRows.map(_.n_samples).sum == 499L)
+  }
 }
