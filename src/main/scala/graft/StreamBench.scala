@@ -37,6 +37,24 @@ object StreamBench {
                           batches: Int, batchAvgMs: Long, batchMaxMs: Long,
                           parity: Boolean)
 
+  /** Standalone entry point for knob experiments (the in-bench path is
+    * [[Bench]] calling [[run]]): one JSON line per invocation. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Tables.configure(
+      org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir)
+    println(s"""{"streaming_events_per_sec":${r.eventsPerSec},""" +
+      s""""events":${r.events},"wall_sec":${r.wallSec},""" +
+      s""""batches":${r.batches},"batch_avg_ms":${r.batchAvgMs},""" +
+      s""""batch_max_ms":${r.batchMaxMs},"parity":${r.parity},""" +
+      s""""state_partitions":$StatePartitions,"max_per_trigger":$MaxPerTrigger}""")
+    spark.stop()
+  }
+
   /** Order-independent output fingerprint: count + Σ pmod(xxhash64, p).
     * pmod into [0, 1e9+7) keeps a 100k-row sum ~1e14 ≪ Long.Max, so the
     * distributed sum is exact under ANSI semantics on both sides. */
@@ -51,11 +69,25 @@ object StreamBench {
   // Admission sized so a micro-batch is SECONDS of work, not sub-second:
   // each trigger pays a fixed floor (planning + one RocksDB commit per
   // state partition), so tiny batches measure the floor, not the path.
-  // Measured at sf0.1: 12.5k/trigger → 15.7k ev/s (16 batches), 50k →
-  // 32.7k ev/s (4 batches, avg ~1.2s/trigger), 100k → 30.8k (the
-  // single-batch regime stops amortizing query startup). 50k is the
-  // knee; per-trigger latency stays under ~2.6s, reported alongside.
-  private val MaxPerTrigger = 50000L
+  // Measured at sf0.1 (200k events, standalone cold-JVM; the in-bench
+  // number runs JIT-warm and reads ~25% higher): 12.5k/trigger →
+  // 15.7k ev/s, 50k → 32.9k (4 batches, avg 1.2s), 100k → 36.6k,
+  // 200k → 39.8k — but ≥100k is the one-batch-per-workload regime
+  // (avg trigger 1.9–2.1s, max 2.7–3.0s): batch execution wearing
+  // streaming clothes. 50k is kept as the default — the largest
+  // trigger that still exercises a real multi-batch cadence (state
+  // carried across triggers, admission slicing live) with per-trigger
+  // latency ≤ ~2s; the env knob exists for sweeps.
+  private val MaxPerTrigger =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGER", "50000").toLong
+
+  // State-partition count (each is one RocksDB instance with a fixed
+  // per-batch commit cost) — env-overridable for knob sweeps. Measured
+  // at sf0.1, 50k trigger: 4 partitions → 31.4k ev/s, 8 → 32.9k,
+  // 16 → 25.9k (commit floor × instances dominates past the key-space
+  // parallelism). 8 is the knee for the fixture's ~20k keys.
+  private val StatePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
 
   /** Push `rows` into `Shards` feeds by key (per-key order preserved:
     * one key → one shard, pushed in (ts, tie) order), stream them back
@@ -132,7 +164,7 @@ object StreamBench {
     // partition sizing: grams of state per instance is misconfiguration).
     // Restored after the bench; batch queries keep the session value.
     val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
     try runInner(spark, sfDir)
     finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
   }
