@@ -172,7 +172,14 @@ object Multimodal {
     * [[extractFrames]], which reduces to hash + features): one
     * mapPartitions pass, no shuffle. Only (id, idx, row bytes) leaves
     * the stage — for image rows that is W bytes, not the compressed
-    * blob. */
+    * blob. Each row also carries the blob's total `n_frames`, so
+    * downstream per-media geometry (frame-sampling, vertical resize)
+    * needs NO dims aggregate + join-back — without it, deriving
+    * heights forces a second full decode of every blob (the plan
+    * audit on q145's first version showed exactly that: two decode
+    * arms + an exchange + a join, all gone now). The whole frame set
+    * of one blob is already in memory as the decoded image, so
+    * counting it first costs nothing extra. */
   def decodedRows(media: DataFrame, idCol: String, blobCol: String,
                   decoder: FrameDecoder): DataFrame = {
     val spark = media.sparkSession
@@ -181,9 +188,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
-          decoder.decode(blob).map(f => (id, f.idx, f.bytes.length, f.bytes))
+          val fs = decoder.decode(blob).toArray
+          fs.iterator.map(f => (id, f.idx, f.bytes.length, fs.length, f.bytes))
         }
-      }.toDF("media_id", "frame_idx", "n_bytes", "bytes")
+      }.toDF("media_id", "frame_idx", "n_bytes", "n_frames", "bytes")
   }
 
   /** q140 gate fixture: a deterministic grayscale PNG blob per doc_id —
@@ -211,38 +219,33 @@ object Multimodal {
   }
 
   /** Nearest-neighbor grayscale resize over DECODED frame rows (the
-    * [[decodedRows]] shape: one row per image row), to a fixed
-    * `outH`×`outW` — the resize + frame-sample stage of an image
-    * pipeline, expressed RELATIONALLY so Catalyst owns it end to end:
-    *  - vertical resample = frame-SAMPLING: per-media dims (one small
-    *    hash agg) explode to `outH` output coordinates whose
-    *    `src_y = ⌊y·h/outH⌋` join back to the frame rows — only the
-    *    sampled rows flow on; unsampled rows are dropped by the join,
-    *    never carried;
-    *  - horizontal resample = a codegen'd `transform` over the row
-    *    bytes (`substring` at `⌊x·w/outW⌋`) emitted as hex — no UDF,
-    *    no Scala closure in the hot path.
-    * Scale: two shuffles total (the dims agg + the dims⋈frames hash
-    * join, both on media_id — AQE broadcasts dims when small); work
-    * after the join is outH rows × outW byte lookups per media
-    * regardless of source resolution. */
+    * [[decodedRows]] shape: one row per image row, carrying its blob's
+    * `n_frames`), to a fixed `outH`×`outW` — the resize + frame-sample
+    * stage of an image pipeline, in ONE narrow (shuffle-free) pass of
+    * codegen'd expressions, no UDF:
+    *  - vertical resample = frame-SAMPLING: each row derives, from its
+    *    own (frame_idx, n_frames), the output coordinates `y` with
+    *    `⌊y·h/outH⌋ = frame_idx` (a filtered transform over
+    *    `sequence(0, outH−1)`, exploded) — unsampled rows produce an
+    *    empty array and drop out at the explode; no dims aggregate, no
+    *    join-back, no second decode (the first version paid all
+    *    three — caught by the plan audit);
+    *  - horizontal resample = `substring` at `⌊x·w/outW⌋` over the row
+    *    bytes (w = the row's own n_bytes), emitted as hex.
+    * Scale: zero exchanges; work is outH×outW byte lookups per media
+    * regardless of source resolution, and upstream column pruning
+    * still reaches the scan. */
   def resizeGrayRows(frames: DataFrame, outH: Int, outW: Int): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
-    // distinct column names on the dims side: `dims` derives from
-    // `frames`, so joining on media_id === media_id would hit Spark's
-    // ambiguous-self-join resolution (the q121 lesson) — rename instead
-    val dims = frames.groupBy($"media_id".as("m_id"))
-      .agg((max($"frame_idx") + 1).as("h"), max($"n_bytes").as("w"))
-    val wanted = dims
-      .select($"m_id", $"h", $"w",
-        explode(sequence(lit(0), lit(outH - 1))).as("y"))
-      .withColumn("src_y", expr(s"y * h div $outH"))
-    wanted.join(frames,
-        $"m_id" === $"media_id" && $"frame_idx" === $"src_y")
-      .select($"m_id".as("media_id"), $"y",
+    frames
+      .withColumn("y", explode(expr(
+        s"""filter(transform(sequence(0, ${outH - 1}),
+           |  y -> if(CAST(y AS BIGINT) * n_frames div $outH = CAST(frame_idx AS BIGINT), y, -1)),
+           |  v -> v >= 0)""".stripMargin)))
+      .select($"media_id", $"y",
         expr(s"""array_join(transform(sequence(0, ${outW - 1}),
-                 |  x -> hex(substring(bytes, CAST(CAST(x AS BIGINT) * w div $outW AS INT) + 1, 1))), '')"""
+                 |  x -> hex(substring(bytes, CAST(CAST(x AS BIGINT) * n_bytes div $outW AS INT) + 1, 1))), '')"""
           .stripMargin).as("row_hex"))
   }
 
