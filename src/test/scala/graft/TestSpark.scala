@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = graft.core.Tables.configure(
-        SparkSession.builder().master("local[4]").appName("graft-test"), "4")
+        // local[4, 2]: 4 threads, maxFailures 2 — lets ReplayRetrySpec
+        // prove task-retry determinism (deterministic specs never need
+        // the second attempt otherwise)
+        SparkSession.builder().master("local[4, 2]").appName("graft-test"), "4")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
