@@ -139,19 +139,26 @@ object ShuffleProbe {
       queries.foreach { q =>
         val (b0, b1) = (m0(q)._1, m1(q)._1)
         val (r0, r1) = (m0(q)._2, m1(q)._2)
-        def ex(a: Long, b: Long, kk0: Double, kk1: Double): Double =
-          if (a <= 0 || b <= 0) Double.NaN
-          else math.log(b.toDouble / a) / math.log(kk1 / kk0)
+        // an unmeasurable pair (a failed run's -1 sentinel, or a
+        // genuinely zero-shuffle query) must emit JSON null, never a
+        // bare NaN token (invalid JSON in the consolidated artifact)
+        def ex(a: Long, b: Long, kk0: Double, kk1: Double): String =
+          if (a <= 0 || b <= 0) "null"
+          else fmt(math.log(b.toDouble / a) / math.log(kk1 / kk0))
         val rp = mp(q)._2
         val lin = rp > 0 && r1 > rp * (k1 / kp) * 1.2
         val allowed = Allowlist.contains(q)
+        // a failure at ANY scale: the growth was never measured, so the
+        // row carries error:true (and the errors list exits 1) rather
+        // than a silently-false superlinear verdict
+        val err = measured.exists(m => m._2(q)._2 < 0)
         if (lin && !allowed) superlinear ::= q
         val row = s"""{"query":"$q","records":${measured.map(m => m._2(q)._2).mkString("[", ",", "]")},""" +
           s""""secs":${measured.map(m => fmt(m._2(q)._3)).mkString("[", ",", "]")},""" +
-          s""""records_exponent":${fmt(ex(r0, r1, k0, k1))},""" +
-          s""""records_exponent_large":${fmt(ex(rp, r1, kp, k1))},""" +
-          s""""bytes_exponent":${fmt(ex(b0, b1, k0, k1))},""" +
-          s""""superlinear":$lin,"allowlisted":$allowed}"""
+          s""""records_exponent":${ex(r0, r1, k0, k1)},""" +
+          s""""records_exponent_large":${ex(rp, r1, kp, k1)},""" +
+          s""""bytes_exponent":${ex(b0, b1, k0, k1)},""" +
+          s""""superlinear":$lin,"allowlisted":$allowed,"error":$err}"""
         artifactRows += row
         println(row)
       }

@@ -55,6 +55,12 @@ object StreamBench {
     spark.stop()
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Order-independent output fingerprint: count + Σ pmod(xxhash64, p).
     * pmod into [0, 1e9+7) keeps a 100k-row sum ~1e14 ≪ Long.Max, so the
     * distributed sum is exact under ANSI semantics on both sides. */
@@ -96,7 +102,7 @@ object StreamBench {
     * parity). */
   private def runOne[I <: Product, O: org.apache.spark.sql.Encoder](
       spark: SparkSession, name: String, input: Seq[I],
-      keyOf: I => Long, tsOf: I => Long, encode: I => String,
+      keyOf: I => Long, tsOf: I => Long, tieOf: I => Long, encode: I => String,
       parse: DataFrame => Dataset[I],
       batchOut: Dataset[O], machine: Long => graft.streaming.KeyedStateMachine[Long, I, O])
       : (Long, Double, Seq[Long], Boolean) = {
@@ -116,7 +122,7 @@ object StreamBench {
       .option("maxPerTrigger", MaxPerTrigger.toString)
       .load()
       .withWatermark("ts", "1 hour") // cross-shard skew bound (proportional admission)
-    val out = AspStream.run(parse(src))(keyOf, tsOf)(machine)
+    val out = AspStream.run(parse(src))(keyOf, tsOf, tieOf)(machine)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sbench-$name").toString
     val t0 = System.nanoTime()
     val q = out.writeStream
@@ -132,6 +138,9 @@ object StreamBench {
     } finally {
       q.stop()
       feeds.foreach(graft.sources.GraftFeed.clear)
+      // RocksDB checkpoint uploads are real disk: repeated bench rounds
+      // and knob sweeps would otherwise accumulate /tmp trees unbounded
+      deleteRecursively(new java.io.File(ckpt))
     }
     val wall = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
@@ -148,6 +157,16 @@ object StreamBench {
 
   def run(spark: SparkSession, sfDir: String): Result = {
     import spark.implicits._
+    // Session confs this bench needs are saved and RESTORED (not just
+    // shuffle.partitions): leaking the state-store mode into a shared
+    // session would make later streaming work in the same JVM (specs,
+    // user queries) silently run under a different checkpointing mode
+    // than when run alone — order-dependent behavior.
+    val touched = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = touched.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Changelog checkpointing: per-batch state commit uploads the delta,
@@ -163,10 +182,12 @@ object StreamBench {
     // space is overhead, not parallelism (the same rule as shuffle
     // partition sizing: grams of state per instance is misconfiguration).
     // Restored after the bench; batch queries keep the session value.
-    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
     try runInner(spark, sfDir)
-    finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   private def runInner(spark: SparkSession, sfDir: String): Result = {
@@ -183,7 +204,7 @@ object StreamBench {
     val asofBatch = Replay.run(ticksDs, "user_id", "ts_us", "seq")(
       _.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
     val (n1, w1, b1, p1) = runOne[Machines.MarketTick, Machines.AsOfRow](
-      spark, "asof", ticks, _.user_id, _.ts_us,
+      spark, "asof", ticks, _.user_id, _.ts_us, _.seq,
       t => s"${t.user_id},${t.seq},${t.kind},${t.value}",
       df => df.select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
         .select($"f"(0).cast("long").as("user_id"), $"ts_us",
@@ -197,7 +218,7 @@ object StreamBench {
     val cartBatch = Replay.run(opsDs, "user_id", "ts_us", "event_id")(
       _.user_id, _.ts_us)(uid => new Machines.CartMachineQ(uid, expiry))
     val (n2, w2, b2, p2) = runOne[Machines.CartOpQ, Machines.CartTotalQ](
-      spark, "cart", ops, _.user_id, _.ts_us,
+      spark, "cart", ops, _.user_id, _.ts_us, _.event_id,
       o => s"${o.user_id},${o.event_id},${o.name},${o.cost},${o.qty},${o.add}",
       df => df.select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
         .select($"f"(0).cast("long").as("user_id"), $"ts_us",

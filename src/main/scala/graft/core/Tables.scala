@@ -74,11 +74,13 @@ object Tables {
       // "Broadcasting large task binary" warnings: measured 2×1 MB
       // ScalarSubquery.result blobs inside q91/q134 stage plans, vs
       // ~100 KB for the rest of the plan). Fixture key spaces are ≤~100k,
-      // so 64k items (~60 KB filter) keeps the filter effective and the
-      // task binary small; an undersized bloom only raises its false-
-      // positive rate, never wrongness. At production scale size to the
-      // real build-side cardinality via the env override (or leave
-      // Spark's default by setting 1000000).
+      // so 16k items / 128k bits (a 16 KB filter, 8 bits/item ≈ 2% FPP)
+      // keeps the filter effective and the task binary small; an
+      // undersized bloom only raises its false-positive rate, never
+      // wrongness. At production scale raise BOTH env overrides
+      // together (items AND bits — ~8–10 bits per expected item; items
+      // alone would spread the same 128k bits over every key and prune
+      // nothing).
       .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
         sys.env.getOrElse("SPARK_GRAFT_BLOOM_ITEMS", "16384"))
       .config("spark.sql.optimizer.runtime.bloomFilter.numBits",

@@ -108,22 +108,28 @@ object WebSocketBridge {
                        onConnect: Int => Unit = _ => ()): AutoCloseable = {
     @volatile var closed = false
     @volatile var current: Handle = null
+    @volatile var inFlight: java.net.Socket = null // mid-handshake socket
     val lock = new Object
     val supervisor = new Thread(() => {
       var attempt = 0
       try while (!closed) {
         val h =
           try {
-            val conn = connect(host, port, path, feed, nowUs)
+            val conn = connect(host, port, path, feed, nowUs,
+              onSocket = s => lock.synchronized {
+                if (closed) s.close() // racing close(): abort immediately
+                else inFlight = s
+              })
             attempt += 1
             lock.synchronized {
+              inFlight = null
               if (closed) { conn.close(); null }
               else { current = conn; conn }
             }
           } catch {
             case _: InterruptedException | _: java.nio.channels.ClosedByInterruptException =>
               throw new InterruptedException // close(): stop retrying
-            case _: Exception => null // refused/half-open: retry
+            case _: Exception => inFlight = null; null // refused/half-open: retry
           }
         if (h != null) { onConnect(attempt); h.awaitClosed() }
         if (!closed) Thread.sleep(backoffMs)
@@ -132,7 +138,14 @@ object WebSocketBridge {
     supervisor.setDaemon(true)
     supervisor.start()
     () => {
-      lock.synchronized { closed = true }
+      lock.synchronized {
+        closed = true
+        // closing the raw socket is the only way to unblock a thread
+        // inside the handshake's socket reads (interrupt() is a no-op
+        // on blocking socket I/O)
+        val s = inFlight
+        if (s != null) { try s.close() catch { case _: Exception => () } }
+      }
       supervisor.interrupt()
       val c = current
       if (c != null) c.close()
@@ -145,8 +158,16 @@ object WebSocketBridge {
     * injectable for deterministic tests. */
   def connect(host: String, port: Int, path: String, feed: String,
               nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
-              handshakeTimeoutMs: Int = 30000): Handle = {
-    val sock = new Socket(host, port)
+              handshakeTimeoutMs: Int = 30000,
+              onSocket: Socket => Unit = _ => ()): Handle = {
+    // bounded TCP connect too: a SYN-blackholed peer would otherwise
+    // hold `new Socket(host, port)` for the OS default (minutes).
+    // `onSocket` hands the raw socket to the caller BEFORE any blocking
+    // I/O, so a supervisor's close() can abort an in-flight handshake
+    // (interrupt() does not unblock socket reads).
+    val sock = new Socket()
+    onSocket(sock)
+    sock.connect(new java.net.InetSocketAddress(host, port), handshakeTimeoutMs)
     // bounded handshake: a half-open connection must not block the
     // caller forever (no Handle exists yet, so close() is unreachable).
     // ANY handshake failure — timeout, refusal, bad accept — must close

@@ -68,7 +68,7 @@ object AspStream {
   }
 
   final class Processor[K, I, O](factory: K => KeyedStateMachine[K, I, O],
-                                 ts: I => Long)
+                                 ts: I => Long, tie: I => Long)
       extends StatefulProcessor[K, I, O] {
 
     @transient private var blob: ValueState[Array[Byte]] = _
@@ -154,11 +154,15 @@ object AspStream {
     override def handleInputRows(key: K, rows: Iterator[I], timerValues: TimerValues): Iterator[O] = {
       // micro-batch rows are not globally ordered: restore event-time
       // order within the batch (the replay guarantee, amortized per batch).
+      // The sort key is (ts, tie) — matching Replay.run's (key, ts,
+      // tieBreak) secondary sort exactly; ts alone would leave same-µs
+      // events in shuffle-arrival order and batch/stream parity would
+      // flip nondeterministically on tied timestamps.
       // This buffers ONE key's slice of ONE micro-batch — bounded by the
       // trigger interval, not the stream; a pathologically hot key in a
       // huge batch pays memory here, and the mitigation is a shorter
       // trigger (smaller batches), not a reorder buffer.
-      val sorted = rows.toVector.sortBy(ts)
+      val sorted = rows.toVector.sortBy(r => (ts(r), tie(r)))
       if (sorted.isEmpty) return Iterator.empty
       val (m, registered, ctx, lastUs) = load(key, ts(sorted.head))
       sorted.foreach { row =>
@@ -191,10 +195,13 @@ object AspStream {
   }
 
   /** Run `ds` (a streaming Dataset with an event-time watermark already
-    * set) through per-key machines. Append output, event-time timers. */
+    * set) through per-key machines. Append output, event-time timers.
+    * `tie` breaks same-microsecond ordering exactly like `Replay.run`'s
+    * tieBreak column (pass the same field for batch/stream parity);
+    * the default keeps arrival order for inputs without a tie field. */
   def run[I, K: Encoder, O: Encoder](ds: Dataset[I])(
-      key: I => K, ts: I => Long)(
+      key: I => K, ts: I => Long, tie: I => Long = (_: I) => 0L)(
       factory: K => KeyedStateMachine[K, I, O]): Dataset[O] =
     ds.groupByKey(key)
-      .transformWithState(new Processor(factory, ts), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new Processor(factory, ts, tie), TimeMode.EventTime(), OutputMode.Append())
 }

@@ -193,6 +193,13 @@ object Replay {
           .cast("int"))
       .drop("lo", "hi")
       .as[(K, Long, Long, I, Int)]
+      // consumed by BOTH the phase-2 summary fold and the phase-4 join:
+      // without materialization the source read + map + slice-tagging
+      // (and the bounds agg behind it) execute twice — the same
+      // diamond-reuse double-compute fixed at the q91/q105 sites. Lazy,
+      // so construction stays plan-only; the production substitute at
+      // durable scale is a persisted tagged-events table.
+      .localCheckpoint(eager = false)
 
     // phase 1+2: per-(key, slice) summary fold — the hot key fans out
     // over `slices` tasks here

@@ -54,7 +54,7 @@ class CepParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[PatternEvent]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(factory)
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(factory)
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cep").toString
     val q = out.writeStream.format("memory").queryName("cep_stream")

@@ -41,12 +41,22 @@ class ReplayRetrySpec extends AnyFunSuite {
         .collect().toSeq.sortBy(o => (o.user_id, o.ts_us, o.running))
 
     injected.set(0)
+    val failuresBefore = graft.TestSpark.taskFailures.get
     val baseline = run(inject = false)
     assert(injected.get == 0)
+    assert(graft.TestSpark.taskFailures.get == failuresBefore,
+      "the baseline run must not need a retry")
     assert(baseline.size == events.size) // one emit per event
 
     val withFailure = run(inject = true) // collect succeeding IS the retry working
-    assert(injected.get >= 1, "the injected failure must actually fire")
+    assert(injected.get == 1, "the injected failure must fire exactly once")
+    // the listener bus is async: give the TaskEnd event a moment to land
+    var spins = 0
+    while (graft.TestSpark.taskFailures.get < failuresBefore + 1 && spins < 100) {
+      Thread.sleep(50); spins += 1
+    }
+    assert(graft.TestSpark.taskFailures.get == failuresBefore + 1,
+      "exactly the one injected attempt may fail")
     assert(withFailure == baseline,
       "retried replay must be bit-identical to the unfailed run")
   }

@@ -33,7 +33,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[CartUpdate]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(
       Fixtures.cartFactory)
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
@@ -105,7 +105,7 @@ class StreamingParitySpec extends AnyFunSuite {
         .withColumn("ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts", "0 seconds")
         .as[CartUpdate]
-      AspStream.run(withWm)(_.user_id, _.ts_us)(Fixtures.cartFactory)
+      AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(Fixtures.cartFactory)
         .writeStream // memory sink can't recover a checkpoint; foreachBatch can
         .foreachBatch { (ds: org.apache.spark.sql.Dataset[CartTotal], _: Long) =>
           ds.collect().foreach(got.add)
@@ -157,7 +157,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[CartOpQ]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.event_id)(
       uid => new Machines.CartMachineQ(uid, expiry))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = out.writeStream.format("memory").queryName("cartq_stream")
@@ -203,7 +203,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[CartOpQ]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.event_id)(
       uid => new Machines.CartMachineQ(uid, expiry))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = out.writeStream.format("memory").queryName("subms_stream")
@@ -227,7 +227,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[CartUpdate]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(Fixtures.cartFactory)
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(Fixtures.cartFactory)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = out.writeStream.format("memory").queryName("dyn_stream")
       .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -274,7 +274,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "0 seconds")
       .as[Machines.MarketTick]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(uid => new Machines.AsOfMachine(uid))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = out.writeStream.format("memory").queryName("asof_stream")
       .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -300,7 +300,7 @@ class StreamingParitySpec extends AnyFunSuite {
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "10 minutes") // late rows NOT dropped by Spark
       .as[Machines.MarketTick]
-    val out = AspStream.run(withWm)(_.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
+    val out = AspStream.run(withWm)(_.user_id, _.ts_us, _.seq)(uid => new Machines.AsOfMachine(uid))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = out.writeStream.format("memory").queryName("late_stream")
       .option("checkpointLocation", ckpt).outputMode("append").start()
