@@ -3063,18 +3063,19 @@ object LlmQueries {
 
     // ---- Image RESIZE + frame-sample through the multimodal boundary
     // ([[Multimodal.resizeGrayRows]]): real PNG decode → nearest-
-    // neighbor resample to 8×8, expressed relationally — vertical
-    // resample IS frame-sampling (per-media dims explode to 8 output
-    // coords whose src_y joins back to the frame rows; unsampled rows
-    // are dropped by the join, never carried), horizontal resample is
-    // a codegen'd transform/substring over the row bytes. The oracle
+    // neighbor resample to 8×8 in ONE shuffle-free pass — each frame
+    // row derives its own sampled output coordinates from the
+    // (frame_idx, n_frames) it carries out of the decode (unsampled
+    // rows explode to nothing and drop out), horizontal resample is a
+    // codegen'd transform/substring over the row bytes. The oracle
     // recomputes the pixel generator at the SAMPLED coordinates
     // (⌊y·h/8⌋, ⌊x·w/8⌋) directly — it never sees a PNG — so a green
     // hash proves decode + the two resample axes compose losslessly,
     // and the corrupt population (doc_id % 7 == 3) drops out entirely.
-    // Scale: post-join work is 8 rows × 8 byte lookups per media
-    // regardless of source resolution — the whole point of resizing
-    // early in a media pipeline. ----
+    // Scale: the only exchange is the final presentation sort; work is
+    // 8 rows × 8 byte lookups per media regardless of source
+    // resolution — the whole point of resizing early in a media
+    // pipeline. ----
     QuerySpec.sql("q145_image_resize",
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
         |  WHERE doc_id % 7 <> 3),
