@@ -3137,6 +3137,51 @@ object LlmQueries {
         .select($"media_id".as("doc_id"), $"frame_idx", $"n_samples",
           $"sumsq", $"peak", $"zc")
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ---- Markup stripping, the web-corpus cleanup verb: crawl text
+    // arrives wrapped in HTML; training text must be the unwrapped,
+    // entity-decoded payload. The fixture wraps each document in
+    // deterministic markup (tags + the standard &amp;/&lt;/&gt;
+    // escaping, & escaped FIRST), and the operator under test strips
+    // tags with one global regex and decodes entities in the standard
+    // reverse order (&amp; LAST — the order that cannot double-decode
+    // an occurrence like '&amp;lt;'). matches_original is computed
+    // in-gate on BOTH sides: true for every row proves the strip is a
+    // lossless inverse of the wrap on the whole corpus, not just that
+    // two engines agree on some transform. Pure codegen'd string
+    // expressions, embarrassingly parallel, no shuffle but the
+    // presentation sort. ----
+    QuerySpec.sql("q147_strip_markup",
+      """WITH esc AS (SELECT doc_id, text,
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS e
+        |  FROM documents),
+        |wrapped AS (SELECT doc_id, text,
+        |    '<html><body><p id="d' || CAST(doc_id AS VARCHAR) ||
+        |      '" class="doc">' || e || '</p><br/></body></html>' AS w
+        |  FROM esc),
+        |stripped AS (SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(w, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    replace(replace(replace(regexp_replace(w, '<[^>]*>', '', 'g'),
+        |      '&gt;', '>'), '&lt;', '<'), '&amp;', '&') AS s
+        |  FROM wrapped)
+        |SELECT doc_id, md5(s) AS stripped_md5, s = text AS matches_original,
+        |  n_tags
+        |FROM stripped ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val esc = Tables.documents(s, d).select($"doc_id", $"text",
+        expr("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+          .as("e"))
+      val wrapped = esc.select($"doc_id", $"text",
+        concat(lit("<html><body><p id=\"d"), $"doc_id".cast("string"),
+          lit("\" class=\"doc\">"), $"e", lit("</p><br/></body></html>")).as("w"))
+      val stripped = wrapped.select($"doc_id", $"text",
+        size(regexp_extract_all($"w", lit("<[^>]*>"), lit(0))).cast("long")
+          .as("n_tags"),
+        expr("""replace(replace(replace(regexp_replace(w, '<[^>]*>', ''),
+                |  '&gt;', '>'), '&lt;', '<'), '&amp;', '&')""".stripMargin).as("s"))
+      stripped.select($"doc_id", md5(encode($"s", "UTF-8")).as("stripped_md5"),
+          ($"s" === $"text").as("matches_original"), $"n_tags")
+        .orderBy($"doc_id")
     }
   )
 
