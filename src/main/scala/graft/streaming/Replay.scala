@@ -183,9 +183,20 @@ object Replay {
         Encoders.scalaLong, Encoders.scalaLong, iEnc, sEnc)
 
     // (key, ts, tie, value) + time-slice id; bounds come from one tiny
-    // broadcast scalar agg — plan-only construction, no driver action
+    // broadcast scalar agg — plan-only construction, no driver action.
+    // `tagged` feeds BOTH the phase-2 summary fold and the phase-4
+    // join — a diamond. Unlike the q91/q105 sites, the DATA is not
+    // checkpointed here: at 100 TB a block-manager store + reload of
+    // the tagged events is strictly more I/O than the second pruned
+    // columnar scan it would save (and a 10M-row HotKeyProbe A/B of
+    // all three forms — no checkpoint, tagged checkpoint, bounds-only —
+    // measures them within run-to-run noise locally, so recompute wins
+    // on memory pressure alone). Only `bounds` is checkpointed, lazily:
+    // ONE stored row de-duplicates a full agg pass over the source,
+    // cutting the plan's 4 source passes to 3 for free.
     val base = ds.map(r => (key(r), ts(r), tie(r), r))
     val bounds = base.select(min(col("_2")).as("lo"), max(col("_2")).as("hi"))
+      .localCheckpoint(eager = false)
     val tagged: Dataset[(K, Long, Long, I, Int)] = base.toDF()
       .crossJoin(broadcast(bounds))
       .withColumn("_5",
@@ -193,13 +204,6 @@ object Replay {
           .cast("int"))
       .drop("lo", "hi")
       .as[(K, Long, Long, I, Int)]
-      // consumed by BOTH the phase-2 summary fold and the phase-4 join:
-      // without materialization the source read + map + slice-tagging
-      // (and the bounds agg behind it) execute twice — the same
-      // diamond-reuse double-compute fixed at the q91/q105 sites. Lazy,
-      // so construction stays plan-only; the production substitute at
-      // durable scale is a persisted tagged-events table.
-      .localCheckpoint(eager = false)
 
     // phase 1+2: per-(key, slice) summary fold — the hot key fans out
     // over `slices` tasks here
