@@ -42,10 +42,15 @@ object Compaction {
               zOrderBy: Seq[String] = Nil): Long = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "pass clusterBy (range) or zOrderBy (space-filling curve), not both")
-    val prev = spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes.toString)
-    try {
-      val df = spark.read.parquet(inDir)
+    // The advisory size is set on a CLONED session (same SparkContext,
+    // isolated SQL conf): a long compaction must not re-plan every
+    // concurrent AQE query in the caller's session with its advisory
+    // size, and overlapping compact() calls must not race a shared
+    // save/restore.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes.toString)
+    locally {
+      val df = s.read.parquet(inDir)
       val shaped: DataFrame =
         if (zOrderBy.nonEmpty) {
           val z = "__graft_z"
@@ -63,11 +68,6 @@ object Compaction {
        else writer)
         .parquet(outDir)
       countFiles(spark, outDir)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
-        case None    => spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      }
     }
   }
 

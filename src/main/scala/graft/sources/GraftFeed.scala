@@ -161,6 +161,11 @@ class GraftFeedProvider extends TableProvider with DataSourceRegister {
     // simple names keep the hand-rolled offset JSON trivially well-formed
     shards.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
       s"feed/shard names must match [A-Za-z0-9._-]+, got '$s'"))
+    // a duplicated shard name would pass the offset round-trip (sets
+    // dedupe) while planInputPartitions emits the shard TWICE — silent
+    // double-read of every record; reject loudly instead
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names in '${shards.mkString(",")}'")
     new GraftFeedTable(shards, sharded, retention, maxPerTrigger)
   }
 }

@@ -28,8 +28,12 @@ object SocketBridge {
   /** Connect and pump lines into `feed` until the peer closes (or
     * [[Handle.close]]). `nowUs` is injectable for deterministic tests. */
   def connect(host: String, port: Int, feed: String,
-              nowUs: () => Long = () => System.currentTimeMillis() * 1000L): Handle = {
-    val sock = new Socket(host, port)
+              nowUs: () => Long = () => System.currentTimeMillis() * 1000L,
+              connectTimeoutMs: Int = 30000): Handle = {
+    // bounded connect: a SYN-blackholed peer must not hold the caller
+    // for the OS default (minutes) — same discipline as WebSocketBridge
+    val sock = new Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
     val t = new Thread(() => {
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))

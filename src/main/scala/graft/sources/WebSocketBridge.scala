@@ -131,7 +131,14 @@ object WebSocketBridge {
               throw new InterruptedException // close(): stop retrying
             case _: Exception => inFlight = null; null // refused/half-open: retry
           }
-        if (h != null) { onConnect(attempt); h.awaitClosed() }
+        if (h != null) {
+          // a throwing ops hook must not kill the supervisor (the
+          // resilience contract) — log and keep the bridge alive
+          try onConnect(attempt)
+          catch { case e: Exception =>
+            System.err.println(s"[graft-ws] onConnect hook failed: $e") }
+          h.awaitClosed()
+        }
         if (!closed) Thread.sleep(backoffMs)
       } catch { case _: InterruptedException => () } // close() interrupts
     }, s"graft-ws-supervisor-$feed")
@@ -176,7 +183,10 @@ object WebSocketBridge {
       sock.setSoTimeout(handshakeTimeoutMs)
       val rnd = new SecureRandom()
       val out = sock.getOutputStream
-      val in = new DataInputStream(sock.getInputStream)
+      // buffered: the pump reads 2-10 header bytes per frame; raw
+      // socket reads would cost a syscall per byte on the hot path
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
 
       // -- handshake (§4.1) --
       val keyBytes = new Array[Byte](16)
@@ -259,6 +269,16 @@ object WebSocketBridge {
           }
           // negative = a 64-bit length with bit 63 set (hostile/corrupt)
           if (len < 0 || len > MaxFrameBytes) throw new IOException(s"bad frame length: $len")
+          // RFC 6455 §5.5: control frames (opcode high bit) are ≤125
+          // bytes and unfragmented — a 64 MB PING is hostile, not legal
+          if ((opcode & 0x8) != 0 && (len > 125 || !fin))
+            throw new IOException(s"bad control frame: opcode=$opcode len=$len fin=$fin")
+          // per-MESSAGE cap: the per-frame check alone would let an
+          // endless fin=0 CONTINUATION stream grow the reassembly
+          // buffer without bound — the exact allocation MaxFrameBytes
+          // exists to prevent
+          if (opcode == 0x0 && inText && text.size().toLong + len > MaxFrameBytes)
+            throw new IOException(s"fragmented message exceeds $MaxFrameBytes bytes")
           val maskKey = if (maskedByServer) {
             val m = new Array[Byte](4); in.readFully(m); m
           } else null
