@@ -37,19 +37,32 @@ case class MinhashMins(left: Expression, right: Expression)
       case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure("minhash_mins coeffs must be foldable (a literal)")
-        else if (right.eval() == null)
-          TypeCheckResult.TypeCheckFailure("minhash_mins coeffs must be a non-null literal")
         else {
-          val rows = right.eval().asInstanceOf[ArrayData]
-          if (rows.numElements() != 2)
-            TypeCheckResult.TypeCheckFailure(
-              "minhash_mins coeffs must be [aCoeffs, bCoeffs]")
+          val evaled = right.eval() // once — analysis re-runs this check
+          if (evaled == null)
+            TypeCheckResult.TypeCheckFailure("minhash_mins coeffs must be a non-null literal")
           else {
-            val a = rows.getArray(0); val b = rows.getArray(1)
-            if (a.numElements() != b.numElements() || a.numElements() == 0)
+            val rows = evaled.asInstanceOf[ArrayData]
+            if (rows.numElements() != 2)
               TypeCheckResult.TypeCheckFailure(
-                "minhash_mins coeff rows must be equal-length and non-empty")
-            else TypeCheckResult.TypeCheckSuccess
+                "minhash_mins coeffs must be [aCoeffs, bCoeffs]")
+            // row-level null guard BEFORE dereferencing (the LshPlaneBits
+            // discipline): a CAST(NULL AS ARRAY<BIGINT>) row must fail
+            // analysis cleanly, not NPE out of the analyzer
+            else if (rows.isNullAt(0) || rows.isNullAt(1))
+              TypeCheckResult.TypeCheckFailure(
+                "minhash_mins coeff rows must be non-null")
+            else {
+              val a = rows.getArray(0); val b = rows.getArray(1)
+              if (a.numElements() != b.numElements() || a.numElements() == 0)
+                TypeCheckResult.TypeCheckFailure(
+                  "minhash_mins coeff rows must be equal-length and non-empty")
+              else if ((0 until a.numElements()).exists(a.isNullAt) ||
+                       (0 until b.numElements()).exists(b.isNullAt))
+                TypeCheckResult.TypeCheckFailure(
+                  "minhash_mins coefficients must be non-null")
+              else TypeCheckResult.TypeCheckSuccess
+            }
           }
         }
       case _ => TypeCheckResult.TypeCheckFailure(

@@ -41,6 +41,11 @@ case class SliceId(left: Expression, right: Expression)
             val n = arr.numElements()
             if ((0 until n).exists(arr.isNullAt))
               TypeCheckResult.TypeCheckFailure("slice_id boundaries must be non-null")
+            // NaN is invisible to the ascending check (both <= compares
+            // are false around it) yet poisons the binary search — keys
+            // above a NaN boundary would get wrong slice ids silently
+            else if ((0 until n).exists(i => arr.getDouble(i).isNaN))
+              TypeCheckResult.TypeCheckFailure("slice_id boundaries must not contain NaN")
             else if ((1 until n).exists(i => arr.getDouble(i) <= arr.getDouble(i - 1)))
               TypeCheckResult.TypeCheckFailure("slice_id boundaries must be strictly ascending")
             else TypeCheckResult.TypeCheckSuccess

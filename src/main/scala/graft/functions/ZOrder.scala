@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -73,12 +73,17 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
       s"${e.code}\n$nullCheck"
     }.mkString("\n")
     val initNull = if (nullable) s"boolean ${ev.isNull} = false;" else ""
-    ev.copy(code =
+    val base = ev.copy(code =
       code"""
         $initNull
         long ${ev.value} = 0L;
         $parts
       """)
+    // non-nullable contract: consumers only skip the null branch when
+    // isNull == FalseLiteral; leaving the default fresh variable would
+    // make generated code reference a never-declared isNull_N (Janino
+    // compile failure → whole-stage falls back to interpretation)
+    if (nullable) base else base.copy(isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): ZOrderKey =

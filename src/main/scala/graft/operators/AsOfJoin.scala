@@ -93,6 +93,12 @@ object AsOfJoin {
       else col(c).cast("long")
     val packed = right
       .select(keys.map(col) :+ micros(right, rightTs).as("_t") :+ col(valueCol).as("_v"): _*)
+      // a NULL reference timestamp must not enter the timeline: packed
+      // arrays feed AsOfPick's binary search, where a null slot reads
+      // as ts=0 and would answer probes before the first real reference
+      // with that row's value — the non-null invariant AsOfPick
+      // documents is ENFORCED here, not assumed
+      .filter(col("_t").isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("_t"), col("_v")))).as("_tv"))
       .select(keys.map(col)

@@ -111,12 +111,14 @@ object RewriteGlobalRankWindow extends Rule[LogicalPlan] {
     fs.forall { case (f, _, len) => len == fullLen || f != GlobalRowNumber }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Window(exprs, Nil, order, child, _)
-        if order.nonEmpty && exprs.nonEmpty &&
-          exprs.forall(qualifies(_).isDefined) =>
-      GlobalSeq(
-        exprs.map(e => { val (f, a) = qualifies(e).get; (f, a, order.length) }),
-        order, child)
+    case w @ Window(exprs, Nil, order, child, _)
+        if order.nonEmpty && exprs.nonEmpty => // qualify each expr ONCE
+      val quals = exprs.map(qualifies)
+      if (quals.forall(_.isDefined))
+        GlobalSeq(
+          quals.map { q => val (f, a) = q.get; (f, a, order.length) },
+          order, child)
+      else w
     case GlobalSeq(fo, oo, GlobalSeq(fi, oi, child))
         if (isPrefix(oi, oo) || isPrefix(oo, oi)) &&
           // the outer order must be computable from the child alone (an
@@ -203,8 +205,12 @@ case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute, Int)],
     val prefixOrds: Array[Ordering[UnsafeRow]] = lens.map(l =>
       new LazilyGeneratedOrdering(boundOrder.take(l)).asInstanceOf[Ordering[UnsafeRow]])
     // smallest level whose prefix differs between prev and k (levels
-    // [i, lens.length) all changed); lens.length = nothing changed
-    def firstChanged(prev: UnsafeRow, k: UnsafeRow): Int = {
+    // [i, lens.length) all changed); lens.length = nothing changed.
+    // A function VALUE, not a local def: scalac lifts a local def to a
+    // private method of the exec node, so closures calling it would
+    // capture `this` and serialize the whole child plan per task — the
+    // same $outer hazard PartSummary's scaladoc documents.
+    val firstChanged: (UnsafeRow, UnsafeRow) => Int = (prev, k) => {
       var i = 0
       while (i < lens.length && prefixOrds(i).compare(prev, k) == 0) i += 1
       i
@@ -299,7 +305,9 @@ case class DistributedRankExec(funcs: Seq[(GlobalRankFunction, Attribute, Int)],
             case GlobalDenseRank =>
               distinctOffsets(li)(pid) - dups(li)(pid) + denseLocal(li)
           }
-          seqRow.setInt(f, value.toInt) // ranking fns are IntegerType in Spark
+          // ranking fns are IntegerType in Spark; past Int.MaxValue rows
+          // fail LOUDLY instead of wrapping to negative "ranks"
+          seqRow.setInt(f, Math.toIntExact(value))
           f += 1
         }
         proj(join(row, seqRow))

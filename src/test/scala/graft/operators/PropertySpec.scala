@@ -188,6 +188,36 @@ class PropertySpec extends AnyFunSuite {
     val z = df.select(graft.functions.ZOrderOps.zOrderKey(
       when($"id" < 0, $"a"), $"b").as("z")).collect()
     assert(z.forall(_.isNullAt(0)))
+
+    // non-nullable inputs take the isNull == FalseLiteral contract path:
+    // generate the projection DIRECTLY (no interpreted fallback hides a
+    // Janino failure) — an undeclared isNull variable fails compilation
+    // right here
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val nonNull = graft.functions.ZOrderKey(Seq(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false)))
+    assert(!nonNull.nullable)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateMutableProjection.generate(Seq(nonNull))
+    val row = InternalRow(5L, 9L)
+    assert(proj(row).getLong(0) == nonNull.eval(row).asInstanceOf[Long])
+  }
+
+  test("asOfBroadcast: null reference timestamps never enter the packed timeline") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // a NULL-ts quote row (value 99.0) must be dropped, not read as ts=0
+    val quotes = Seq((1L, Option(1000L), 10.0), (1L, Option.empty[Long], 99.0),
+      (1L, Option(3000L), 30.0)).toDF("user_id", "ts", "quote")
+    val trades = Seq((1L, 500L), (1L, 1500L), (1L, 3500L)).toDF("user_id", "ts")
+    val out = AsOfJoin.asOfBroadcast(trades, quotes, Seq("user_id"), "ts", "ts", "quote")
+      .orderBy($"ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("quote"))) // before first REAL ts
+    assert(out(1).getDouble(out(1).fieldIndex("quote")) == 10.0)
+    assert(out(2).getDouble(out(2).fieldIndex("quote")) == 30.0)
   }
 
   test("KmvSketch: any reduce/merge tree == brute-force min-k; estimate sane") {
