@@ -42,4 +42,11 @@ object PortableHash {
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
   }
   def md5ModLocal(s: String): Long = md5LongLocal(s) % P
+
+  /** Key → shard assignment shared by every sharded streaming operator
+    * (Bloom dedup, CMS, ...). ONE definition: a forked copy would
+    * silently diverge shard assignment between operators that pipelines
+    * assume shard identically. */
+  def shardOf(key: Long, nShards: Int): Int =
+    (md5ModLocal(s"shard|$key") % nShards).toInt
 }

@@ -45,25 +45,36 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = rightVals.foldLeft(
-      left.withColumn("_asof_ts", col(leftTs)).withColumn("_asof_tag", lit(1))
-    )((df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-
-    val r0 = right.select((keys ++ rightVals).map(col) :+ col(rightTs).as("_asof_ts"): _*)
+    // rightVals travel as ONE struct, not per-column: per-column
+    // last(ignoreNulls) would skip a null FIELD of the latest right row
+    // and stitch values from DIFFERENT rows into one output row (a row
+    // no real right row ever was). The struct is non-null whenever a
+    // right row exists — null fields included — so the as-of match is
+    // always the latest right ROW, the same semantics as a SQL ASOF
+    // JOIN. Null reference timestamps are filtered, never a timeline
+    // entry (the asOfBroadcast invariant, enforced in all three forms).
+    val rowType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
+    val l = left.withColumn("_asof_ts", col(leftTs)).withColumn("_asof_tag", lit(1))
+      .withColumn("_asof_row", lit(null).cast(rowType))
+    val r0 = right
+      .filter(col(rightTs).isNotNull)
+      .select(keys.map(col)
+        :+ struct(rightVals.map(col): _*).as("_asof_row")
+        :+ col(rightTs).as("_asof_ts"): _*)
       .withColumn("_asof_tag", lit(0))
-    val r = leftCols.filterNot(c => keys.contains(c) || rightVals.contains(c))
+    val r = leftCols.filterNot(keys.contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = l.unionByName(r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts"), col("_asof_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    rightVals.foldLeft(unioned) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    l.unionByName(r)
+      .withColumn("_asof_row", last(col("_asof_row"), ignoreNulls = true).over(w))
       .filter(col("_asof_tag") === 1)
-      .drop("_asof_ts", "_asof_tag")
+      .select(leftCols.filterNot(rightVals.contains).map(col)
+        ++ rightVals.map(c => col("_asof_row").getField(c).as(c)): _*)
   }
 
   /** Zero-shuffle as-of join for a SMALL reference side: each key's
@@ -130,11 +141,22 @@ object AsOfJoin {
                     valueCol: String): DataFrame = {
     val vt = right.schema(valueCol).dataType
     val tt = right.schema(rightTs).dataType
+    // (v, t) travel as ONE struct per neighbor so v0 and t0 (and v1/t1)
+    // always come from the SAME right row — per-column ignoreNulls would
+    // pair the last non-null VALUE with a newer row's timestamp when the
+    // newest right value is null, and the interpolation fraction built
+    // from that mixed pair is wrong. Null reference timestamps filtered
+    // (the asOfBroadcast invariant).
+    val pairType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vt),
+      org.apache.spark.sql.types.StructField("t", tt)))
     val l = left.withColumn("_asof_ts", col(leftTs)).withColumn("_asof_tag", lit(1))
-      .withColumn("_asof_v", lit(null).cast(vt))
-      .withColumn("_asof_src", lit(null).cast(tt))
-    val r0 = right.select(keys.map(col) :+ col(valueCol).as("_asof_v")
-      :+ col(rightTs).as("_asof_ts") :+ col(rightTs).as("_asof_src"): _*)
+      .withColumn("_asof_p", lit(null).cast(pairType))
+    val r0 = right
+      .filter(col(rightTs).isNotNull)
+      .select(keys.map(col)
+        :+ struct(col(valueCol).as("v"), col(rightTs).as("t")).as("_asof_p")
+        :+ col(rightTs).as("_asof_ts"): _*)
       .withColumn("_asof_tag", lit(0))
     val r = left.columns.filterNot(keys.contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -145,12 +167,14 @@ object AsOfJoin {
       .orderBy(col("_asof_ts"), col("_asof_tag"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     l.unionByName(r)
-      .withColumn("v0", last(col("_asof_v"), ignoreNulls = true).over(back))
-      .withColumn("t0", last(col("_asof_src"), ignoreNulls = true).over(back))
-      .withColumn("v1", first(col("_asof_v"), ignoreNulls = true).over(fwd))
-      .withColumn("t1", first(col("_asof_src"), ignoreNulls = true).over(fwd))
+      .withColumn("_b", last(col("_asof_p"), ignoreNulls = true).over(back))
+      .withColumn("_f", first(col("_asof_p"), ignoreNulls = true).over(fwd))
+      .withColumn("v0", col("_b").getField("v"))
+      .withColumn("t0", col("_b").getField("t"))
+      .withColumn("v1", col("_f").getField("v"))
+      .withColumn("t1", col("_f").getField("t"))
       .filter(col("_asof_tag") === 1)
-      .drop("_asof_ts", "_asof_tag", "_asof_v", "_asof_src")
+      .drop("_asof_ts", "_asof_tag", "_asof_p", "_b", "_f")
   }
 
   /** Range (interval) join: left rows matched to right rows whose timestamp

@@ -59,7 +59,12 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    if (e.count() <= driverThreshold) return driverUnionFind(e)
+    // eCount rides along: e is always either the initial checkpointed
+    // set (counted once here) or the previous round's `small` (already
+    // counted for ITS fixpoint test) — re-counting it every round would
+    // be one redundant Spark job per iteration
+    var eCount = e.count()
+    if (eCount <= driverThreshold) return driverUnionFind(e)
 
     var converged = false
     var iter = 0
@@ -82,9 +87,11 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
       // exact fixpoint test: same row count and nothing new ⇒ equal sets
-      converged = small.count() == e.count() &&
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = small
+      eCount = smallCount
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   * three forms equal).
   *
   * `ts` must be an integer epoch column (the q36 µs discipline) — the
-  * sentinel and interval predicates are integer comparisons. */
+  * sentinel and interval predicates are integer comparisons.
+  *
+  * Nullable-attribute caveat (deliberate, parity-locked): the filter is
+  * the standard warehouse lag-window idiom `prev IS NULL OR attr <>
+  * prev`, which DROPS a transition TO null (`attr <> prev` is SQL NULL)
+  * and KEEPS a row after a null (`prev IS NULL`). All three forms —
+  * this operator, the q118 oracle, and the live
+  * [[graft.streaming.Machines.ChangeMachine]] — implement exactly these
+  * semantics and CdcParitySpec pins them, nulls included. For
+  * dimensions whose attribute is genuinely nullable, compact with the
+  * null-safe variant instead: `lag(struct(attr))` + keep when the lag
+  * struct IS NULL or `!(attr <=> prev.attr)` (IS DISTINCT FROM). */
 object Scd2 {
   def build(df: DataFrame, key: String, ts: String, tieBreak: String,
             attr: String): DataFrame = {

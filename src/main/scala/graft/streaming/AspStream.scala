@@ -139,17 +139,11 @@ object AspStream {
     }
 
     /** Fire every pending timer with due ≤ `upTo`; returns the last
-      * fired due (Long.MinValue if none fired). */
-    private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Long = {
-      var lastFired = Long.MinValue
-      while (ctx.timers.nonEmpty && ctx.timers.head._1 <= upTo) {
-        val (due, _, tag) = ctx.timers.dequeue()
-        ctx.nowMicros = due
-        m.onTimer(due, tag, ctx)
-        lastFired = due
-      }
-      lastFired
-    }
+      * fired due (Long.MinValue if none fired). Forwarder — the single
+      * shared loop lives on [[Replay.fireDueTracked]] so batch/live
+      * timer semantics cannot fork. */
+    private def fireDue(m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Long =
+      Replay.fireDueTracked(m, ctx, upTo)
 
     override def handleInputRows(key: K, rows: Iterator[I], timerValues: TimerValues): Iterator[O] = {
       // micro-batch rows are not globally ordered: restore event-time

@@ -72,9 +72,13 @@ object Crossover {
     val lock = new Object
     var fired = false
 
+    // a source that reports NO latestOffset is treated as NOT caught up
+    // (counting it would fire onLiveStart after the first micro-batch
+    // with the whole backlog unread); sources used with runContinuous
+    // must report latestOffset in progress — GraftFeed does
     def caughtUp(p: StreamingQueryProgress): Boolean =
       p.id == q.id && p.sources.nonEmpty && p.sources.forall(s =>
-        s.latestOffset == null || s.endOffset == s.latestOffset)
+        s.latestOffset != null && s.endOffset == s.latestOffset)
 
     lazy val listener: StreamingQueryListener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()

@@ -128,12 +128,26 @@ object Replay {
 
   /** Fire every timer with due <= upTo, in (due, FIFO) order; firing may
     * schedule further timers (feedback loops, periodic ticks). */
-  private def fireDue[K, I, O](m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Unit =
+  private def fireDue[K, I, O](m: KeyedStateMachine[K, I, O], ctx: ReplayCtx[O], upTo: Long): Unit = {
+    fireDueTracked(m, ctx, upTo); ()
+  }
+
+  /** ONE definition of the timer-delivery loop for BOTH the batch
+    * replay and the live stream ([[AspStream.Processor]]): replay ≡
+    * live depends on these semantics never forking (the same rule as
+    * [[Machines.removeFifo]]). Returns the last fired due
+    * (Long.MinValue if none) — the live path's clock floor needs it. */
+  private[streaming] def fireDueTracked[K, I, O](m: KeyedStateMachine[K, I, O],
+                                                 ctx: ReplayCtx[O], upTo: Long): Long = {
+    var lastFired = Long.MinValue
     while (ctx.timers.nonEmpty && ctx.timers.head._1 <= upTo) {
       val (due, _, tag) = ctx.timers.dequeue()
       ctx.nowMicros = due
       m.onTimer(due, tag, ctx)
+      lastFired = due
     }
+    lastFired
+  }
 
   /** HOT-KEY BOUND of [[run]], and the mitigation for spliceable state.
     *

@@ -40,8 +40,8 @@ object StreamingBloomDedup {
   def posOf(j: Int, key: Long, mBits: Int): Int =
     (PortableHash.md5ModLocal(s"bloom$j|$key") % mBits).toInt
 
-  def shardOf(key: Long, nShards: Int): Int =
-    (PortableHash.md5ModLocal(s"shard|$key") % nShards).toInt
+  /** Forwarder: the single shared definition lives on [[PortableHash]]. */
+  def shardOf(key: Long, nShards: Int): Int = PortableHash.shardOf(key, nShards)
 
   /** Pure mask step, shared by the operator and the spec's re-derivation:
     * returns true (and sets the key's bits) iff some bit was unset. */

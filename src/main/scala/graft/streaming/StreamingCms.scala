@@ -37,8 +37,8 @@ object StreamingCms {
   def bucket(r: Int, key: Long): Int =
     (PortableHash.md5ModLocal(s"cms$r|$key") % Width).toInt
 
-  def shardOf(key: Long, nShards: Int): Int =
-    (PortableHash.md5ModLocal(s"shard|$key") % nShards).toInt
+  /** Forwarder: the single shared definition lives on [[PortableHash]]. */
+  def shardOf(key: Long, nShards: Int): Int = PortableHash.shardOf(key, nShards)
 
   /** Point estimate = min over rows of the key's counter (CMS read). */
   def estimate(counters: Array[Long], key: Long): Long = {

@@ -36,7 +36,13 @@ final class TypedCartProcessor(discountExpiryUs: Long)
   private def currentDiscount(eventTsUs: Long): Double = {
     if (!discount.exists()) {
       discount.update(0.9)
-      getHandle.registerTimer(discountExpiryUs / 1000)
+      // ceil-ms, NEVER floor: the watermark path must fire at-or-after
+      // the true µs expiry — a floor-ms registration would flip the
+      // discount off up to 999 µs early for an event in
+      // [floor-ms(expiry), expiry) delivered in a later micro-batch
+      // (the same rule as AspStream.storeMs; events between expiry and
+      // ceil-ms stay correct via the event-ts gate below)
+      getHandle.registerTimer(Math.floorDiv(discountExpiryUs + 999, 1000))
     }
     if (eventTsUs >= discountExpiryUs) { discount.update(1.0); 1.0 }
     else discount.get()
@@ -44,7 +50,9 @@ final class TypedCartProcessor(discountExpiryUs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[CartUpdate],
                                timerValues: TimerValues): Iterator[CartTotal] = {
-    rows.toVector.sortBy(_.ts_us).map { u =>
+    // (ts, seq): ts alone would leave same-µs updates in
+    // shuffle-arrival order — the AspStream tie-break rule
+    rows.toVector.sortBy(u => (u.ts_us, u.seq)).map { u =>
       val d = currentDiscount(u.ts_us)
       if (u.add) items.appendValue(CartItem(u.name, u.cost * d, u.qty))
       else {
