@@ -41,7 +41,12 @@ object Events {
   /** Per-key delivery sequence — the scalable form: partitions by key, so
     * the sort is a distributed shuffle+sort, not a single task. */
   def keyedSeq(events: DataFrame, key: String, ts: String = "ts", tieBreak: String = "event_id"): DataFrame =
-    events.withColumn("seq", row_number().over(Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))))
+    // long, matching replaySeq/Prefix.seq: the two interchangeable forms
+    // must produce one schema (row_number alone is int — and int caps a
+    // key at 2^31 rows, wrong for the scale the global form targets)
+    events.withColumn("seq", row_number()
+      .over(Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak)))
+      .cast("long"))
 
   /** `call_later(delay, f)` in batch replay (processor.py:41-62): a
     * scheduled callback is just a synthetic event at `ts + delay` whose
@@ -68,7 +73,12 @@ object Events {
   def timerTicks(spark: org.apache.spark.sql.SparkSession,
                  start: Column, end: Column, step: Column): DataFrame =
     spark.range(1).select(
-      explode(sequence(start + step, end, step)).as("tick_ts"))
+      // guarded: Spark's sequence THROWS on start > stop with a positive
+      // step, but a window shorter than one step must yield zero ticks
+      // (the reference's `while tick <= end` loop simply never enters);
+      // `when` without otherwise gives NULL and explode drops NULL rows
+      explode(when(start + step <= end, sequence(start + step, end, step)))
+        .as("tick_ts"))
 
   /** Positional zip-merge — faithful to the reference's
     * `merge_timeseries` (examples/common.py:18-22): takes the k-th element

@@ -40,7 +40,12 @@ object CorpusDedup {
     corpus.select(PortableHash.md5Long(col("text")).as("th")).distinct()
 
   /** One row per new doc: doc_id, verdict ('exact_dup' | 'near_dup' |
-    * 'keep'). `newDocs` may be a streaming DataFrame — the plan adapts:
+    * 'keep'). PRECONDITION: `newDocs.doc_id` is unique — the batch
+    * branch aggregates per doc_id (a duplicated id would blend two
+    * documents into one verdict) while the streaming branch is per-row;
+    * the documented batch ≡ streaming parity holds only for unique ids.
+    * Re-ingest pipelines should exact-dedup (q40) before this call.
+    * `newDocs` may be a streaming DataFrame — the plan adapts:
     *
     *   - BATCH: band keys explode to (doc, band, bkey), ONE semi-join
     *     against the index, per-doc flag aggregation — two shuffles,

@@ -46,7 +46,16 @@ object KMeans {
     val cands = cb.map { c =>
       val cos = quantDot(xq, c).cast("double") /
         sqrt(nrm.cast("double") * lit(c.nrm.toDouble))
-      struct(cos.as("cosine"), lit(-c.cell).as("negCell"))
+      // zero-norm guard: 0/0 is NaN and Spark orders NaN ABOVE every
+      // real cosine, so an all-zero centroid (empty-doc embedding among
+      // the seeds, or a cell whose means all truncate to 0) would win
+      // argmax for EVERY row and silently capture the whole dataset.
+      // Score the degenerate pair below any real cosine instead; ties
+      // still resolve to the lowest cell id.
+      val safe =
+        if (c.nrm == 0L) lit(-2.0)
+        else when(nrm === 0L, lit(-2.0)).otherwise(cos)
+      struct(safe.as("cosine"), lit(-c.cell).as("negCell"))
     }
     -array_max(array(cands: _*)).getField("negCell")
   }
@@ -87,6 +96,12 @@ object KMeans {
         .collect()
       cb = sums.groupBy(_.getLong(0)).toSeq.map { case (cell, rows) =>
         val c = rows.sortBy(_.getInt(1))
+          // double-divide-then-truncate ON PURPOSE, not exact integer
+          // division: the DuckDB oracle computes trunc(s::DOUBLE / cnt)
+          // (lloydSql), and IEEE division is bit-deterministic on both
+          // engines at ANY magnitude — the cross-engine hash holds even
+          // where |s| > 2^53 makes the value differ from the exact
+          // integer mean (a sub-ulp centroid nudge, irrelevant to Lloyd)
           .map(r => (r.getLong(2).toDouble / r.getLong(3).toDouble).toLong)
           .toIndexedSeq
         Centroid(cell, c, c.map(v => v * v).sum)

@@ -65,7 +65,13 @@ object Multimodal {
       * non-PCM format tag) decode to ZERO frames: a corrupt row drops
       * out of the output instead of killing the task — at 100 TB some
       * fraction of any media corpus IS corrupt. */
-    def wav(windowMs: Int): FrameDecoder = new FrameDecoder {
+    def wav(windowMs: Int): FrameDecoder = {
+      // operator parameter, not data: fail construction, not decode.
+      // The 1h ceiling also keeps byteRate(<=2^40) * windowMs far from
+      // Long wrap, making the frame-size math below overflow-free.
+      require(windowMs > 0 && windowMs <= 3600000,
+        s"wav windowMs must be in (0, 3600000], got $windowMs")
+      new FrameDecoder {
       private def le16(b: Array[Byte], o: Int): Int =
         (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       private def le32(b: Array[Byte], o: Int): Long =
@@ -111,6 +117,7 @@ object Multimodal {
         }
       }
     }
+    }
 
     /** A REAL compressed-image codec through the same boundary, using
       * the JDK's built-in `javax.imageio` PNG reader — no external
@@ -135,11 +142,16 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         if (w <= 0 || h <= 0) return Iterator.empty
         val raster = img.getRaster
+        // >8-bit samples (16-bit grayscale PNG) keep the HIGH byte:
+        // masking the low byte would map gray 0x0100 -> 0x00 while
+        // 0x00FF -> 0xFF, destroying ordinal structure silently
+        val bits = img.getColorModel.getComponentSize(0)
+        val shift = math.max(0, bits - 8)
         Iterator.range(0, h).map { y =>
           val s = raster.getSamples(0, y, w, 1, 0, null: Array[Int])
           val row = new Array[Byte](w)
           var x = 0
-          while (x < w) { row(x) = (s(x) & 0xff).toByte; x += 1 }
+          while (x < w) { row(x) = ((s(x) >> shift) & 0xff).toByte; x += 1 }
           Frame(y, row)
         }
       }
@@ -188,6 +200,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, blob) =>
+          // buffers ONE blob's frames (the PNG image is already fully in
+          // memory; for WAV this transiently doubles the data chunk) —
+          // bounded by the module's chunk-store rule: blobs >~100 MB are
+          // stored one row per chunk, so a row's frames fit task memory
           val fs = decoder.decode(blob).toArray
           fs.iterator.map(f => (id, f.idx, f.bytes.length, fs.length, f.bytes))
         }
