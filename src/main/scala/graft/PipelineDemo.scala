@@ -75,7 +75,7 @@ object PipelineDemo {
       // the gated survivor selection (bands -> components -> best per
       // cluster) run against the compacted tables
       val survivors = SparkEntry.queries("q65_dedup_survivors")(spark, tables)
-        .select(col("keep_id").as("doc_id")).localCheckpoint(eager = false)
+        .select(col("keep_id").as("doc_id")).transform(graft.Materialize(_))
       val kept = docs.join(survivors, "doc_id")
       kept.write.mode("overwrite").parquet(s"$dedup/documents.parquet")
       val n = spark.read.parquet(s"$dedup/documents.parquet").count()
@@ -129,7 +129,16 @@ object PipelineDemo {
     val spark = core.Tables.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MATERIALIZE=table runs every reuse point in the
+    // durable persisted-table mode (the executor-loss-safe production
+    // posture; see graft.Materialize) — scratch under the work dir so
+    // one `rm -rf` clears the run
+    sys.env.get("SPARK_GRAFT_MATERIALIZE").foreach { m =>
+      spark.conf.set(Materialize.ModeKey, m)
+      spark.conf.set(Materialize.DirKey, s"$workDir/materialize")
+    }
     val stages = run(spark, srcDir, workDir)
+    Materialize.cleanup(spark)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val js = stages.map(s =>
         s"""{"stage":"${s.name}","secs":${fmt(s.secs)},"rows":${s.rows},"note":"${s.note}"}""")

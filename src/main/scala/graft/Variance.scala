@@ -50,7 +50,12 @@ object Variance {
         reset()
         s
       }.sorted
-      val med = times(times.size / 2)
+      // true median: average the two middle elements when reps is even
+      // (times(n/2) alone is the upper-middle — biased high for reps=4/6)
+      val med =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+
       val row = s"""{"query":"$q","reps":$reps,"min":${fmt(times.head)},""" +
         s""""median":${fmt(med)},"max":${fmt(times.last)},""" +
         s""""spread_pct":${fmt((times.last / times.head - 1) * 100)},""" +

@@ -14,7 +14,7 @@ import graft.functions.PortableHash
   *   - distinct LSH band keys per band (near-dup candidate check).
   *
   * For a STREAMING probe, MATERIALIZE the index first
-  * (`localCheckpoint()` locally; a stored table — band-partitioned, so
+  * ([[graft.Materialize]]; a stored table — band-partitioned, so
   * the per-band filters prune — in production): that plan scans the
   * band index once per band per micro-batch, and an unmaterialized
   * index would re-derive the corpus signature pipeline per scan. The

@@ -83,7 +83,7 @@ object KMeans {
     val base = emb.select(col("vec_id"),
         transform(col("embedding"), x => VectorOps.quant(x)).as("xq"),
         VectorOps.sqNormQ(col("embedding")).as("nrm"))
-      .localCheckpoint()
+      .transform(graft.Materialize.eager(_))
     var cb = seedCodebook(base, k)
     for (_ <- 1 to iterations) {
       val assign = base.select(col("vec_id"), col("xq"),

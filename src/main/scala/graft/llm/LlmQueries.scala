@@ -200,7 +200,7 @@ object LlmQueries {
 
   /** [[lshPairs]] over an already-computed signature frame — callers
     * that reuse `sig` elsewhere in the same plan materialize it once
-    * (localCheckpoint / a signatures table at 100 TB) and band from
+    * ([[graft.Materialize]] / a signatures table at 100 TB) and band from
     * that, so the shingle+md5 pipeline doesn't re-run per self-join
     * branch. */
   private def lshPairsFromSig(sig: DataFrame): DataFrame = {
@@ -208,18 +208,18 @@ object LlmQueries {
     // subtrees to Catalyst (exchange reuse does not apply across the
     // alias split — verified on the executed plan), so without this the
     // whole shingle→md5→16-min signature pipeline computes TWICE.
-    // localCheckpoint is the LOCAL-mode stand-in only, and LAZY
-    // (eager = false): construction stays plan-only — explain/plan
-    // inspection via SparkEntry.queries launches no jobs — and the
-    // first action materializes the RDD once; both self-join branches
-    // share it because BlockManager's per-block locking makes the
-    // second stage's tasks wait on (then read) the cached block rather
-    // than recompute. Still non-fault-tolerant (lineage truncated —
-    // executor loss is unrecoverable). The production substitute at
-    // 100 TB is a RELIABLE materialization: the signatures/bands table
-    // written to storage (parquet or df.checkpoint on a reliable dir),
-    // then banded from that.
-    val bands = bandKeys(sig).localCheckpoint(eager = false)
+    // graft.Materialize picks the strategy: default localCheckpoint is
+    // the LOCAL-mode stand-in, and LAZY (eager = false) — construction
+    // stays plan-only (explain/plan inspection via SparkEntry.queries
+    // launches no jobs) and the first action materializes the RDD once;
+    // both self-join branches share it because BlockManager's per-block
+    // locking makes the second stage's tasks wait on (then read) the
+    // cached block rather than recompute. That mode is non-fault-
+    // tolerant (lineage truncated — executor loss is unrecoverable);
+    // spark.graft.materialize.mode=table is the RELIABLE form — the
+    // signatures/bands table written to storage and banded from that,
+    // exactly the 100 TB substitute, executable with one conf.
+    val bands = bandKeys(sig).transform(graft.Materialize(_))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -523,7 +523,7 @@ object LlmQueries {
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       val grams = shingles(Tables.documents(s, d)).filter($"doc_id" < 100)
         .distinct()
-        .localCheckpoint(eager = false) // feeds counts + BOTH self-join branches: one compute
+        .transform(graft.Materialize(_)) // feeds counts + BOTH self-join branches: one compute
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -663,7 +663,7 @@ object LlmQueries {
          |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
          |SELECT a_id, b_id, bucket, cosine FROM cos WHERE cosine >= 0.35
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-      val b = bucketedEmb(s, d).localCheckpoint(eager = false) // self-join: one compute
+      val b = bucketedEmb(s, d).transform(graft.Materialize(_)) // self-join: one compute
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -698,7 +698,7 @@ object LlmQueries {
       // materialized for the same self-join double-compute reason as
       // lshPairsFromSig (q138's capped variant checkpoints after the
       // population window instead)
-      val banded = ndBanded(base).localCheckpoint(eager = false)
+      val banded = ndBanded(base).transform(graft.Materialize(_))
       val pairs = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -1031,14 +1031,14 @@ object LlmQueries {
       val labelsAll = labels.unionByName(
           docs.join(labels, Seq("doc_id"), "left_anti")
             .select($"doc_id", $"doc_id".as("cluster_id")))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val nTok = size(split($"text", " ")).cast("long")
       val digitRatio =
         length(regexp_replace($"text", "[^0-9]", "")).cast("double") / length($"text")
       val docsq = labelsAll.join(docs, "doc_id")
         .select($"doc_id", $"cluster_id",
           (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)).as("quality"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val best = docsq.groupBy($"cluster_id").agg(max($"quality").as("kept_quality"))
       val keep = docsq.as("d").join(best.as("b"),
           col("d.cluster_id") === col("b.cluster_id") &&
@@ -1103,7 +1103,7 @@ object LlmQueries {
       // twice (the q91 lesson — constraint inference defeats exchange
       // reuse). At 100 TB this is the term-frequency table written once.
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
@@ -1198,7 +1198,7 @@ object LlmQueries {
          |SELECT b_id AS doc_id, min(a_id) AS dup_of
          |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val bands = bandKeys(rowSignature(Tables.documents(s, d)))
-        .localCheckpoint(eager = false) // self-join: one signature compute
+        .transform(graft.Materialize(_)) // self-join: one signature compute
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1627,13 +1627,13 @@ object LlmQueries {
       // self-join AND both sides of the estimate join; pairs feed the
       // estimate AND the candidate set; grams feed counts AND their own
       // self-join. Each reuse point is materialized once
-      // (localCheckpoint — the same discipline ConnectedComponents
+      // (graft.Materialize — the same discipline ConnectedComponents
       // applies to its edge set; at 100 TB these would be signature /
       // candidate tables written once and joined from), otherwise the
       // shingle+md5 pipeline re-executes per branch — the unmaterialized
       // plan re-scans documents 48 times.
-      val sig = minhashSig(docs).localCheckpoint(eager = false)
-      val pairs = lshPairsFromSig(sig).localCheckpoint(eager = false)
+      val sig = minhashSig(docs).transform(graft.Materialize(_))
+      val pairs = lshPairsFromSig(sig).transform(graft.Materialize(_))
       val eqSum = (0 until 16)
         .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
         .reduce(_ + _)
@@ -1648,7 +1648,7 @@ object LlmQueries {
       val grams = shingles(docs)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .distinct()
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1931,13 +1931,13 @@ object LlmQueries {
       // same reuse-point materialization as q91: pairs feed the
       // candidate set and the final join; grams feed counts and their
       // own self-join
-      val pairs = lshPairs(docs).localCheckpoint(eager = false)
+      val pairs = lshPairs(docs).transform(graft.Materialize(_))
       val candIds = pairs.select($"a_id".as("doc_id"))
         .union(pairs.select($"b_id".as("doc_id"))).distinct()
       val grams = shingles(docs)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .distinct()
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -2092,8 +2092,8 @@ object LlmQueries {
       // grams feed counts AND their own self-join; pairs probe the hits
       // join — materialize both reuse points (the q91 discipline)
       val grams = shingles(docs).filter($"doc_id" < 250).distinct()
-        .localCheckpoint(eager = false)
-      val pairs = lshPairs(docs).localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
+      val pairs = lshPairs(docs).transform(graft.Materialize(_))
       val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a").join(grams.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -2151,7 +2151,7 @@ object LlmQueries {
       // written once)
       val names = Tables.part(s, d)
         .groupBy($"p_name").agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val w = names.select($"p_name", explode(split($"p_name", " ")).as("w"))
       val cand = w.as("a").join(w.as("b"),
           col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
@@ -2278,7 +2278,7 @@ object LlmQueries {
       val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
           Seq($"ccos".desc, $"cid"), 1)
         .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"), $"ccos")
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val pairs = assign.as("a").join(assign.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -2369,7 +2369,7 @@ object LlmQueries {
       // base feeds the index join AND the query side — materialize the
       // reuse point (q91 discipline) or embeddings re-scans per branch
       val base = emb.select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       // corpus partitioned by TRAINED cell (the built index)
       val indexed = base.join(assign, "vec_id")
       // query side: score the 5 probe vectors against the broadcast
@@ -2476,10 +2476,10 @@ object LlmQueries {
       def sketch(t: String) = cohort(t)
         .select(PortableHash.md5Mod($"user_id".cast("string")).as("h"))
         .distinct().orderBy($"h".asc).limit(64) // TakeOrdered: min-k, distributed
-      val sa = sketch("purchase").localCheckpoint(eager = false)
-      val sb = sketch("view").localCheckpoint(eager = false)
+      val sa = sketch("purchase").transform(graft.Materialize(_))
+      val sb = sketch("view").transform(graft.Materialize(_))
       val su = sa.unionAll(sb).distinct().orderBy($"h".asc).limit(64)
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val k = su.agg(max($"h").as("hk"), count(lit(1)).as("mu"))
       val mt = su.join(sa.select($"h"), Seq("h"), "left_semi")
         .join(sb.select($"h"), Seq("h"), "left_semi")
@@ -2591,7 +2591,7 @@ object LlmQueries {
          |  CAST(rt.hits AS DOUBLE) / 3.0 AS recall_trained
          |FROM ru JOIN rt ON rt.q_id = ru.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
       val ctx = ivfPqCtx(s, d)
-      val exact = exactTop3Df(ctx.emb).localCheckpoint(eager = false) // reused twice
+      val exact = exactTop3Df(ctx.emb).transform(graft.Materialize(_)) // reused twice
       val untrained = ivfPqTop3(ctx).select($"q_id", $"c_id")
       val cwT = trainPqCodebook(ctx.resid, ctx.cwSeed, PqTrainRounds)
       val short = Windows.topKPerGroup(
@@ -2699,16 +2699,16 @@ object LlmQueries {
          |  m.n_star_pairs * 10000 // m.n_true_pairs AS recall_star_bp,
          |  cmp.n_nodes, cmp.n_label_mismatch, cmp.n_comp_true, cmp.n_comp_star
          |FROM m, cmp""".stripMargin) { (s, d) =>
-      val bands = bandKeys(minhashSig(Tables.documents(s, d))).localCheckpoint(eager = false)
+      val bands = bandKeys(minhashSig(Tables.documents(s, d))).transform(graft.Materialize(_))
       val truePairs = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-        .distinct().localCheckpoint(eager = false)
+        .distinct().transform(graft.Materialize(_))
       val capped = Skew.boundedBucketPairs(bands, Seq("band", "bkey"), "doc_id",
         TextBucketCap)
       val star = Skew.boundedBucketPairsStar(bands, Seq("band", "bkey"), "doc_id",
-        TextBucketCap).localCheckpoint(eager = false)
+        TextBucketCap).transform(graft.Materialize(_))
       val compTrue = graft.operators.ConnectedComponents.run(truePairs, "a_id", "b_id")
       val compStar = graft.operators.ConnectedComponents.run(star, "a_id", "b_id")
       val cmp = compTrue.select($"node", $"component".as("c_t"))
@@ -2931,7 +2931,7 @@ object LlmQueries {
       val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
           Seq($"ccos".desc, $"cid"), 1)
         .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       // exact verify of a candidate set: join true vectors back by id,
       // keep pairs over the threshold — SAME expression shape both
       // engines (integer dot/norm, one double division + sqrt)
@@ -2945,10 +2945,10 @@ object LlmQueries {
       val trueCand = assign.as("a").join(assign.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      val truePairs = verified(trueCand).localCheckpoint(eager = false)
+      val truePairs = verified(trueCand).transform(graft.Materialize(_))
       val cappedCand = Skew.boundedBucketPairsStar(
         assign.select($"vec_id", $"cell"), Seq("cell"), "vec_id", SemCap)
-      val cappedPairs = verified(cappedCand).localCheckpoint(eager = false)
+      val cappedPairs = verified(cappedCand).transform(graft.Materialize(_))
       val compT = ConnectedComponents.run(truePairs, "a_id", "b_id")
         .select($"node".as("vec_id"), $"component".as("ct0"))
       val compC = ConnectedComponents.run(cappedPairs, "a_id", "b_id")
@@ -3039,7 +3039,7 @@ object LlmQueries {
       val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
           Seq($"ccos".desc, $"cid"), 1)
         .select($"vec_id", $"embedding", $"nrm", $"cid".as("cell"), $"ccos")
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize(_))
       val cand = Skew.boundedBucketPairsStar(
         assign.select($"vec_id", $"cell"), Seq("cell"), "vec_id", SemCap)
       val pairs = cand
@@ -3276,7 +3276,7 @@ object LlmQueries {
       .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
     val base = emb.select($"vec_id",
         transform($"embedding", x => VectorOps.quant(x)).as("xq"))
-      .localCheckpoint(eager = false) // reused: residuals, codebook collect, queries
+      .transform(graft.Materialize(_)) // reused: residuals, codebook collect, queries
     // coarse assignment + probes — the q55 discipline verbatim
     val cents = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
@@ -3302,7 +3302,7 @@ object LlmQueries {
     val centComps = seedRows.map(_._2.toIndexedSeq).toIndexedSeq
     val resid = base.join(assign, "vec_id")
       .select($"vec_id", $"cell", IvfPq.residual($"xq", $"cell", centComps).as("r"))
-      .localCheckpoint(eager = false) // feeds the codebook collect AND the encode
+      .transform(graft.Materialize(_)) // feeds the codebook collect AND the encode
     // seed PQ codebook = residuals of vec_id 8..15 (8×64 longs,
     // driver-sized); cw(cid) is positional too — assert likewise
     val cwRows = resid

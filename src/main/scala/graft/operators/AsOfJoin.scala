@@ -70,11 +70,19 @@ object AsOfJoin {
       .orderBy(col("_asof_ts"), col("_asof_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Output columns keep the LEFT schema's positions (a rightVal that
+    // shadows a left column is substituted in place, not moved to the
+    // end) — positional consumers (select-by-index, unionByName=false)
+    // see the same layout as `left`; rightVals new to the left schema
+    // append after it.
+    val outCols = leftCols.map { c =>
+        if (rightVals.contains(c)) col("_asof_row").getField(c).as(c) else col(c)
+      } ++ rightVals.filterNot(leftCols.contains)
+        .map(c => col("_asof_row").getField(c).as(c))
     l.unionByName(r)
       .withColumn("_asof_row", last(col("_asof_row"), ignoreNulls = true).over(w))
       .filter(col("_asof_tag") === 1)
-      .select(leftCols.filterNot(rightVals.contains).map(col)
-        ++ rightVals.map(c => col("_asof_row").getField(c).as(c)): _*)
+      .select(outCols: _*)
   }
 
   /** Zero-shuffle as-of join for a SMALL reference side: each key's

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * heuristic) is reached monotonically; at fixpoint every non-root node
   * holds exactly the edge (node → component-min).
   *
-  * Each round `localCheckpoint`s the edge set to truncate the iterative
-  * lineage (on a cluster with executor loss concerns, swap for a
-  * reliable `checkpoint` dir — same call shape).
+  * Each round materializes the edge set through the
+  * [[graft.Materialize]] seam to truncate the iterative lineage —
+  * `localCheckpoint` by default; on a cluster with executor-loss
+  * concerns, flip `spark.graft.materialize.mode=table` for durable
+  * round tables (proven by the executor-kill spec).
   */
 object ConnectedComponents {
 
@@ -57,7 +59,7 @@ object ConnectedComponents {
       .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
       .filter($"u" =!= $"v")
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Materialize.eager(_))
 
     // eCount rides along: e is always either the initial checkpointed
     // set (counted once here) or the previous round's `small` (already
@@ -85,7 +87,7 @@ object ConnectedComponents {
         .union(sMins.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v")
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Materialize.eager(_))
       // exact fixpoint test: same row count and nothing new ⇒ equal sets
       val smallCount = small.count()
       converged = smallCount == eCount &&

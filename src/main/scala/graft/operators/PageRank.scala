@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   * contribution scatter) + one groupBy on dst (the gather) — and only
   * the GATHER shuffles. The edge table is hash-partitioned on `src`
   * ONCE up front; `nodes`/`outDeg`/each round's rank table come out of
-  * node-hashed shuffles and `localCheckpoint` PRESERVES that
+  * node-hashed shuffles and `localCheckpoint` (the default
+  * [[graft.Materialize]] strategy) PRESERVES that
   * partitioning, so every scatter join and the rank rebuild are
   * exchange-free co-partitioned joins — one shuffle per round, linear
   * in |E|, independent of graph diameter (reusing one partitioning
   * across all rounds is exactly the discipline a 1000-executor run
   * needs: the edge table never moves again after its first shuffle).
-  * Each round `localCheckpoint`s the rank table to truncate the
-  * iterative lineage (the [[ConnectedComponents]] discipline; at
-  * production scale the rank table is written to storage per round).
+  * Each round materializes the rank table ([[graft.Materialize.eager]])
+  * to truncate the iterative lineage (the [[ConnectedComponents]]
+  * discipline; `mode=table` writes each round durably — re-shuffling
+  * per round in exchange for surviving executor loss).
   * Dangling nodes keep the damping base (their outflow is dropped —
   * the standard simplification; both engines drop it identically).
   */
@@ -43,11 +45,11 @@ object PageRank {
     // src and rides this layout exchange-free
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(p, col("src"))
-      .localCheckpoint()
+      .transform(graft.Materialize.eager(_))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(p, col("node"))
-      .localCheckpoint()
+      .transform(graft.Materialize.eager(_))
     val n = nodes.count()
     if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
     // materialized once — a lazy plan here re-runs the |E| aggregation
@@ -55,7 +57,7 @@ object PageRank {
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .repartition(p, col("node"))
-      .localCheckpoint()
+      .transform(graft.Materialize.eager(_))
     val init = Scale / n
     val base = (100 - dampingPct) * init / 100
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
@@ -75,7 +77,7 @@ object PageRank {
         .select(col("node"),
           expr(s"${base}L + (${dampingPct}L * coalesce(in_sum, 0L)) DIV 100L")
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.Materialize.eager(_))
     }
     ranks
   }

@@ -107,12 +107,14 @@ object Skew {
     * linear in the corpus for fixed cap.
     *
     * Plan shape: one windowed count over hashpartitioning(`keys`), then
-    * the capped table is MATERIALIZED once (localCheckpoint — the
+    * the capped table is MATERIALIZED once ([[graft.Materialize]] — the
     * diamond-reuse discipline, q68/q91: a self-join's two branches are
     * separate subtrees to Catalyst, so without the materialization the
     * whole upstream signature pipeline computes and shuffles TWICE;
     * verified against the executed plan, exchange reuse does not rescue
-    * it). At 100 TB the materialization is the signatures table written
+    * it; `spark.graft.materialize.mode=table` makes the reuse point an
+    * executor-loss-durable parquet table). At 100 TB the
+    * materialization is the signatures table written
     * to storage. `buckets`: one row per (member `idCol`,
     * bucket `keys...`). */
   def boundedBucketPairs(buckets: DataFrame, keys: Seq[String], idCol: String,
@@ -122,7 +124,7 @@ object Skew {
       .withColumn("_pop", count(lit(1)).over(w))
       .filter(col("_pop") <= cap)
       .drop("_pop")
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize(_))
     kept.as("a").join(kept.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -146,7 +148,7 @@ object Skew {
     * (a hot bucket of NON-identical near-dups silently lost all pairs).
     *
     * Plan shape: ONE windowed (count, min) pass over
-    * hashpartitioning(`keys`), materialized once (localCheckpoint here;
+    * hashpartitioning(`keys`), materialized once ([[graft.Materialize]];
     * a persisted bucket table at 100 TB — see [[boundedBucketPairs]]),
     * then the under-cap self-join + the over-cap star projection read
     * that one materialization. */
@@ -156,7 +158,7 @@ object Skew {
     val withPop = buckets
       .withColumn("_pop", count(lit(1)).over(w))
       .withColumn("_rep", min(col(idCol)).over(w))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize(_))
     val kept = withPop.filter(col("_pop") <= cap)
     val full = kept.as("a").join(kept.as("b"),
         keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&

@@ -916,7 +916,7 @@ object Relational {
           col("a.o") === col("b.o") && col("a.p") < col("b.p") &&
             col("b.br") === col("a.br"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        .localCheckpoint(eager = false) // reused 3× (deg + both wedge sides)
+        .transform(graft.Materialize(_)) // reused 3× (deg + both wedge sides)
       val deg = e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
       val ok = deg.select($"node", ($"deg" * 1099511627776L + $"node").as("okey"))
@@ -926,7 +926,7 @@ object Relational {
         .select(when($"uk" < $"vk", $"u").otherwise($"v").as("src"),
           when($"uk" < $"vk", $"v").otherwise($"u").as("dst"),
           greatest($"uk", $"vk").as("dkey"))
-        .localCheckpoint(eager = false) // reused 3× (two wedge sides + closing semi-join)
+        .transform(graft.Materialize(_)) // reused 3× (two wedge sides + closing semi-join)
       val tri = oe.as("w1").join(oe.as("w2"),
           col("w2.src") === col("w1.src") && col("w1.dkey") < col("w2.dkey"))
         .select(col("w1.src").as("a"), col("w1.dst").as("b"), col("w2.dst").as("c"))

@@ -46,8 +46,18 @@ object Compaction {
     // isolated SQL conf): a long compaction must not re-plan every
     // concurrent AQE query in the caller's session with its advisory
     // size, and overlapping compact() calls must not race a shared
-    // save/restore.
+    // save/restore. The clone INHERITS the caller's runtime confs —
+    // session timezone, ANSI mode, AQE tweaks — so compaction runs under
+    // the caller's SQL semantics, just with its own advisory size
+    // (newSession alone starts from builder-time config and would
+    // silently drop them; cloneSession is private[sql], so the copy is
+    // explicit — modifiable runtime confs only, non-settable statics
+    // skipped).
     val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisoryBytes.toString)
     locally {
       val df = s.read.parquet(inDir)

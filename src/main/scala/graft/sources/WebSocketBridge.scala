@@ -129,7 +129,10 @@ object WebSocketBridge {
           } catch {
             case _: InterruptedException | _: java.nio.channels.ClosedByInterruptException =>
               throw new InterruptedException // close(): stop retrying
-            case _: Exception => inFlight = null; null // refused/half-open: retry
+            case _: Exception => // refused/half-open: retry
+              // locked like every other write to the field — close()'s
+              // locked read must never race an unlocked reset
+              lock.synchronized { inFlight = null }; null
           }
         if (h != null) {
           // a throwing ops hook must not kill the supervisor (the

@@ -205,12 +205,16 @@ object Replay {
     // columnar scan it would save (and a 10M-row HotKeyProbe A/B of
     // all three forms — no checkpoint, tagged checkpoint, bounds-only —
     // measures them within run-to-run noise locally, so recompute wins
-    // on memory pressure alone). Only `bounds` is checkpointed, lazily:
-    // ONE stored row de-duplicates a full agg pass over the source,
-    // cutting the plan's 4 source passes to 3 for free.
+    // on memory pressure alone). Only `bounds` is materialized, through
+    // the graft.Materialize seam: ONE stored row de-duplicates a full
+    // agg pass over the source, cutting the plan's 4 source passes to 3
+    // for free. Default localCheckpoint mode truncates that one-row
+    // lineage (executor loss after materialization fails the job
+    // instead of recomputing the cheap scalar agg — the documented
+    // cluster-mode tradeoff); mode=table keeps it durable.
     val base = ds.map(r => (key(r), ts(r), tie(r), r))
     val bounds = base.select(min(col("_2")).as("lo"), max(col("_2")).as("hi"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize(_))
     val tagged: Dataset[(K, Long, Long, I, Int)] = base.toDF()
       .crossJoin(broadcast(bounds))
       .withColumn("_5",

@@ -70,7 +70,7 @@ object syntax {
       val band = graft.llm.CorpusDedup.bandIndex(corpus)
       val hash = graft.llm.CorpusDedup.hashIndex(corpus)
       if (df.isStreaming)
-        graft.llm.CorpusDedup.probe(df, band.localCheckpoint(eager = false), hash.localCheckpoint(eager = false))
+        graft.llm.CorpusDedup.probe(df, band.transform(graft.Materialize(_)), hash.transform(graft.Materialize(_)))
       else graft.llm.CorpusDedup.probe(df, band, hash)
     }
 

@@ -25,4 +25,29 @@ class PipelineDemoSpec extends AnyFunSuite {
     assert(byName("train-mix").rows > 0 &&
       byName("train-mix").rows <= byName("dedup").rows)
   }
+
+  test("persisted-materialization (table) mode completes with identical counts") {
+    // the production fault-tolerant posture (graft.Materialize mode=table):
+    // every reuse point becomes a durable parquet table instead of a
+    // lineage-truncated localCheckpoint. Same pipeline, same fixture —
+    // stage row counts must MATCH the default-mode run bit-for-bit
+    // (materialization strategy is an execution detail, never semantics).
+    val base = PipelineDemo.run(spark,
+      "/root/testdata/sf0.001",
+      java.nio.file.Files.createTempDirectory("graft-pipe-base").toString)
+    val work = java.nio.file.Files.createTempDirectory("graft-pipe-table").toString
+    spark.conf.set(Materialize.ModeKey, "table")
+    spark.conf.set(Materialize.DirKey, s"$work/materialize")
+    try {
+      val stages = PipelineDemo.run(spark, "/root/testdata/sf0.001", work)
+      assert(stages.map(s => (s.name, s.rows)) ==
+        base.map(s => (s.name, s.rows)))
+      // the mode actually engaged: reuse points exist on disk
+      assert(new java.io.File(s"$work/materialize").exists())
+    } finally {
+      spark.conf.unset(Materialize.ModeKey)
+      spark.conf.unset(Materialize.DirKey)
+      Materialize.cleanup(spark)
+    }
+  }
 }
