@@ -28,6 +28,10 @@ object Bench {
     // task binaries, scheduler — keep their own loggers).
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    // driver-egress standing gate: count (and report in the committed
+    // line) every >1000 KiB task-binary warning — the r6 AQE-bloom class
+    // must fail loudly in the artifact, not scroll by in a log tail
+    TaskBinaryGate.install()
     // optional args = bench only these queries (isolation profiling)
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -187,16 +191,26 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // per-query times are MIN over k timed passes (k stated in the
+    // committed line so round-over-round claims are auditable — VERDICT
+    // r6: quote committed-artifact numbers only, and make them min-of-k
+    // so a one-off GC stall can't set a round's headline)
+    val binGate = s""""task_binary_warns":${TaskBinaryGate.warnCount},""" +
+      s""""task_binary_max_kib":${fmt(TaskBinaryGate.maxSeenKib)}"""
+    if (TaskBinaryGate.warnCount > 0)
+      System.err.println(s"[bench] DRIVER-EGRESS GATE VIOLATION: " +
+        s"${TaskBinaryGate.warnCount} task binaries over 1000 KiB " +
+        s"(max ${TaskBinaryGate.maxSeenKib.round} KiB) — see task-binary-gate lines above")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","min_of_k":2,"queries":$qs,""" +
       s""""failed":${failed.size},"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""warmup_sec":$warmup,"isolated":$isolated,""" +
+      s""""warmup_sec":$warmup,"isolated":$isolated,$binGate,""" +
       s""""replay_events_per_sec":${replayPerSec.round},$streamFields,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_of_k":2,"queries":$slowest,""" +
       s""""n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""warmup_sec":${fmt(warmup)},"isolated":$isolated,""" +
+      s""""warmup_sec":${fmt(warmup)},"isolated":$isolated,$binGate,""" +
       s""""replay_events_per_sec":${replayPerSec.round},$streamFields,""" +
       s""""full_json":"target/bench_full.json","sf":"$sfDir"}"""
     // a failed side-file write must not lose the measured compact line

@@ -29,25 +29,16 @@ import java.util.concurrent.atomic.AtomicLong
   * artifact (one row per query: records at each scale, exponents,
   * superlinear, allowlisted) is written there — SHUFFLE_r{N}.json.
   *
-  * Allowlist: queries whose superlinear growth is DESIGNED and
-  * documented get recorded but do not fail the gate — currently only
-  * q61_neardup_banded, the deliberately-unbounded LSH banding kept as
-  * the measured counter-example to its own mitigations (q137/q138/q139;
-  * SCALING.md "Shuffle volume").
+  * Allowlist: DERIVED from the registry's calibration tag
+  * ([[SparkEntry.calibrationQueries]]) — queries whose superlinear
+  * growth is designed (they carry an unbounded baseline on purpose to
+  * price their own mitigations in-gate) get recorded but do not fail
+  * the gate. There is no probe-side hand list: a new superlinear query
+  * fails until it is explicitly tagged calibration in the registry,
+  * next to the production counterpart its tag must name.
   */
 object ShuffleProbe {
-  private val Allowlist = Map(
-    "q61_neardup_banded" ->
-      "designed-unbounded banding; mitigations gated as q137/q138/q139",
-    "q54_cosine_neardup" ->
-      ("fixed 8-plane single-code baseline: pair space n^2/256 by design " +
-        "(documented contrast case; scale path = banded q61 + caps q137/q138)"),
-    "q117_semantic_dedup" ->
-      ("fixed 16-cell SemDeDup baseline: within-cell pairs n^2/16 by design; " +
-        "flat operator gated as q144, cap cost measured by q143"),
-    "q143_semdedup_capped" ->
-      ("cap CALIBRATION gate: carries the unbounded baseline on purpose to " +
-        "measure recall/survivor deltas in-gate; the operator alone is q144"))
+  private def Allowlist: Map[String, String] = SparkEntry.calibrationQueries
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
@@ -71,6 +62,9 @@ object ShuffleProbe {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // driver-egress gate rides the whole-suite probe: ANY >1000 KiB task
+    // binary fails the run like a superlinear exchange would
+    TaskBinaryGate.install()
 
     val bytes = new AtomicLong(0L)
     val records = new AtomicLong(0L)
@@ -169,9 +163,12 @@ object ShuffleProbe {
       val body =
         s"""{"scales":$ks,"dirs":${dirs.map("\"" + _._1 + "\"").mkString("[", ",", "]")},
            |"ceiling":"records(k_max) <= records(k_penultimate) * (k_max/k_penultimate) * 1.2",
+           |"allowlist_source":"SparkEntry.calibrationQueries (registry tag)",
            |"allowlist":$allow,
            |"errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},
            |"superlinear_unallowed":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"task_binary_warns":${TaskBinaryGate.warnCount},
+           |"task_binary_gate":"zero warnings over Spark's 1000 KiB line",
            |"queries":[
            |${artifactRows.mkString(",\n")}
            |]}""".stripMargin
@@ -180,9 +177,13 @@ object ShuffleProbe {
       System.err.println(s"[shuffleprobe] wrote $out (${artifactRows.size} queries)")
     }
     spark.stop()
-    if (superlinear.nonEmpty || errors.nonEmpty) {
+    if (superlinear.nonEmpty || errors.nonEmpty || TaskBinaryGate.warnCount > 0) {
       System.err.println(s"[shuffleprobe] SUPERLINEAR shuffle growth: ${superlinear.mkString(", ")}" +
-        (if (errors.nonEmpty) s"; ERRORS: ${errors.mkString(", ")}" else ""))
+        (if (errors.nonEmpty) s"; ERRORS: ${errors.mkString(", ")}" else "") +
+        (if (TaskBinaryGate.warnCount > 0)
+           s"; TASK BINARIES over 1000 KiB: ${TaskBinaryGate.warnCount} " +
+             s"(max ${TaskBinaryGate.maxSeenKib.round} KiB)"
+         else ""))
       sys.exit(1)
     }
   }

@@ -13,8 +13,35 @@ import graft.queries._
   *    multimodal extensions mandated by the north star
   */
 object SparkEntry {
-  private def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ AspSemantics.specs ++ graft.llm.LlmQueries.specs
+  /** CALIBRATION-class queries: each deliberately carries a
+    * non-scale-safe form (an unbounded pair enumeration / uncapped cell
+    * self-join) so its gate can measure, against ground truth, what the
+    * production operator's bound costs in recall or survivors. The value
+    * names that production counterpart. This tag is the ONE source of
+    * truth for the shuffle gate's superlinearity allowlist
+    * ([[graft.ShuffleProbe]]) — an untagged query that grows superlinear
+    * fails the gate; tagging a new query here is a reviewed decision,
+    * not a probe-side edit. Production use points at the counterparts
+    * (see README "Scale calibration queries"). */
+  val calibrationQueries: Map[String, String] = Map(
+    "q54_cosine_neardup" ->
+      "fixed 8-plane bucket join; production = banded q61 chain capped as q137/q138",
+    "q61_neardup_banded" ->
+      "unbounded band enumeration kept as the recall baseline; production = q137 (cap) / q139 (star cap)",
+    "q117_semantic_dedup" ->
+      "uncapped in-cell pair space (n²/16 by construction); production operator = q144",
+    "q143_semdedup_capped" ->
+      "carries the unbounded baseline on purpose to price q144's cap in-gate")
+
+  private def allSpecs: Seq[QuerySpec] = {
+    val specs =
+      Relational.specs ++ AspSemantics.specs ++ graft.llm.LlmQueries.specs
+    val names = specs.map(_.name).toSet
+    val unknown = calibrationQueries.keySet.diff(names)
+    require(unknown.isEmpty, s"calibration tags for unknown queries: $unknown")
+    specs.map(q => calibrationQueries.get(q.name)
+      .fold(q)(why => q.copy(calibration = Some(why))))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

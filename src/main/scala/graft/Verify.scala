@@ -9,8 +9,9 @@ object Verify {
     // optional 3rd arg: comma-separated name filter for fast iteration
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.core.Tables.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    // SPARK_GRAFT_MASTER=local-cluster[...] runs the whole dump across
+    // separate executor JVMs — the cluster standing gate
+    val spark = graft.core.Tables.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -57,6 +57,26 @@ object Tables {
     * without this helper) — the override exists precisely because 1 MB
     * splits on a 128 GB table would mean ~128k tasks of pure scheduling
     * overhead. */
+  /** Entry-point builder honoring `SPARK_GRAFT_MASTER` — the
+    * local-cluster standing gate runs Verify/ClusterCheck with e.g.
+    * `SPARK_GRAFT_MASTER=local-cluster[2,8,4096]`: separate executor
+    * JVMs, so broadcasts/closures/task binaries/DSv2 partitions cross
+    * REAL process boundaries (the regime a 1000-executor deployment
+    * runs in; local[n] shares one heap and hides serialization bugs).
+    * Under local-cluster the executors get the driver JVM's full
+    * classpath (same host) and a memory grant that fits the worker. */
+  def sessionBuilder(cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder().master(master)
+    val sized =
+      if (master.startsWith("local-cluster")) {
+        b.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+          .config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+      } else b
+    configure(sized, cpus)
+  }
+
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,10 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    order is identical on both sides (elementwise ratios, literals),
   *    never order-free parallel sums.
   */
+/** @param calibration when set, this query is a CALIBRATION/contrast
+  *   case: it deliberately carries a non-scale-safe form (an unbounded
+  *   pair enumeration, an uncapped cell self-join) to measure, in-gate,
+  *   what its production counterpart's bound costs in recall/survivors.
+  *   The string names the production operator a user should run at
+  *   scale. The shuffle gate's superlinearity allowlist is DERIVED from
+  *   this tag ([[graft.SparkEntry.calibrationQueries]]) — a new
+  *   superlinear query cannot hide behind a hand-maintained list. */
 final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    calibration: Option[String] = None)
 
 object QuerySpec {
   def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QuerySpec =

@@ -318,19 +318,29 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
 
   override def stop(): Unit = ()
 
+  /** The feed singleton lives in the DRIVER JVM only, so each
+    * partition's record range is resolved HERE (driver-side planning)
+    * and shipped inside the serialized InputPartition — the
+    * MemoryStream discipline. Resolving by name in the reader factory
+    * instead would look up an EMPTY executor-local map under real
+    * process boundaries (local-cluster / any cluster) and silently
+    * read zero rows — caught by the local-cluster gate. Batch size is
+    * bounded by admission control (`maxPerTrigger`), so the shipped
+    * range is bounded too. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftFeedOffset].counts.toMap
     val e = end.asInstanceOf[GraftFeedOffset].counts.toMap
     shards.iterator
       .filter(n => e(n) > s(n)) // one advanced shard = one partition
-      .map(n => GraftFeedPartition(n, s(n), e(n), sharded): InputPartition)
+      .map(n => GraftFeedPartition(n, GraftFeed.range(n, s(n), e(n)),
+        sharded): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
       val gp = p.asInstanceOf[GraftFeedPartition]
-      val rows = GraftFeed.range(gp.feed, gp.from, gp.until)
+      val rows = gp.rows
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
@@ -346,5 +356,5 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
     }
 }
 
-final case class GraftFeedPartition(feed: String, from: Long, until: Long,
+final case class GraftFeedPartition(feed: String, rows: Array[GraftFeed.Rec],
                                     emitShard: Boolean) extends InputPartition
