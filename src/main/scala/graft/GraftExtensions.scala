@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.TimestampsTvf.getClass.getName,
         graft.plans.TimestampsTvf.name),
       graft.plans.TimestampsTvf.build _))
+    // library-operator TVFs: the as-of join and the corpus dedup probe
+    // callable from pure SQL over named views (graft.plans.GraftTvfs)
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.GraftTvfs.asOfName),
+      new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
+        graft.plans.GraftTvfs.asOfName),
+      graft.plans.GraftTvfs.buildAsOf _))
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.GraftTvfs.dedupProbeName),
+      new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
+        graft.plans.GraftTvfs.dedupProbeName),
+      graft.plans.GraftTvfs.buildDedupProbe _))
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),

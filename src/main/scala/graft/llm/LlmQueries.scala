@@ -3182,6 +3182,40 @@ object LlmQueries {
       stripped.select($"doc_id", md5(encode($"s", "UTF-8")).as("stripped_md5"),
           ($"s" === $"text").as("matches_original"), $"n_tags")
         .orderBy($"doc_id")
+    },
+
+    // ---- the q105 cross-corpus probe through the PURE-SQL surface:
+    // the Spark side is nothing but spark.sql text — views derived with
+    // SQL DDL, the probe invoked as the graft_dedup_probe TVF
+    // (plans/GraftTvfs.scala). Same oracle shape as q105 (different
+    // split so the two gates don't share outputs byte-for-byte): the
+    // TVF must reproduce the library operator's verdicts exactly. ----
+    QuerySpec.sql("q149_sql_dedup_probe", {
+      val th = (e: String) => PortableHash.md5LongSql(e)
+      s"""WITH ${bandsSqlFor("o", "doc_id % 3 = 0")},
+         |${bandsSqlFor("n", "doc_id % 3 <> 0")},
+         |ex AS (SELECT DISTINCT n.doc_id FROM documents n JOIN documents o
+         |       ON o.doc_id % 3 = 0 AND ${th("n.text")} = ${th("o.text")}
+         |       WHERE n.doc_id % 3 <> 0),
+         |near AS (SELECT DISTINCT bn.doc_id FROM bandsn bn
+         |         JOIN bandso bo ON bn.band = bo.band AND bn.bkey = bo.bkey)
+         |SELECT d.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |LEFT JOIN near ON near.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_q149_docs")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_q149_corpus AS
+              |SELECT * FROM graft_q149_docs WHERE doc_id % 3 = 0""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_q149_new AS
+              |SELECT * FROM graft_q149_docs WHERE doc_id % 3 <> 0""".stripMargin)
+      s.sql("""SELECT doc_id, verdict
+              |FROM graft_dedup_probe('graft_q149_new', 'graft_q149_corpus')
+              |ORDER BY doc_id""".stripMargin)
     }
   )
 

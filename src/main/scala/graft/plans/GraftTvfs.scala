@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+
+/** SQL table-valued surface for the headline LIBRARY operators — the
+  * reference's whole public API is six functions a Python user calls
+  * directly; the engine's equivalent ergonomics must not stop at Scala.
+  * Following the [[TimestampsTvf]] pattern (`injectTableFunction` via
+  * [[graft.GraftExtensions]]), these make the as-of join and the
+  * cross-corpus dedup probe reachable from PURE SQL: arguments are the
+  * NAMES of registered (temp) views plus column parameters, the builder
+  * resolves the views through the active session's catalog and returns
+  * the same logical plan the Column-API operator builds — one operator
+  * definition, two surfaces (gated by q148/q149: the Spark side of each
+  * is nothing but `spark.sql` text).
+  *
+  * {{{
+  *   SELECT * FROM graft_asof('trades', 'quotes',
+  *                            'sym', 'ts', 'ts', 'quote_px')
+  *   SELECT * FROM graft_dedup_probe('new_docs', 'corpus')
+  * }}}
+  *
+  * Prefix/global-rank ops need no TVF: their SQL surface is the plain
+  * window function itself — [[RewriteGlobalRankWindow]] rewrites a
+  * global `row_number()/rank()/dense_rank()` in ANY `spark.sql` text to
+  * the distributed [[DistributedRankExec]] (gated pure-SQL as q150).
+  *
+  * Arguments must be string LITERALS (they parameterize plan
+  * construction, like `graft_timestamps`' row count). View resolution
+  * happens at analysis time in the ACTIVE session — the same session
+  * that owns the temp views in the query text.
+  */
+object GraftTvfs {
+
+  private def strArg(name: String, e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$name: $what must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$name: $what must not be null")
+    v.toString
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  val asOfName = "graft_asof"
+
+  /** `graft_asof(left_view, right_view, keys_csv, left_ts, right_ts,
+    * right_vals_csv)` → [[graft.operators.AsOfJoin.asOf]] over the named
+    * views: each left row joined with the most recent right row at or
+    * before its timestamp (per key) — ONE shuffle on the keys, the same
+    * plan as the Scala surface. */
+  def buildAsOf(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 6,
+      s"$asOfName(left_view, right_view, keys_csv, left_ts, right_ts, " +
+        s"right_vals_csv) requires 6 arguments, got ${children.size}")
+    val a = children.zip(Seq("left_view", "right_view", "keys_csv",
+      "left_ts", "right_ts", "right_vals_csv"))
+      .map { case (e, w) => strArg(asOfName, e, w) }
+    val spark = SparkSession.active
+    graft.operators.AsOfJoin.asOf(
+        spark.table(a(0)), spark.table(a(1)),
+        keys = csv(a(2)), leftTs = a(3), rightTs = a(4),
+        rightVals = csv(a(5)))
+      .queryExecution.logical
+  }
+
+  val dedupProbeName = "graft_dedup_probe"
+
+  /** `graft_dedup_probe(probe_view, corpus_view)` →
+    * [[graft.llm.CorpusDedup.probe]]: per-row `exact_dup` / `near_dup` /
+    * `keep` verdict for every probe document against the corpus's
+    * content-hash and LSH band indexes (built here from the view — for
+    * repeated probes against one corpus, build the indexes once via the
+    * Scala surface). Output: (doc_id, verdict). */
+  def buildDedupProbe(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 2,
+      s"$dedupProbeName(probe_view, corpus_view) requires 2 arguments, " +
+        s"got ${children.size}")
+    val probe = strArg(dedupProbeName, children(0), "probe_view")
+    val corpus = strArg(dedupProbeName, children(1), "corpus_view")
+    val spark = SparkSession.active
+    val c = spark.table(corpus)
+    graft.llm.CorpusDedup.probe(spark.table(probe),
+        graft.llm.CorpusDedup.bandIndex(c), graft.llm.CorpusDedup.hashIndex(c))
+      .queryExecution.logical
+  }
+}

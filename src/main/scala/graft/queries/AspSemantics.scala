@@ -1408,6 +1408,38 @@ object AspSemantics {
           _.user_id, _.ts_us, _.event_id)(RunningCents)
         .toDF()
         .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
+    // ---- the W7 as-of join through the PURE-SQL surface: the Spark
+    // side is nothing but spark.sql text — trades/quotes views derived
+    // with SQL DDL, the join invoked as the graft_asof TVF
+    // (plans/GraftTvfs.scala), which builds the exact q26 operator plan
+    // (one shuffle, union + last-over-window). Oracle = DuckDB's native
+    // ASOF LEFT JOIN, the q26 discipline. ----
+    QuerySpec.sql("q148_sql_asof",
+      s"""SELECT t.event_id AS event_id, t.user_id AS user_id,
+         |  epoch_us(CAST(t.ts AS TIMESTAMP)) AS ts_us,
+         |  t.trade_value AS trade_value, q.quote_value AS quote_value
+         |FROM (SELECT event_id, user_id, ts, value AS trade_value
+         |      FROM events WHERE event_type = 'purchase') t
+         |ASOF LEFT JOIN (
+         |  SELECT user_id, ts, max_by(value, event_id) AS quote_value
+         |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_q148_events")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_q148_trades AS
+              |SELECT event_id, user_id, ts, value AS trade_value
+              |FROM graft_q148_events WHERE event_type = 'purchase'""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_q148_quotes AS
+              |SELECT user_id, ts, max_by(value, event_id) AS quote_value
+              |FROM graft_q148_events WHERE event_type = 'view'
+              |GROUP BY user_id, ts""".stripMargin)
+      s.sql("""SELECT event_id, user_id, unix_micros(ts) AS ts_us,
+              |  trade_value, quote_value
+              |FROM graft_asof('graft_q148_trades', 'graft_q148_quotes',
+              |                'user_id', 'ts', 'ts', 'quote_value')
+              |ORDER BY event_id""".stripMargin)
     }
   )
 

@@ -936,6 +936,24 @@ object Relational {
         .groupBy($"node").agg(count(lit(1)).as("n_tri"))
         .select($"node".as("part"), $"n_tri")
         .orderBy($"n_tri".desc, $"part").limit(10)
+    },
+
+    // ---- global sequence through the PURE-SQL surface: the prefix
+    // op's SQL form IS the plain global window — no TVF needed, because
+    // RewriteGlobalRankWindow rewrites any spark.sql global
+    // row_number() to the distributed DistributedRankExec (range
+    // shuffle + per-partition offsets; never a single-task window —
+    // plan-gated in GlobalSeqSpec, here gated end-to-end from SQL
+    // text). Ordering key (n_chars, doc_id) matches the z-order/packing
+    // pipelines' layout key. ----
+    QuerySpec.sql("q150_sql_global_seq",
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS seq
+        |FROM documents ORDER BY seq""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_q150_docs")
+      s.sql("""SELECT doc_id,
+              |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS seq
+              |FROM graft_q150_docs ORDER BY seq""".stripMargin)
     }
   )
 
