@@ -1,0 +1,172 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import graft.streaming.{AspStream, Machines}
+
+/** State-store SCALE probe for the machine path: the knob sweeps to
+  * date varied partitions and trigger size at a fixed ~20k-key fixture;
+  * this varies KEY CARDINALITY — the axis that actually grows at
+  * 100 TB (every user/instrument/session is a key with machine state).
+  * For each K it drives N events with K distinct keys through
+  * GraftFeed → `AspStream.run` (transformWithState, one RocksDB
+  * value-state row per key, changelog checkpointing) and measures:
+  *
+  *  - drain throughput and per-batch latency at that key count;
+  *  - RocksDB footprint (state rows, SST bytes) from the progress
+  *    metrics — the driver never holds the keys;
+  *  - RESTART recovery: a second query on the SAME checkpoint (new
+  *    records pushed after the drain) must reload/replay state for all
+  *    K keys before its first batch commits — `recovery_first_batch_ms`
+  *    is that reload cost, the number a production restart pays.
+  *
+  *   SPARK_GRAFT_STATE_OUT=STATESCALE_r07.json \
+  *     sbt "runMain graft.StateScaleProbe"
+  *   knobs: SPARK_GRAFT_STATE_KEYS=20000,200000,2000000
+  *          SPARK_GRAFT_STATE_EVENTS=3000000
+  *          SPARK_GRAFT_STREAM_PARTITIONS=8
+  */
+object StateScaleProbe {
+  private val Shards = 8
+  private val BaseUs = 1704067200000000L
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val keyCounts = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS",
+      "20000,200000,2000000").split(",").map(_.trim.toLong).toSeq
+    val events = sys.env.getOrElse("SPARK_GRAFT_STATE_EVENTS", "3000000").toLong
+    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+    val spark = graft.core.Tables.sessionBuilder(cpus)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+
+    val rows = keyCounts.map(k => runOne(spark, k, events, parts))
+    val body = s"""{"workload":"per-key machine state at growing key cardinality",""" +
+      s""""events_per_run":$events,"state_partitions":$parts,""" +
+      s""""runs":[${rows.mkString(",")}]}"""
+    sys.env.get("SPARK_GRAFT_STATE_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+    println(body)
+  }
+
+  private def runOne(spark: SparkSession, keys: Long, events: Long,
+                     parts: Int): String = {
+    import spark.implicits._
+    val feeds = (0 until Shards).map(i => s"statescale-$i")
+    feeds.foreach(graft.sources.GraftFeed.clear)
+    def push(from: Long, until: Long): Unit = {
+      var i = from
+      while (i < until) {
+        val uid = i % keys
+        val kind = if (i % 5 == 0) "trade" else "quote"
+        graft.sources.GraftFeed.push(feeds((uid % Shards).toInt),
+          BaseUs + i * 50L, s"$uid,$i,$kind,${(i % 1000).toDouble}")
+        i += 1
+      }
+    }
+
+    val outRows = new AtomicLong(0L)
+    val batches = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)] // trigMs, rows, stateRows, sstBytes
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          var st = 0L; var sst = 0L
+          p.stateOperators.foreach { o =>
+            st += o.numRowsTotal
+            val it = o.customMetrics.entrySet().iterator()
+            while (it.hasNext) {
+              val kv = it.next()
+              if (kv.getKey.toLowerCase.contains("sstfilessize") ||
+                  kv.getKey.toLowerCase.contains("sstfilesize"))
+                sst += kv.getValue.longValue()
+            }
+          }
+          batches.synchronized {
+            batches += ((p.durationMs.getOrDefault("triggerExecution", 0L),
+              p.numInputRows, st, sst))
+          }
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ss-$keys").toString
+
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val src = spark.readStream.format("graft-feed")
+        .option("shards", feeds.mkString(","))
+        .option("maxPerTrigger", "100000")
+        .load()
+        .withWatermark("ts", "1 hour")
+      val parsed = src
+        .select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
+        .select($"f"(0).cast("long").as("user_id"), $"ts_us",
+          $"f"(1).cast("long").as("seq"), $"f"(2).as("kind"),
+          $"f"(3).cast("double").as("value")).as[Machines.MarketTick]
+      AspStream.run(parsed)(_.user_id, _.ts_us, _.seq)(
+          uid => new Machines.AsOfMachine(uid))
+        .writeStream
+        .foreachBatch { (ds: Dataset[Machines.AsOfRow], _: Long) =>
+          outRows.addAndGet(ds.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // phase 1: drain `events` rows, building K state entries
+    push(0, events)
+    val t0 = System.nanoTime()
+    val q1 = startQuery()
+    require(q1.awaitTermination(900000L), s"state-scale drain (K=$keys) timed out")
+    val drainWall = (System.nanoTime() - t0) / 1e9
+    val drainSnap = batches.synchronized { val v = batches.toVector; batches.clear(); v }
+    // every 5th event is a trade; the machine emits one row per trade —
+    // a silent-truncation guard, not a parity gate (StreamBench owns parity)
+    val expectedOut = (events + 4) / 5
+    require(outRows.get() == expectedOut,
+      s"state-scale output rows ${outRows.get()} != expected $expectedOut")
+
+    // phase 2: RESTART on the same checkpoint with fresh records — the
+    // first batch pays the full K-key state reload
+    push(events, events + 100000)
+    val t1 = System.nanoTime()
+    val q2 = startQuery()
+    require(q2.awaitTermination(900000L), s"state-scale restart (K=$keys) timed out")
+    val restartWall = (System.nanoTime() - t1) / 1e9
+    val restartSnap = batches.synchronized { val v = batches.toVector; batches.clear(); v }
+
+    spark.streams.removeListener(listener)
+    feeds.foreach(graft.sources.GraftFeed.clear)
+    def rmr(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(ckpt))
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val line =
+      s"""{"keys":$keys,"events":$events,""" +
+      s""""drain_sec":${fmt(drainWall)},"events_per_sec":${(events / drainWall).round},""" +
+      s""""batches":${drainSnap.size},""" +
+      s""""avg_batch_ms":${if (drainSnap.nonEmpty) drainSnap.map(_._1).sum / drainSnap.size else 0},""" +
+      s""""max_batch_ms":${if (drainSnap.nonEmpty) drainSnap.map(_._1).max else 0},""" +
+      s""""state_rows":${if (drainSnap.nonEmpty) drainSnap.map(_._3).max else 0},""" +
+      s""""rocksdb_sst_bytes":${if (drainSnap.nonEmpty) drainSnap.map(_._4).max else 0},""" +
+      s""""restart_total_sec":${fmt(restartWall)},""" +
+      s""""recovery_first_batch_ms":${restartSnap.headOption.map(_._1).getOrElse(-1L)}}"""
+    System.err.println(s"[state-scale] $line")
+    line
+  }
+}

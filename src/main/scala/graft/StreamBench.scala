@@ -64,7 +64,7 @@ object StreamBench {
   /** Order-independent output fingerprint: count + Σ pmod(xxhash64, p).
     * pmod into [0, 1e9+7) keeps a 100k-row sum ~1e14 ≪ Long.Max, so the
     * distributed sum is exact under ANSI semantics on both sides. */
-  private def fingerprint(df: DataFrame): (Long, Long) = {
+  private[graft] def fingerprint(df: DataFrame): (Long, Long) = {
     val cols = df.columns.map(col).toSeq
     val r = df.agg(count(lit(1)),
       coalesce(sum(pmod(xxhash64(cols: _*), lit(1000000007L))), lit(0L))).head
