@@ -150,6 +150,12 @@ object StateScaleProbe {
 
     spark.streams.removeListener(listener)
     feeds.foreach(graft.sources.GraftFeed.clear)
+    // unload every cached RocksDB provider BEFORE deleting its files:
+    // the executor-side provider cache holds instances past query stop
+    // (the maintenance thread unloads lazily), and a delete-under-live-
+    // RocksDB races its JNI logger into a native SIGSEGV at teardown
+    // (observed at the 437 MB / 2M-key scale)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     def rmr(f: java.io.File): Unit = {
       val k = f.listFiles(); if (k != null) k.foreach(rmr); f.delete(); ()
     }

@@ -207,6 +207,10 @@ object StreamSoak {
         s"stream (${outN.get()}, ${outH.get()}) vs batch $expected")
 
     feeds.foreach(graft.sources.GraftFeed.clear)
+    // unload cached RocksDB providers before deleting their files (the
+    // StateScaleProbe teardown race — delete-under-live-RocksDB SIGSEGVs
+    // in the JNI logger)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     def rmr(f: java.io.File): Unit = {
       val k = f.listFiles(); if (k != null) k.foreach(rmr); f.delete(); ()
     }
