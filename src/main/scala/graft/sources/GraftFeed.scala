@@ -316,31 +316,45 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
         GraftFeed.trimTo(name, math.max(0L, c - retention))
       }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit =
+    if (currentBatch != null) { currentBatch.unpersist(blocking = false); currentBatch = null }
 
-  /** The feed singleton lives in the DRIVER JVM only, so each
-    * partition's record range is resolved HERE (driver-side planning)
-    * and shipped inside the serialized InputPartition — the
-    * MemoryStream discipline. Resolving by name in the reader factory
-    * instead would look up an EMPTY executor-local map under real
-    * process boundaries (local-cluster / any cluster) and silently
-    * read zero rows — caught by the local-cluster gate. Batch size is
-    * bounded by admission control (`maxPerTrigger`), so the shipped
-    * range is bounded too. */
+  /** The feed singleton lives in the DRIVER JVM only, so each batch's
+    * record ranges are resolved HERE (driver-side planning) and shipped
+    * to executors as ONE torrent BROADCAST per micro-batch, with each
+    * InputPartition carrying only its shard name + the broadcast
+    * handle. Two wrong designs this replaces, both caught by standing
+    * gates: resolving by name in the reader factory reads an EMPTY
+    * executor-local map under real process boundaries (local-cluster
+    * gate — silent zero rows); embedding the rows in the partitions
+    * puts the WHOLE batch inside the taskBinary broadcast
+    * (DataSourceRDD serializes its partition list into the stage RDD),
+    * tripping the >1000 KiB task-binary gate at a 50k trigger — a
+    * proper broadcast ships a tiny handle per task and the records
+    * once per executor. The previous batch's broadcast is released at
+    * the next planning call (micro-batches execute sequentially;
+    * unpersist, not destroy, so a stray late retry can still refetch
+    * from the driver). */
+  @transient private var currentBatch
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[GraftFeed.Rec]]] = null
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftFeedOffset].counts.toMap
     val e = end.asInstanceOf[GraftFeedOffset].counts.toMap
-    shards.iterator
-      .filter(n => e(n) > s(n)) // one advanced shard = one partition
-      .map(n => GraftFeedPartition(n, GraftFeed.range(n, s(n), e(n)),
-        sharded): InputPartition)
+    val advanced = shards.filter(n => e(n) > s(n))
+    val data = advanced.map(n => n -> GraftFeed.range(n, s(n), e(n))).toMap
+    if (currentBatch != null) currentBatch.unpersist(blocking = false)
+    currentBatch = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(data)
+    advanced.iterator // one advanced shard = one partition
+      .map(n => GraftFeedPartition(n, currentBatch, sharded): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
       val gp = p.asInstanceOf[GraftFeedPartition]
-      val rows = gp.rows
+      val rows = gp.batch.value(gp.feed)
       new PartitionReader[InternalRow] {
         private var i = -1
         override def next(): Boolean = { i += 1; i < rows.length }
@@ -356,5 +370,7 @@ class GraftFeedStream(shards: Seq[String], sharded: Boolean, retention: Long,
     }
 }
 
-final case class GraftFeedPartition(feed: String, rows: Array[GraftFeed.Rec],
-                                    emitShard: Boolean) extends InputPartition
+final case class GraftFeedPartition(
+    feed: String,
+    batch: org.apache.spark.broadcast.Broadcast[Map[String, Array[GraftFeed.Rec]]],
+    emitShard: Boolean) extends InputPartition
