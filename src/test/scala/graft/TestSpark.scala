@@ -19,12 +19,24 @@ object TestSpark {
   val taskFailures = new AtomicInteger(0)
 
   lazy val spark: SparkSession = {
-    val s = graft.core.Tables.configure(
-        // local[4, 2]: 4 threads, maxFailures 2 — lets ReplayRetrySpec
-        // prove task-retry determinism (deterministic specs never need
-        // the second attempt otherwise; the taskFailures listener keeps
-        // an accidental retry from hiding)
-        SparkSession.builder().master("local[4, 2]").appName("graft-test"), "4")
+    // SPARK_GRAFT_TEST_MASTER=local-cluster[2,4,3072] runs the WHOLE
+    // spec suite across separate executor JVMs (the cluster standing
+    // gate's spec half; needs SPARK_HOME + SPARK_SCALA_VERSION in the
+    // env). Default stays local[4, 2]: 4 threads, maxFailures 2 — lets
+    // ReplayRetrySpec prove task-retry determinism (deterministic specs
+    // never need the second attempt otherwise; the taskFailures
+    // listener keeps an accidental retry from hiding). Under
+    // local-cluster, maxFailures is pinned to 2 by conf for the same
+    // semantics, and executors get this JVM's full classpath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_TEST_MASTER", "local[4, 2]")
+    val b0 = SparkSession.builder().master(master).appName("graft-test")
+    val b =
+      if (master.startsWith("local-cluster"))
+        b0.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+          .config("spark.executor.memory", "2g")
+          .config("spark.task.maxFailures", "2")
+      else b0
+    val s = graft.core.Tables.configure(b, "4")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
