@@ -154,7 +154,93 @@ object ClusterCheck {
         System.err.println(s"[cluster] stream bench failed: $e"); None }
     val streamParity = stream.exists(_.parity)
 
-    val ok = localFailed && tableCompleted && replayOk && streamParity
+    // ---- 4. executor loss DURING a live streaming query ----
+    // The streaming half of the fault story: a node dies mid-drain
+    // while its tasks hold RocksDB state. Spark's recovery model —
+    // retry the batch's tasks, reload each affected state partition
+    // from the checkpoint (snapshot + changelog) on a surviving
+    // executor — must be exactly-once-equivalent: the full drained
+    // output is fingerprint-compared against batch replay of the same
+    // input. 400k deterministic events / 25k admission → ~16
+    // micro-batches; the kill lands a few batches in.
+    val streamKillParity = try {
+      import spark.implicits._
+      val feeds = (0 until 8).map(i => s"ck-stream-$i")
+      feeds.foreach(graft.sources.GraftFeed.clear)
+      val total = 400000L
+      var i = 0L
+      while (i < total) {
+        val t = StreamSoak.tickOf(i)
+        graft.sources.GraftFeed.push(feeds((t.user_id % 8).toInt), t.ts_us,
+          s"${t.user_id},${t.seq},${t.kind},${t.value}")
+        i += 1
+      }
+      val touched = Seq(
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "spark.sql.shuffle.partitions")
+      val saved = touched.map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val outN = new java.util.concurrent.atomic.AtomicLong(0L)
+        val outH = new java.util.concurrent.atomic.AtomicLong(0L)
+        val src = spark.readStream.format("graft-feed")
+          .option("shards", feeds.mkString(","))
+          .option("maxPerTrigger", "25000")
+          .load()
+          .withWatermark("ts", "1 hour")
+        val parsed = src
+          .select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
+          .select($"f"(0).cast("long").as("user_id"), $"ts_us",
+            $"f"(1).cast("long").as("seq"), $"f"(2).as("kind"),
+            $"f"(3).cast("double").as("value"))
+          .as[streaming.Machines.MarketTick]
+        val out = streaming.AspStream.run(parsed)(_.user_id, _.ts_us, _.seq)(
+          uid => new streaming.Machines.AsOfMachine(uid))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ck-stream").toString
+        val q = out.writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[streaming.Machines.AsOfRow], _: Long) =>
+              val (bn, bh) = StreamBench.fingerprint(ds.toDF())
+              outN.addAndGet(bn); outH.addAndGet(bh); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        Thread.sleep(3000) // a few micro-batches in...
+        killExecutor(sc, executorIds(sc).head) // ...lose a state-holding executor
+        require(q.awaitTermination(300000L), "stream did not drain after the kill")
+        val expected = StreamBench.fingerprint(
+          streaming.Replay.run(
+              spark.range(0L, total).map(i => StreamSoak.tickOf(i)),
+              "user_id", "ts_us", "seq")(_.user_id, _.ts_us)(
+              uid => new streaming.Machines.AsOfMachine(uid))
+            .toDF())
+        val p = (outN.get(), outH.get()) == expected
+        if (!p) System.err.println(s"[cluster] stream-kill parity FAILED: " +
+          s"(${outN.get()}, ${outH.get()}) vs $expected")
+        else System.err.println("[cluster] stream-kill parity OK " +
+          s"(${outN.get()} rows drained across the executor loss)")
+        feeds.foreach(graft.sources.GraftFeed.clear)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        def rmr(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(rmr); f.delete(); ()
+        }
+        rmr(new java.io.File(ckpt))
+        p
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[cluster] stream-kill check failed: $e"); false }
+
+    val ok = localFailed && tableCompleted && replayOk && streamParity &&
+      streamKillParity
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val line =
       s"""{"master":"$master","executors":${execs0.size},""" +
@@ -165,6 +251,7 @@ object ClusterCheck {
       s""""streaming_parity":$streamParity,""" +
       s""""streaming_events_per_sec":${stream.map(_.eventsPerSec).getOrElse(-1L)},""" +
       s""""streaming_batches":${stream.map(_.batches).getOrElse(0)},""" +
+      s""""streaming_kill_parity":$streamKillParity,""" +
       s""""sf":"$sfDir","ok":$ok}"""
     sys.env.get("SPARK_GRAFT_CLUSTER_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
