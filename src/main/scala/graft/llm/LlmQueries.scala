@@ -3216,6 +3216,94 @@ object LlmQueries {
       s.sql("""SELECT doc_id, verdict
               |FROM graft_dedup_probe('graft_q149_new', 'graft_q149_corpus')
               |ORDER BY doc_id""".stripMargin)
+    },
+
+    // ---- SQ8 scalar quantization — the third ANN compression next to
+    // PQ (q108/q129) and LSH (q48): each vector is encoded to int8
+    // codes with ONE per-vector scale (c_i = xq_i·127/max|xq|, exact
+    // integer arithmetic, sign split so Spark DIV ≡ DuckDB // on the
+    // non-negative operand), 8× smaller than the float64 scan while —
+    // unlike PQ — needing no training. Cosine on the codes equals
+    // cosine of the scaled vector (the per-vector scale cancels), so
+    // the SQ8 brute-force scan is a drop-in memory-compressed ranker.
+    // The gate measures its recall@3 against the exact full-precision
+    // top-3, in-gate (the q87 discipline): the SHAPE stays one
+    // broadcast of 5 query code vectors against a linear scan of
+    // codes — shuffle-free candidate scoring, exactly the 100 TB scan
+    // layout, with the 8× smaller operand the point. ----
+    QuerySpec.sql("q151_sq8_recall",
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * $QScale) AS BIGINT) AS xq,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |sc AS (SELECT vec_id, max(abs(xq)) AS s FROM e GROUP BY vec_id),
+         |c8 AS (SELECT e.vec_id, e.i,
+         |    CASE WHEN xq < 0 THEN -((-xq * 127) // s) ELSE (xq * 127) // s END AS c
+         |  FROM e JOIN sc ON sc.vec_id = e.vec_id WHERE s > 0),
+         |n8 AS (SELECT vec_id, sum(c * c) AS n FROM c8 GROUP BY vec_id),
+         |dots8 AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.c * b.c) AS dot
+         |  FROM c8 a JOIN c8 b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY 1, 2),
+         |cos8 AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cosine
+         |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = c_id),
+         |ann AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cos8) WHERE rnk <= 3),
+         |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
+         |xdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
+         |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY 1, 2),
+         |xcos AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+         |  FROM xdots JOIN norms na ON na.vec_id = q_id JOIN norms nb ON nb.vec_id = c_id),
+         |exact AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM xcos) WHERE rnk <= 3)
+         |SELECT ann.q_id AS q_id,
+         |  CAST(count(exact.c_id) AS BIGINT) AS hits,
+         |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
+         |FROM ann LEFT JOIN exact
+         |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
+         |GROUP BY ann.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
+      val zero = "CAST(0 AS BIGINT)"
+      val coded = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .selectExpr("vec_id",
+          // Spark CAST double→long truncates toward zero (matching the
+          // oracle's trunc(); Spark's `trunc` is the DATE function)
+          s"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * $QScale AS BIGINT)) AS xq")
+        .selectExpr("vec_id", "xq", "array_max(transform(xq, x -> abs(x))) AS s")
+        .filter($"s" > 0)
+        .selectExpr("vec_id",
+          "transform(xq, x -> CASE WHEN x < 0 THEN -((-x * 127) DIV s) ELSE (x * 127) DIV s END) AS c8",
+          "xq")
+        .selectExpr("vec_id", "c8", "xq",
+          s"aggregate(c8, $zero, (a, x) -> a + x * x) AS n8",
+          s"aggregate(xq, $zero, (a, x) -> a + x * x) AS nrm")
+      val probes = coded.filter($"vec_id" >= 10 && $"vec_id" < 15)
+        .select($"vec_id".as("q_id"), $"c8".as("q_c8"), $"xq".as("q_xq"),
+          $"n8".as("q_n8"), $"nrm".as("q_nrm"))
+      // one broadcast of 5 query vectors; the scan side never shuffles
+      val pairs = coded.join(broadcast(probes), $"vec_id" =!= $"q_id")
+      val ann = Windows.topKPerGroup(
+          pairs.selectExpr("q_id", "vec_id AS c_id",
+            s"CAST(aggregate(zip_with(q_c8, c8, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+              " / sqrt(CAST(q_n8 AS DOUBLE) * CAST(n8 AS DOUBLE)) AS cosine"),
+          Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id")
+      val exact = Windows.topKPerGroup(
+          pairs.selectExpr("q_id", "vec_id AS c_id",
+            s"CAST(aggregate(zip_with(q_xq, xq, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+              " / sqrt(CAST(q_nrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cosine"),
+          Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id".as("e_qid"), $"c_id".as("e_cid"))
+      ann.join(exact, $"e_qid" === $"q_id" && $"e_cid" === $"c_id", "left")
+        .groupBy($"q_id")
+        .agg(count($"e_cid").as("hits"),
+          (count($"e_cid").cast("double") / 3.0).as("recall"))
+        .orderBy($"q_id")
     }
   )
 
