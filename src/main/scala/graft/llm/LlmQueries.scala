@@ -3304,6 +3304,103 @@ object LlmQueries {
         .agg(count($"e_cid").as("hits"),
           (count($"e_cid").cast("double") / 3.0).as("recall"))
         .orderBy($"q_id")
+    },
+
+    // ---- IVF-SQ8 — the FAISS-style composition of the two index
+    // layers already gated separately: the q55/q87 coarse quantizer
+    // bounds candidates to nprobe=2 cells, and q151's SQ8 codes score
+    // them (8× smaller scan operand, no training beyond the coarse
+    // codebook). Same recall discipline as q87: ANN top-3 vs the exact
+    // full-precision top-3, measured in one gate — recall loss here
+    // combines the cell bound AND the int8 rounding, the number a
+    // production IVF-SQ deployment actually ships with. ----
+    QuerySpec.sql("q152_ivf_sq8", {
+      val sq8 =
+        """sc AS (SELECT vec_id, max(abs(xq)) AS s FROM e GROUP BY vec_id),
+          |c8 AS (SELECT e.vec_id, e.i,
+          |    CASE WHEN xq < 0 THEN -((-xq * 127) // s) ELSE (xq * 127) // s END AS c
+          |  FROM e JOIN sc ON sc.vec_id = e.vec_id WHERE s > 0),
+          |n8 AS (SELECT vec_id, sum(c * c) AS n FROM c8 GROUP BY vec_id)""".stripMargin
+      s"""WITH $annBaseSql,
+         |$ivfCoarseSql,
+         |$sq8,
+         |cand AS (SELECT p.q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |dots8 AS (SELECT cand.q_id, cand.c_id, sum(x.c * y.c) AS dot
+         |  FROM cand JOIN c8 x ON x.vec_id = cand.q_id
+         |            JOIN c8 y ON y.vec_id = cand.c_id AND y.i = x.i
+         |  GROUP BY cand.q_id, cand.c_id),
+         |cos8 AS (SELECT q_id, c_id,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cosine
+         |  FROM dots8 JOIN n8 na ON na.vec_id = q_id JOIN n8 nb ON nb.vec_id = c_id),
+         |ann AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cos8) WHERE rnk <= 3),
+         |$exactTop3Sql
+         |SELECT ann.q_id AS q_id,
+         |  CAST(count(exact.c_id) AS BIGINT) AS hits,
+         |  CAST(count(exact.c_id) AS DOUBLE) / 3.0 AS recall
+         |FROM ann LEFT JOIN exact
+         |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
+         |GROUP BY ann.q_id ORDER BY q_id""".stripMargin
+    }) { (s, d) =>
+      val zero = "CAST(0 AS BIGINT)"
+      val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
+      // coarse layer — byte-identical to the q87 convention (one shared
+      // SQL definition on the oracle side, one code shape here)
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val scored = emb.join(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          cosineQ(dotQ($"embedding", $"c_emb"), $"nrm", $"c_nrm").as("ccos"))
+      val assign = Windows.topKPerGroup(scored, Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 1)
+        .select($"vec_id", $"cid".as("cell"))
+      val probes = Windows.topKPerGroup(
+          scored.filter($"vec_id" >= 10 && $"vec_id" < 15), Seq("vec_id"),
+          Seq($"ccos".desc, $"cid"), 2)
+        .select($"vec_id".as("q_id"), $"cid".as("cell"))
+      // SQ8 layer — the q151 encode
+      val coded = Tables.embeddings(s, d).filter(size($"embedding") === 64)
+        .selectExpr("vec_id",
+          s"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * $QScale AS BIGINT)) AS xq")
+        .selectExpr("vec_id", "xq", "array_max(transform(xq, x -> abs(x))) AS s")
+        .filter($"s" > 0)
+        .selectExpr("vec_id",
+          "transform(xq, x -> CASE WHEN x < 0 THEN -((-x * 127) DIV s) ELSE (x * 127) DIV s END) AS c8")
+        .selectExpr("vec_id", "c8",
+          s"aggregate(c8, $zero, (a, x) -> a + x * x) AS n8")
+      val qCodes = coded.join(probes.select($"q_id").distinct(),
+          $"vec_id" === $"q_id")
+        .select($"q_id", $"c8".as("q_c8"), $"n8".as("q_n8"))
+      val cand = assign.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(coded, "vec_id")
+        .join(broadcast(qCodes), "q_id")
+      val ann = Windows.topKPerGroup(
+          cand.selectExpr("q_id", "vec_id AS c_id",
+            s"CAST(aggregate(zip_with(q_c8, c8, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+              " / sqrt(CAST(q_n8 AS DOUBLE) * CAST(n8 AS DOUBLE)) AS cosine"),
+          Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id", $"c_id")
+      // exact ground truth: full-precision brute force over the corpus
+      val queries = emb.join(probes.select($"q_id").distinct(),
+          $"vec_id" === $"q_id")
+        .select($"q_id", $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val exPairs = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("c_id"),
+          cosineQ(dotQ($"q_emb", $"embedding"), $"q_nrm", $"nrm").as("cosine"))
+      val exact = Windows.topKPerGroup(exPairs, Seq("q_id"),
+          Seq($"cosine".desc, $"c_id"), 3)
+        .select($"q_id".as("e_qid"), $"c_id".as("e_cid"))
+      ann.join(broadcast(exact),
+          $"e_qid" === $"q_id" && $"e_cid" === $"c_id", "left")
+        .groupBy($"q_id")
+        .agg(count($"e_cid").as("hits"),
+          (count($"e_cid").cast("double") / 3.0).as("recall"))
+        .orderBy($"q_id")
     }
   )
 
