@@ -257,6 +257,13 @@ object LlmQueries {
     * inlined, immune to object-init order. */
   private final val TextBucketCap = 2
 
+  /** q153's simhash piece-bucket cap. The piece space is 2×65536, so a
+    * real corpus's populations are ~n/65536; the cap exists for the
+    * degenerate-signature case (boilerplate/empty docs collapsing to
+    * one signature). 64 keeps every non-degenerate fixture bucket while
+    * bounding work at buckets × cap². */
+  private final val SimhashBucketCap = 64
+
   /** q143's cell-population cap. Fixture cell populations run 20–42 at
     * both gate scales (measured), so 30 exercises BOTH branches: some
     * cells enumerate pairs fully, some go through the star-edge cap. */
@@ -3401,6 +3408,78 @@ object LlmQueries {
         .agg(count($"e_cid").as("hits"),
           (count($"e_cid").cast("double") / 3.0).as("recall"))
         .orderBy($"q_id")
+    },
+
+    // ---- SimHash PAIRING at scale — q46 gates the signature; this
+    // gates the join that uses it. A 32-bit simhash (bits of the raw
+    // 60-bit portable hash — the mod-P form zeroes bit 31) split into
+    // 2×16-bit pieces: by pigeonhole, any pair within Hamming
+    // distance 1 agrees exactly on at least one piece, so candidates
+    // are the piece-bucket pairs — bucket space 2×65536, populations
+    // ~n/65536, and the SAME bounded-bucket cap as the LSH chain
+    // ([[graft.operators.Skew.boundedBucketPairs]]) guards the
+    // degenerate-signature skew case. Verification is exact:
+    // bit_count(xor) <= 1 on the candidate set only — never all
+    // pairs. The scale shape is identical to q137's: one windowed
+    // count over hashpartitioning(piece, value), capped self-join,
+    // verify bounded to candidates. ----
+    QuerySpec.sql("q153_simhash_pairs", {
+      val h = PortableHash.md5LongSql("w")
+      val sums = (0 until 32)
+        .map(j => s"  sum(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n")
+      val bits = (0 until 32)
+        .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (SELECT doc_id,\n$sums\n  FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh32 FROM sums),
+         |pieces AS (
+         |  SELECT doc_id, 0 AS piece, sh32 & 65535 AS pval FROM sh
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS piece, (sh32 >> 16) & 65535 AS pval FROM sh),
+         |pops AS (SELECT piece, pval, count(*) AS pop FROM pieces
+         |  GROUP BY piece, pval),
+         |kept AS (SELECT p.doc_id, p.piece, p.pval FROM pieces p
+         |  JOIN pops o ON o.piece = p.piece AND o.pval = p.pval
+         |             AND o.pop <= $SimhashBucketCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kept a JOIN kept b
+         |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  CAST(bit_count(xor(x.sh32, y.sh32)) AS BIGINT) AS hamming
+         |FROM cand c JOIN sh x ON x.doc_id = c.a_id
+         |            JOIN sh y ON y.doc_id = c.b_id
+         |WHERE bit_count(xor(x.sh32, y.sh32)) <= 1
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .withColumn("h", PortableHash.md5Long($"w"))
+      val sums = toks.groupBy($"doc_id").agg(
+        (0 until 32).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$j")).head,
+        (1 until 32).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$j")): _*)
+      val sh = sums.select($"doc_id",
+        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("sh32"))
+        .transform(graft.Materialize(_)) // pieces AND both verify joins read it
+      val pieces = sh.select($"doc_id", lit(0).as("piece"),
+          ($"sh32".bitwiseAND(lit(65535L))).as("pval"))
+        .unionAll(sh.select($"doc_id", lit(1).as("piece"),
+          shiftright($"sh32", 16).bitwiseAND(lit(65535L)).as("pval")))
+      val cand = Skew.boundedBucketPairs(pieces, Seq("piece", "pval"),
+        "doc_id", SimhashBucketCap)
+      cand
+        .join(sh.select($"doc_id".as("a_id"), $"sh32".as("sha")), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"sh32".as("shb")), "b_id")
+        .withColumn("hamming",
+          bit_count($"sha".bitwiseXOR($"shb")).cast("long"))
+        .filter($"hamming" <= 1)
+        .select($"a_id", $"b_id", $"hamming")
+        .orderBy($"a_id", $"b_id")
     }
   )
 
