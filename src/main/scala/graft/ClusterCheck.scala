@@ -212,6 +212,11 @@ object ClusterCheck {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         Thread.sleep(3000) // a few micro-batches in...
+        // the check's whole point is the loss landing MID-drain: if the
+        // backlog drained before the kill, this run proved nothing —
+        // fail loudly instead of silently passing a no-fault parity
+        require(q.isActive,
+          "stream drained before the kill — enlarge the fixture or kill earlier")
         killExecutor(sc, executorIds(sc).head) // ...lose a state-holding executor
         require(q.awaitTermination(300000L), "stream did not drain after the kill")
         val expected = StreamBench.fingerprint(

@@ -3261,6 +3261,8 @@ object LlmQueries {
          |norms AS (SELECT vec_id, sum(xq * xq) AS nrm FROM e GROUP BY vec_id),
          |xdots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.xq * b.xq) AS dot
          |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+         |  JOIN sc sa ON sa.vec_id = a.vec_id AND sa.s > 0
+         |  JOIN sc sb ON sb.vec_id = b.vec_id AND sb.s > 0
          |  WHERE a.vec_id >= 10 AND a.vec_id < 15 GROUP BY 1, 2),
          |xcos AS (SELECT q_id, c_id,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
@@ -3292,7 +3294,11 @@ object LlmQueries {
       val probes = coded.filter($"vec_id" >= 10 && $"vec_id" < 15)
         .select($"vec_id".as("q_id"), $"c8".as("q_c8"), $"xq".as("q_xq"),
           $"n8".as("q_n8"), $"nrm".as("q_nrm"))
-      // one broadcast of 5 query vectors; the scan side never shuffles
+      // one broadcast of 5 query vectors; the scan side never shuffles.
+      // Both the SQ8 AND exact branches rank over `coded`'s population
+      // (scale > 0) — a zero vector has no code AND no defined cosine,
+      // so it is no one's neighbor in either ranking (the oracle's
+      // exact CTE applies the same s > 0 restriction).
       val pairs = coded.join(broadcast(probes), $"vec_id" =!= $"q_id")
       val ann = Windows.topKPerGroup(
           pairs.selectExpr("q_id", "vec_id AS c_id",
