@@ -74,7 +74,15 @@ object ClusterCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
-    val execs0 = executorIds(sc)
+    // Standalone schedules as soon as ONE executor offers cores, so the
+    // first probe job can race the second executor's registration on a
+    // slow worker spawn — poll with a deadline (mirroring killExecutor's
+    // respawn wait) before asserting cluster strength.
+    var execs0 = executorIds(sc)
+    val upDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (execs0.size < 2 && System.nanoTime() < upDeadline) {
+      Thread.sleep(500); execs0 = executorIds(sc)
+    }
     System.err.println(s"[cluster] executors up: $execs0")
     require(execs0.size >= 2, s"expected >=2 executor JVMs, got $execs0")
 
@@ -99,8 +107,10 @@ object ClusterCheck {
     val localFailed =
       try { localPairs.count(); false }
       catch { case e: Throwable =>
+        // getMessage can be null for wrapped Spark exceptions — render via
+        // String.valueOf so the expected-failure path can't itself NPE
         System.err.println(s"[cluster] local-mode re-read failed AS EXPECTED: " +
-          s"${e.getMessage.linesIterator.next()}")
+          String.valueOf(e.getMessage).linesIterator.next())
         true
       }
 

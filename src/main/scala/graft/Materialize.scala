@@ -48,13 +48,59 @@ object Materialize {
     * under java.io.tmpdir — fine for local/local-cluster; point it at
     * shared storage on a real cluster. */
   val DirKey = "spark.graft.materialize.dir"
+  /** Stale-sibling sweep age for `table` mode (ms). A crashed driver
+    * leaves its `graft-mat-*` scratch root behind (the shutdown hook
+    * never ran); the NEXT session that materializes under the same
+    * parent deletes sibling roots idle longer than this. Default 12h —
+    * long enough that a live long-running driver (which adds a child
+    * dir per reuse point, refreshing the root's mtime) is never swept. */
+  val SweepAgeKey = "spark.graft.materialize.sweepAgeMs"
 
   // per-session scratch id + written paths (for cleanup); tiny — paths
   // only. Weak keys: a dropped session must not pin its path list.
   private val written =
     new java.util.WeakHashMap[SparkSession, mutable.Buffer[String]]()
+  // returned table-mode dataset -> its backing path, for release();
+  // weak+identity keys so tracking never pins a dropped dataset
+  private val pathOf =
+    new java.util.WeakHashMap[AnyRef, String]()
+  // roots that already have a JVM shutdown hook + did their stale sweep
+  private val managedRoots = mutable.Set[String]()
   private def sessionTag(spark: SparkSession): String =
     s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}"
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** First use of a scratch root: arm a JVM shutdown hook (so even a
+    * session that never calls cleanup() leaves no scratch behind on
+    * normal exit) and sweep stale sibling roots from crashed drivers.
+    * A crash (SIGKILL / OOM / power loss) skips shutdown hooks by
+    * definition — the sweep is the backstop that keeps a shared
+    * scratch parent from filling with orphan parquet trees. */
+  private def manageRoot(spark: SparkSession, root: String): Unit =
+    synchronized {
+      if (!managedRoots.add(root)) return
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(new java.io.File(root)),
+          "graft-materialize-scratch-cleanup"))
+      val sweepAge = spark.conf.get(SweepAgeKey, (12L * 3600 * 1000).toString).toLong
+      val parent = new java.io.File(root).getAbsoluteFile.getParentFile
+      val now = System.currentTimeMillis()
+      val sibs = if (parent == null) Array.empty[java.io.File]
+        else parent.listFiles()
+      if (sibs != null) sibs.foreach { s =>
+        if (s.getName.startsWith("graft-mat-") &&
+            s.getAbsolutePath != new java.io.File(root).getAbsolutePath &&
+            now - s.lastModified() > sweepAge) {
+          System.err.println(s"[materialize] sweeping stale scratch ${s.getPath} " +
+            s"(idle ${(now - s.lastModified()) / 60000} min)")
+          rmTree(s)
+        }
+      }
+    }
 
   /** Lazy reuse point: materializes on first downstream action. */
   def apply[T](ds: Dataset[T]): Dataset[T] = mat(ds, lazyLocal = true)
@@ -65,12 +111,41 @@ object Materialize {
     * shuffle partitioning for exchange-free co-partitioned joins). */
   def eager[T](ds: Dataset[T]): Dataset[T] = mat(ds, lazyLocal = false)
 
+  /** Iterative-loop form: materialize this round eagerly, then release
+    * the PREVIOUS round's backing table — by the time the new round's
+    * write has completed, the old round's table has been fully consumed
+    * (the new table was computed from it) and nothing downstream reads
+    * it again. Keeps `table` mode at O(1) scratch tables per loop
+    * instead of one per round. `previous` that is not a table-mode
+    * materialization (round 1's plain plan, or any `local`-mode result)
+    * is a no-op: localCheckpoint blocks are reclaimed by the
+    * ContextCleaner when the RDD is GC'd. */
+  def eagerReplacing[T](ds: Dataset[T], previous: Dataset[_]): Dataset[T] = {
+    val out = mat(ds, lazyLocal = false)
+    release(previous)
+    out
+  }
+
+  /** Delete one table-mode materialization's backing parquet once it is
+    * fully consumed. No-op for non-table-mode datasets. */
+  def release(ds: Dataset[_]): Unit = {
+    val path = pathOf.synchronized { pathOf.remove(ds) }
+    if (path != null) {
+      written.synchronized {
+        val buf = written.get(ds.sparkSession)
+        if (buf != null) { buf -= path; () }
+      }
+      rmTree(new java.io.File(path))
+    }
+  }
+
   private def mat[T](ds: Dataset[T], lazyLocal: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.get(ModeKey, "local") match {
       case "table" =>
         val root = spark.conf.get(DirKey,
           s"${sys.props("java.io.tmpdir")}/graft-mat-${sessionTag(spark)}")
+        manageRoot(spark, root)
         val path = s"$root/${java.util.UUID.randomUUID()}"
         ds.toDF().write.parquet(path)
         written.synchronized {
@@ -79,9 +154,12 @@ object Materialize {
           buf += path
         }
         val back = spark.read.parquet(path)
-        if (ds.encoder.clsTag.runtimeClass == classOf[Row])
-          back.asInstanceOf[Dataset[T]]
-        else back.as(ds.encoder)
+        val out =
+          if (ds.encoder.clsTag.runtimeClass == classOf[Row])
+            back.asInstanceOf[Dataset[T]]
+          else back.as(ds.encoder)
+        pathOf.synchronized { pathOf.put(out, path) }
+        out
       case _ => ds.localCheckpoint(eager = !lazyLocal)
     }
   }
@@ -94,11 +172,6 @@ object Materialize {
       val buf = written.remove(spark)
       if (buf == null) Nil else buf.toSeq
     }
-    paths.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(p))
-    }
+    paths.foreach(p => rmTree(new java.io.File(p)))
   }
 }

@@ -26,17 +26,32 @@ object TaskBinaryGate {
   private val warns = new AtomicLong(0)
   private val maxKib = new AtomicReference[java.lang.Double](0.0)
   @volatile private var installed = false
+  // The Spark class that emits the warn (DAGScheduler.submitMissingTasks)
+  private val EmitterLogger = "org.apache.spark.scheduler.DAGScheduler"
+  private val SelfTestMarker = "graft-task-binary-gate-selftest"
+  private val selfTestSeen =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Idempotently attach the counting appender to the root logger (the
-    * warn comes from DAGScheduler; root catches it at any level the
-    * session sets ≥ WARN). */
+  /** Idempotently attach the counting appender to the root logger. An
+    * asserted-ZERO gate must not be blindable: a runner that sets the
+    * log level to ERROR, or a rewording of Spark's message, would
+    * otherwise make the gate report 0 warnings *because it saw
+    * nothing*. So install() (a) pins the emitting logger
+    * (DAGScheduler) to WARN explicitly — an explicit per-logger level
+    * survives later root-level changes like setLogLevel("ERROR") —
+    * and (b) self-tests the whole path by logging a synthetic event
+    * through that very logger and requiring the appender observed it,
+    * so a broken hook fails loudly at install time instead of
+    * silently passing. */
   def install(): Unit = synchronized {
     if (installed) return
     val appender = new AbstractAppender(
         "graft-task-binary-gate", null, null, true, null) {
       override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
         val msg = e.getMessage.getFormattedMessage
-        if (msg.contains("Broadcasting large task binary with size")) {
+        if (msg.contains(SelfTestMarker)) {
+          selfTestSeen.set(true)
+        } else if (msg.contains("Broadcasting large task binary with size")) {
           warns.incrementAndGet()
           parseKib(msg).foreach { k =>
             maxKib.updateAndGet(m => if (k > m) k else m)
@@ -49,6 +64,16 @@ object TaskBinaryGate {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
+    // pin the emitter so WARNs from it always flow regardless of root level
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      EmitterLogger, Level.WARN)
+    // end-to-end self-test: emitter logger -> level check -> additivity ->
+    // root appender -> this gate
+    LogManager.getLogger(EmitterLogger).warn(
+      s"$SelfTestMarker: synthetic event, not a real task-binary warning")
+    require(selfTestSeen.get(),
+      "task-binary gate appender did not observe its synthetic WARN — " +
+        "the logging hook is broken; a zero-warning result would be a false pass")
     installed = true
   }
 

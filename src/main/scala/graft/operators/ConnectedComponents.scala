@@ -92,6 +92,9 @@ object ConnectedComponents {
       val smallCount = small.count()
       converged = smallCount == eCount &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // the anti-join above was the LAST read of the previous round's
+      // table — release it so `table` mode holds O(1) scratch tables
+      graft.Materialize.release(e)
       e = small
       eCount = smallCount
       iter += 1

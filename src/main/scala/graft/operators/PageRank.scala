@@ -72,12 +72,15 @@ object PageRank {
           e("src") === col("node"))
         .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      // eagerReplacing: once the new round's table is written, the
+      // previous round's scratch is fully consumed — release it so
+      // `table` mode holds O(1) round tables, not one per iteration
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           expr(s"${base}L + (${dampingPct}L * coalesce(in_sum, 0L)) DIV 100L")
             .as("rank"))
-        .transform(graft.Materialize.eager(_))
+        .transform(graft.Materialize.eagerReplacing(_, ranks))
     }
     ranks
   }

@@ -48,4 +48,51 @@ class MaterializeSpec extends AnyFunSuite {
       spark.conf.unset(Materialize.DirKey)
     }
   }
+
+  test("eagerReplacing keeps table mode at O(1) scratch tables per loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat-loop").toString
+    spark.conf.set(Materialize.ModeKey, "table")
+    spark.conf.set(Materialize.DirKey, dir)
+    try {
+      var ranks = Materialize.eager(spark.range(0, 20).toDF("n"))
+      assert(new java.io.File(dir).list().length == 1)
+      for (_ <- 1 to 3) {
+        ranks = Materialize.eagerReplacing(
+          ranks.selectExpr("n + 1 as n"), ranks)
+        // the superseded round's parquet is gone; only the live one remains
+        assert(new java.io.File(dir).list().length == 1)
+      }
+      assert(ranks.selectExpr("sum(n)").head().getLong(0) ==
+        (0L until 20L).map(_ + 3).sum)
+      // releasing a non-table dataset (round-1 shape) is a harmless no-op
+      Materialize.release(spark.range(3).toDF("n"))
+      Materialize.cleanup(spark)
+      assert(new java.io.File(dir).list().forall(_ => false))
+    } finally {
+      spark.conf.unset(Materialize.ModeKey)
+      spark.conf.unset(Materialize.DirKey)
+    }
+  }
+
+  test("first table-mode use sweeps stale sibling scratch from crashed drivers") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-mat-parent")
+    val stale = new java.io.File(parent.toFile, "graft-mat-crashed-123")
+    assert(stale.mkdir())
+    assert(new java.io.File(stale, "orphan.parquet").createNewFile())
+    // idle since yesterday — past the sweep age
+    assert(stale.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000))
+    val fresh = new java.io.File(parent.toFile, "graft-mat-fresh-456")
+    assert(fresh.mkdir()) // a LIVE sibling (recent mtime) must survive
+    spark.conf.set(Materialize.ModeKey, "table")
+    spark.conf.set(Materialize.DirKey, s"$parent/graft-mat-live")
+    try {
+      Materialize.eager(spark.range(5).toDF("n")).count()
+      assert(!stale.exists(), "stale sibling should have been swept")
+      assert(fresh.exists(), "recent sibling must not be swept")
+      Materialize.cleanup(spark)
+    } finally {
+      spark.conf.unset(Materialize.ModeKey)
+      spark.conf.unset(Materialize.DirKey)
+    }
+  }
 }
