@@ -105,24 +105,31 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.filter(_._3).map(_._2).sum
-    // isolated re-measure of the slowest queries: a full-pass time can be
-    // polluted by a major GC or a neighbour's spill, so the movers are
-    // re-run alone (min of 2, GC'd) — compare `isolated` vs `queries` to
-    // separate plan cost from machine noise before chasing a regression
+    // isolated re-measure of the slowest queries at Variance-probe
+    // discipline (VERDICT r7 #8: min-of-2 let a ~50% cross-session
+    // spread set q115's isolated number): reps=5, GC'd between runs,
+    // reported as {min, median} — min is steady-state plan cost,
+    // median−min is the session-noise band, so a reviewer can separate
+    // plan regressions from scheduler noise without a second session
     val movers = results.filter(_._3).sortBy(-_._2).take(3).map(_._1)
+    val isolatedReps = 5
     val isolated = movers.map { name =>
       System.gc()
       val fn = selected(name)
       // a transient failure here must not lose the already-measured totals
       val best =
         try {
-          (1 to 2).map { _ =>
+          val times = (1 to isolatedReps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val secs = (System.nanoTime() - t0) / 1e9
             resetSessionState()
             secs
-          }.min.toString
+          }.sorted
+          val med =
+            if (times.size % 2 == 1) times(times.size / 2)
+            else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+          s"""{"min":${times.head},"median":$med,"reps":$isolatedReps}"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
           "-1"

@@ -48,9 +48,14 @@ object StateScaleProbe {
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
 
     val rows = keyCounts.map(k => runOne(spark, k, events, parts))
+    // churn mode (VERDICT r7 #3): every event a NEW key — the unbounded
+    // key space that makes eternal state an OOM — with idle-TTL eviction
+    // keeping resident state bounded by the (ttl + watermark) window
+    val churnRow = runOne(spark, events, events, parts,
+      churnTtlUs = sys.env.getOrElse("SPARK_GRAFT_STATE_TTL_US", "5000000").toLong)
     val body = s"""{"workload":"per-key machine state at growing key cardinality",""" +
       s""""events_per_run":$events,"state_partitions":$parts,""" +
-      s""""runs":[${rows.mkString(",")}]}"""
+      s""""runs":[${rows.mkString(",")}],"churn":$churnRow}"""
     sys.env.get("SPARK_GRAFT_STATE_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -60,7 +65,7 @@ object StateScaleProbe {
   }
 
   private def runOne(spark: SparkSession, keys: Long, events: Long,
-                     parts: Int): String = {
+                     parts: Int, churnTtlUs: Long = 0L): String = {
     import spark.implicits._
     val feeds = (0 until Shards).map(i => s"statescale-$i")
     feeds.foreach(graft.sources.GraftFeed.clear)
@@ -105,17 +110,21 @@ object StateScaleProbe {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ss-$keys").toString
 
     def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      // churn mode needs the watermark to actually pass eviction dues
+      // DURING the drain (event time advances 50 µs/event), so its
+      // delay is 1 s of event time; the cardinality runs keep the 1 h
+      // delay (no eviction — the original never-forget curve)
       val src = spark.readStream.format("graft-feed")
         .option("shards", feeds.mkString(","))
         .option("maxPerTrigger", "100000")
         .load()
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", if (churnTtlUs > 0) "1 second" else "1 hour")
       val parsed = src
         .select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
         .select($"f"(0).cast("long").as("user_id"), $"ts_us",
           $"f"(1).cast("long").as("seq"), $"f"(2).as("kind"),
           $"f"(3).cast("double").as("value")).as[Machines.MarketTick]
-      AspStream.run(parsed)(_.user_id, _.ts_us, _.seq)(
+      AspStream.run(parsed)(_.user_id, _.ts_us, _.seq, idleTtlUs = churnTtlUs)(
           uid => new Machines.AsOfMachine(uid))
         .writeStream
         .foreachBatch { (ds: Dataset[Machines.AsOfRow], _: Long) =>
@@ -162,13 +171,32 @@ object StateScaleProbe {
     rmr(new java.io.File(ckpt))
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val maxStateRows = if (drainSnap.nonEmpty) drainSnap.map(_._3).max else 0L
+    // the churn gate itself: every event was a distinct key, so without
+    // eviction resident state would reach `keys`; TTL'd state must stay
+    // under the EVENT-TIME WINDOW bound instead — keys active within
+    // ttl + watermark delay (1 s) + up to two trigger spans of eviction
+    // lag (the watermark commits at batch end; the timer fires a batch
+    // later). The bound is independent of total key count, which is the
+    // whole claim: resident state is O(window), not O(stream).
+    val stepUs = 50L                       // push() event-time step
+    val triggerSpanUs = 100000L * stepUs   // maxPerTrigger * step
+    val residentBound = (churnTtlUs + 1000000L + 2 * triggerSpanUs) / stepUs
+    if (churnTtlUs > 0) require(maxStateRows <= residentBound,
+      s"churn state not bounded: $maxStateRows resident of $keys distinct " +
+        s"keys exceeds the eviction-window bound $residentBound")
+    val churnFields = if (churnTtlUs > 0)
+      s""""mode":"churn","idle_ttl_us":$churnTtlUs,""" +
+      s""""distinct_keys":$keys,"max_resident_state_rows":$maxStateRows,""" +
+      s""""resident_window_bound":$residentBound,"""
+    else ""
     val line =
-      s"""{"keys":$keys,"events":$events,""" +
+      s"""{$churnFields"keys":$keys,"events":$events,""" +
       s""""drain_sec":${fmt(drainWall)},"events_per_sec":${(events / drainWall).round},""" +
       s""""batches":${drainSnap.size},""" +
       s""""avg_batch_ms":${if (drainSnap.nonEmpty) drainSnap.map(_._1).sum / drainSnap.size else 0},""" +
       s""""max_batch_ms":${if (drainSnap.nonEmpty) drainSnap.map(_._1).max else 0},""" +
-      s""""state_rows":${if (drainSnap.nonEmpty) drainSnap.map(_._3).max else 0},""" +
+      s""""state_rows":$maxStateRows,""" +
       s""""rocksdb_sst_bytes":${if (drainSnap.nonEmpty) drainSnap.map(_._4).max else 0},""" +
       s""""restart_total_sec":${fmt(restartWall)},""" +
       s""""recovery_first_batch_ms":${restartSnap.headOption.map(_._1).getOrElse(-1L)}}"""

@@ -68,7 +68,8 @@ object AspStream {
   }
 
   final class Processor[K, I, O](factory: K => KeyedStateMachine[K, I, O],
-                                 ts: I => Long, tie: I => Long)
+                                 ts: I => Long, tie: I => Long,
+                                 idleTtlUs: Long = 0L)
       extends StatefulProcessor[K, I, O] {
 
     @transient private var blob: ValueState[Array[Byte]] = _
@@ -87,6 +88,23 @@ object AspStream {
       * e.g. CartMachineQ's discount — ahead of events in
       * [floor-ms(due), due) that land in a later micro-batch). */
     private def storeMs(dueUs: Long): Long = Math.floorDiv(dueUs + 999, 1000)
+
+    /** The key's last event-time activity: its clock floor or its
+      * furthest scheduled timer, whichever is later — the anchor the
+      * idle-TTL eviction timer counts from. */
+    private def lastActivity(lastUs: Long, p: Pending): Long =
+      if (p.isEmpty) lastUs else math.max(lastUs, p.iterator.map(_._1).max)
+
+    /** Store-timer due (ms) for evicting this key once the WATERMARK
+      * passes `activity + idleTtlUs` — event-time idle eviction, so a
+      * replay of the same data evicts at the same virtual times (a
+      * processing-time TTL would couple state lifetime to wall-clock
+      * batch cadence and break replay determinism). None when TTL is
+      * off or the key has no activity floor yet (legacy blob). */
+    private def evictDueMs(activity: Long): Option[Long] =
+      if (idleTtlUs > 0 && activity > Long.MinValue)
+        Some(storeMs(activity + idleTtlUs))
+      else None
 
     /** Load machine + seed the ctx schedule from persisted pending timers
       * (insertion order preserved → FIFO tie-breaks survive restarts).
@@ -114,7 +132,9 @@ object AspStream {
               Long.MinValue)
         }
         p.foreach { case (dueUs, tag) => ctx.callAt(dueUs, tag) }
-        (m, p.map(x => storeMs(x._1)).toSet, ctx, lastUs)
+        val reg = p.map(x => storeMs(x._1)).toSet ++
+          evictDueMs(lastActivity(lastUs, p))
+        (m, reg, ctx, lastUs)
       } else {
         val m = factory(key)
         m.onStart(key, ctx)
@@ -132,7 +152,8 @@ object AspStream {
         pending += ((dueUs, tag))
       }
       val p: Pending = pending.toVector
-      val dues = p.map(x => storeMs(x._1)).toSet
+      val dues = p.map(x => storeMs(x._1)).toSet ++
+        evictDueMs(lastActivity(lastEventUs, p))
       (dues diff registered).foreach(getHandle.registerTimer)
       (registered diff dues).foreach(getHandle.deleteTimer)
       blob.update(ser((m, p, lastEventUs, 1L)))
@@ -181,9 +202,27 @@ object AspStream {
       // last FIRED due (not the ms boundary), so an event inside the
       // (due, ceil-ms) remainder keeps its own timestamp.
       val upToUs = expiredTimerInfo.getExpiryTimeInMs * 1000
-      val (m, registered, ctx, lastUs) = load(key, upToUs)
+      val (m, registered0, ctx, lastUs) = load(key, upToUs)
+      // the timer that is firing right now is auto-removed by the store —
+      // deleting it again (flush's diff, or the eviction sweep) would
+      // only log a spurious failed-delete WARN per expiry
+      val registered = registered0 - expiredTimerInfo.getExpiryTimeInMs
       val lastFired = fireDue(m, ctx, upTo = upToUs)
-      flush(m, registered, ctx, lastEventUs = math.max(lastUs, lastFired))
+      val floor = math.max(lastUs, lastFired)
+      // idle-TTL eviction: the watermark has passed activity+ttl and the
+      // machine holds no future timers — drop the key's state entirely.
+      // A LATER event for this key builds a fresh machine via the
+      // factory (onStart and all), the divergence from the reference's
+      // never-forget model documented in SURVEY §8.5: the reference's
+      // bounded key spaces can afford eternal state; a 100 TB key space
+      // with churn cannot.
+      if (idleTtlUs > 0 && ctx.timers.isEmpty && floor > Long.MinValue &&
+          upToUs >= floor + idleTtlUs) {
+        blob.clear()
+        registered.foreach(getHandle.deleteTimer)
+      } else {
+        flush(m, registered, ctx, lastEventUs = floor)
+      }
       ctx.drain().iterator
     }
   }
@@ -192,10 +231,23 @@ object AspStream {
     * set) through per-key machines. Append output, event-time timers.
     * `tie` breaks same-microsecond ordering exactly like `Replay.run`'s
     * tieBreak column (pass the same field for batch/stream parity);
-    * the default keeps arrival order for inputs without a tie field. */
+    * the default keeps arrival order for inputs without a tie field.
+    *
+    * `idleTtlUs` (default 0 = never evict, the reference's never-forget
+    * model): with a positive value, a key whose machine has been idle —
+    * no events and no scheduled timers — for `idleTtlUs` of EVENT time
+    * once the watermark passes is evicted from the state store. An
+    * unbounded key space with churn (every session/request a new key)
+    * needs this or per-key state grows without bound; eviction is
+    * event-time-anchored so it is replay-deterministic. A post-eviction
+    * event rebuilds a fresh machine via `factory` — exactly the
+    * behavior a new key gets, which is the reference's own late-event
+    * stance (deliver late, never resurrect history). */
   def run[I, K: Encoder, O: Encoder](ds: Dataset[I])(
-      key: I => K, ts: I => Long, tie: I => Long = (_: I) => 0L)(
+      key: I => K, ts: I => Long, tie: I => Long = (_: I) => 0L,
+      idleTtlUs: Long = 0L)(
       factory: K => KeyedStateMachine[K, I, O]): Dataset[O] =
     ds.groupByKey(key)
-      .transformWithState(new Processor(factory, ts, tie), TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new Processor(factory, ts, tie, idleTtlUs),
+        TimeMode.EventTime(), OutputMode.Append())
 }
