@@ -51,6 +51,17 @@ import scala.collection.mutable
   * into one binary ValueState per key (RocksDB provider required by
   * transformWithState; see `Tables.configure`-style session setup in
   * tests).
+  *
+  * State evolution across redeploys (a restarted checkpoint meets NEW
+  * code — contract pinned by StateEvolutionSpec): machine classes MUST
+  * pin `serialVersionUID`; then ADDING a field restores old blobs with
+  * the new field at its JVM default. Removing or retyping fields, or
+  * evolving an unpinned class, fails LOUDLY at restore
+  * (`InvalidClassException`) — never silent corruption. The recommended
+  * pattern for non-trivial migrations is explicit versioned state
+  * classes: keep the old version as a tombstone whose `readResolve()`
+  * builds the current version (proven end-to-end through a checkpoint
+  * restart in the spec).
   */
 object AspStream {
 
