@@ -100,9 +100,25 @@ object StreamSoak {
     feeds.foreach(graft.sources.GraftFeed.clear)
 
     val produced = new AtomicLong(0L)
-    val consumed = new AtomicLong(0L)
-    val outN = new AtomicLong(0L)
-    val outH = new AtomicLong(0L)
+    // consumed/output are per-BATCH-ID maps, not counters: the
+    // driver-restart phase re-executes the WAL-planned uncommitted batch
+    // after the kill, and an idempotent sink (upsert by batchId — what a
+    // partitioned-overwrite parquet sink is in production) is precisely
+    // what turns at-least-once batch delivery into exactly-once results.
+    // A counter would double-count the replayed batch and the parity
+    // gate could never hold across a restart.
+    val consumedByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    def consumedTotal(): Long = {
+      var s = 0L
+      val it = consumedByBatch.values().iterator()
+      while (it.hasNext) s += it.next()
+      s
+    }
+    // batchId -> (rows, hash, output-event ts list for latency)
+    val outByBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Seq[Long])]()
+    // batchId -> sink-commit wall time (last write wins = replay wins)
+    val commitMsByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val obs = mutable.ArrayBuffer.empty[Obs]
     val obsListener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -110,7 +126,7 @@ object StreamSoak {
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         if (p.numInputRows > 0) {
-          consumed.addAndGet(p.numInputRows)
+          consumedByBatch.put(p.batchId, p.numInputRows)
           var stateRows = 0L
           var sstBytes = 0L
           p.stateOperators.foreach { o =>
@@ -126,49 +142,68 @@ object StreamSoak {
           obs.synchronized {
             obs += Obs(System.currentTimeMillis(), p.numInputRows,
               p.durationMs.getOrDefault("triggerExecution", 0L),
-              math.max(0L, produced.get() - consumed.get()), stateRows, sstBytes)
+              math.max(0L, produced.get() - consumedTotal()), stateRows, sstBytes)
           }
         }
       }
     }
     spark.streams.addListener(obsListener)
 
-    val src = spark.readStream.format("graft-feed")
-      .option("shards", feeds.mkString(","))
-      .option("maxPerTrigger", maxPerTrigger.toString)
-      .option("retention", "2000000")
-      .load()
-      .withWatermark("ts", "1 hour")
-    val parsed = src
-      .select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
-      .select($"f"(0).cast("long").as("user_id"), $"ts_us",
-        $"f"(1).cast("long").as("seq"), $"f"(2).as("kind"),
-        $"f"(3).cast("double").as("value")).as[Machines.MarketTick]
-    val out = AspStream.run(parsed)(_.user_id, _.ts_us, _.seq)(
-      uid => new Machines.AsOfMachine(uid))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
-    val q = out.writeStream
-      .foreachBatch { (ds: Dataset[Machines.AsOfRow], _: Long) =>
-        val (bn, bh) = StreamBench.fingerprint(ds.toDF())
-        outN.addAndGet(bn); outH.addAndGet(bh); ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime("500 milliseconds"))
-      .start()
+    def startQuery(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val src = spark.readStream.format("graft-feed")
+        .option("shards", feeds.mkString(","))
+        .option("maxPerTrigger", maxPerTrigger.toString)
+        .option("retention", "2000000")
+        .load()
+        .withWatermark("ts", "1 hour")
+      val parsed = src
+        .select(split($"value", ",").as("f"), unix_micros($"ts").as("ts_us"))
+        .select($"f"(0).cast("long").as("user_id"), $"ts_us",
+          $"f"(1).cast("long").as("seq"), $"f"(2).as("kind"),
+          $"f"(3).cast("double").as("value")).as[Machines.MarketTick]
+      AspStream.run(parsed)(_.user_id, _.ts_us, _.seq)(
+          uid => new Machines.AsOfMachine(uid))
+        .writeStream
+        .foreachBatch { (ds: Dataset[Machines.AsOfRow], batchId: Long) =>
+          // ONE action per batch: the StreamBench fingerprint aggregate
+          // widened with collect_list(ts_us) — each output event's ts
+          // inverts to its seq (ts = BaseUs + seq*250), which keys the
+          // producer's ingest timestamp for end-to-end latency
+          val df = ds.toDF()
+          val cols = df.columns.map(org.apache.spark.sql.functions.col).toSeq
+          val r = df.agg(count(lit(1)),
+            coalesce(sum(pmod(xxhash64(cols: _*), lit(1000000007L))), lit(0L)),
+            collect_list(col("ts_us"))).head
+          outByBatch.put(batchId, (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+          commitMsByBatch.put(batchId, System.currentTimeMillis())
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+    }
+    var q = startQuery()
 
     // pinned-rate producer: pushes tickOf(0..) in chunks every 10 ms.
     // The leading "warmup" phase isolates first-run JIT/codegen cost in
-    // its own row so the "below" row is the warm steady state.
+    // its own row so the "below" row is the warm steady state. Each
+    // chunk's first seq + ingest wall time feed the latency percentiles
+    // (all events in a ~10 ms chunk share one ingest stamp).
     val phases = Seq(("warmup", low), ("below", low), ("burst", high),
       ("recover", low))
+    val chunkMarks = mutable.ArrayBuffer.empty[(Long, Long)] // startSeq, ingestMs
+    @volatile var currentPhase = "init"
     val marks = mutable.ArrayBuffer.empty[(String, Long, Long, Long)] // name, startMs, endMs, producedAtEnd
     val producer = new Thread(() => {
       var i = 0L
       phases.foreach { case (name, rate) =>
+        currentPhase = name
         val startMs = System.currentTimeMillis()
         val endAt = System.nanoTime() + phaseSec * 1000000000L
         val chunk = math.max(1L, rate / 100)
         while (System.nanoTime() < endAt) {
+          chunkMarks.synchronized { chunkMarks += ((i, System.currentTimeMillis())) }
           var c = 0L
           while (c < chunk) {
             val t = tickOf(i)
@@ -180,31 +215,64 @@ object StreamSoak {
           Thread.sleep(10)
         }
         produced.set(i)
-        marks += ((name, startMs, System.currentTimeMillis(), i))
+        marks.synchronized { marks += ((name, startMs, System.currentTimeMillis(), i)) }
       }
+      currentPhase = "done"
     }, "graft-soak-producer")
     producer.start()
+
+    // ---- driver-restart fault injection (VERDICT r7 #4) ----
+    // Mid-burst — the adversarial moment: large lag, RocksDB state hot,
+    // an admission-capped batch in flight — the query is stopped HARD
+    // (in-flight batch aborted, not drained) and a NEW query resumes
+    // from the same checkpoint against the same idempotent sink. The
+    // parity gate at the end then proves no-loss/no-dup across the
+    // whole produced prefix, kill included.
+    while (currentPhase != "burst" && currentPhase != "done") Thread.sleep(50)
+    Thread.sleep(phaseSec * 1000L / 2)
+    val killAtProduced = produced.get()
+    val tKill = System.currentTimeMillis()
+    q.stop(); q.awaitTermination(30000L)
+    val tDown = System.currentTimeMillis()
+    q = startQuery()
+    val tUp = System.currentTimeMillis()
+    // resume time: first batch COMMITTED by the restarted query
+    val resumeDeadline = System.currentTimeMillis() + 60000L
+    while (commitMsByBatch.values().stream().noneMatch(t => t > tUp) &&
+           System.currentTimeMillis() < resumeDeadline)
+      Thread.sleep(50)
+    val tFirstCommit = {
+      var best = Long.MaxValue
+      val it = commitMsByBatch.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > tUp && v < best) best = v }
+      if (best == Long.MaxValue) -1L else best
+    }
+
     producer.join()
     val producedTotal = produced.get()
 
     // drain: wait until the query has consumed everything, then stop
     val drainDeadline = System.currentTimeMillis() + 120000L
-    while (consumed.get() < producedTotal && System.currentTimeMillis() < drainDeadline)
+    while (consumedTotal() < producedTotal && System.currentTimeMillis() < drainDeadline)
       Thread.sleep(250)
     Thread.sleep(1500) // let the final foreachBatch commit
     q.stop(); q.awaitTermination(30000L)
     spark.streams.removeListener(obsListener)
-    val drained = consumed.get() == producedTotal
+    val drained = consumedTotal() == producedTotal
+
+    // fold the idempotent sink: one (rows, hash) contribution per batchId
+    var outN = 0L; var outH = 0L
+    outByBatch.values().forEach { case (bn, bh, _) => outN += bn; outH += bh }
 
     // parity: batch replay of the exact produced prefix
     val batchDs = spark.range(0L, producedTotal).map(i => tickOf(i))
     val batchOut = Replay.run(batchDs, "user_id", "ts_us", "seq")(
       _.user_id, _.ts_us)(uid => new Machines.AsOfMachine(uid))
     val expected = StreamBench.fingerprint(batchOut.toDF())
-    val parity = drained && (outN.get(), outH.get()) == expected
+    val parity = drained && (outN, outH) == expected
     if (!parity)
       System.err.println(s"[soak] parity FAILED (drained=$drained): " +
-        s"stream (${outN.get()}, ${outH.get()}) vs batch $expected")
+        s"stream ($outN, $outH) vs batch $expected")
 
     feeds.foreach(graft.sources.GraftFeed.clear)
     // unload cached RocksDB providers before deleting their files (the
@@ -230,6 +298,50 @@ object StreamSoak {
         if (in.nonEmpty) in.map(_.lag).max else 0L)
     }
     val stats = phases.map(p => phaseStat(p._1))
+
+    // ---- per-event end-to-end latency (VERDICT r7 #5) ----
+    // latency(event) = sink-commit wall time of its batch − ingest wall
+    // time of its producer chunk (events share a ~10 ms chunk stamp).
+    // Computed over OUTPUT events (trades — the rows the sink actually
+    // commits; quotes mutate state only), bucketed by the PHASE the
+    // event was produced in, so "below" is the steady-state claim.
+    val chunkSnap = chunkMarks.synchronized(chunkMarks.toVector) // sorted by seq
+    val chunkSeqs = chunkSnap.map(_._1).toArray
+    def ingestMsOf(seq: Long): Long = {
+      var lo = 0; var hi = chunkSeqs.length - 1
+      while (lo < hi) { // greatest startSeq <= seq
+        val mid = (lo + hi + 1) >>> 1
+        if (chunkSeqs(mid) <= seq) lo = mid else hi = mid - 1
+      }
+      chunkSnap(lo)._2
+    }
+    val phaseBounds = marks.map(m => (m._1, m._4)) // name, producedAtEnd
+    def phaseOf(seq: Long): String = {
+      var prev = 0L
+      phaseBounds.foreach { case (name, end) =>
+        if (seq >= prev && seq < end) return name
+        prev = end
+      }
+      "tail"
+    }
+    val latByPhase = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+    outByBatch.forEach { (batchId, v) =>
+      val commit = commitMsByBatch.getOrDefault(batchId, -1L)
+      if (commit > 0) v._3.foreach { tsUs =>
+        val seq = (tsUs - BaseUs) / 250L
+        latByPhase.getOrElseUpdate(phaseOf(seq), mutable.ArrayBuffer.empty) +=
+          math.max(0L, commit - ingestMsOf(seq))
+      }
+    }
+    def pct(sorted: IndexedSeq[Long], p: Double): Long =
+      if (sorted.isEmpty) -1L
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    val latencyJson = phases.map(_._1).map { name =>
+      val ls = latByPhase.getOrElse(name, mutable.ArrayBuffer.empty).sorted.toIndexedSeq
+      s""""$name":{"events":${ls.size},"p50_ms":${pct(ls, 0.50)},""" +
+        s""""p95_ms":${pct(ls, 0.95)},"p99_ms":${pct(ls, 0.99)}}"""
+    }.mkString("{", ",", "}")
+
     // recovery: first observation after burst end with lag <= one
     // admission window
     val burstEnd = marks.find(_._1 == "burst").get._3
@@ -245,9 +357,15 @@ object StreamSoak {
       s""""max_batch_ms":${s.maxBatchMs},"end_lag":${s.endLag},""" +
       s""""max_lag":${s.maxLag}}"""
     }.mkString("[", ",", "]")
+    val restartJson =
+      s"""{"phase":"burst","at_produced":$killAtProduced,""" +
+      s""""stop_ms":${tDown - tKill},"down_ms":${tUp - tKill},""" +
+      s""""restart_to_first_commit_ms":${if (tFirstCommit > 0) tFirstCommit - tUp else -1}}"""
     val line =
       s"""{"max_per_trigger":$maxPerTrigger,"batches":${snap.size},""" +
       s""""events":$producedTotal,"parity":$parity,"phases":$phaseJson,""" +
+      s""""driver_restart":$restartJson,""" +
+      s""""event_latency_ms":$latencyJson,""" +
       s""""recovery_sec":${recoverySec.map(fmt).getOrElse("null")},""" +
       s""""state_rows_max":${if (snap.nonEmpty) snap.map(_.stateRows).max else 0},""" +
       s""""rocksdb_sst_bytes_max":${if (snap.nonEmpty) snap.map(_.sstBytes).max else 0}}"""

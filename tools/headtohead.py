@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Engine-vs-DuckDB wall-time head-to-head (VERDICT r7 #1).
+
+`bench_vs_baseline` has been 1.0 "by convention" because BASELINE.md
+publishes no numbers — but the oracle harness already runs every query
+in DuckDB on the same parquet. This tool turns the convention into a
+measurement: per-query DuckDB wall time (same protocol as Bench: one
+warm-up, then min of 2 timed runs, full materialization) merged with
+the Spark per-query map Bench writes to target/bench_full.json.
+
+Usage:
+  python3 tools/headtohead.py --out HEADTOHEAD_r08.json \
+      --scale sf0.1:/root/testdata/sf0.1:/tmp/v01/oracle_sql.json:/tmp/bench_sf01.json \
+      --scale x10:/tmp/sfx10:/tmp/v01/oracle_sql.json:/tmp/bench_x10.json
+
+Interpretation contract (documented in SURVEY §8.11): DuckDB here is a
+single-process engine on the same 32-core box reading the same parquet;
+Spark pays a distributed-execution floor (planning, task scheduling,
+shuffle materialization, codegen compile) that buys the 1000-executor
+scale-out DuckDB does not have. The gate in the artifact is the ratio
+DISTRIBUTION, and any query >5x slower than DuckDB at the 10x scale is
+individually explained or fixed.
+"""
+import argparse, json, math, os, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_times(sf_dir, oracle_path, reps=2):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(oracle_path))
+    out = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            con.execute(sql).fetchall()  # warm-up (I/O cache, plan cache)
+            best = math.inf
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = {"sec": round(best, 4), "rows": len(rows)}
+        except Exception as e:
+            out[name] = {"sec": -1.0, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"[h2h] duckdb FAIL {name}: {out[name]['error']}")
+    con.close()
+    return out
+
+
+def merge(scale, sf_dir, duck, bench_path):
+    bench = json.load(open(bench_path))
+    spark = bench.get("queries", {})
+    rows, ratios = [], []
+    for name in sorted(duck):
+        d = duck[name]["sec"]
+        s = spark.get(name, -1)
+        r = round(s / d, 3) if (d and d > 0 and s and s > 0) else None
+        if r:
+            ratios.append(r)
+        rows.append({"query": name, "spark_sec": s, "duck_sec": d,
+                     "spark_over_duck": r,
+                     **({"duck_error": duck[name]["error"]}
+                        if "error" in duck[name] else {})})
+    ratios.sort()
+    geo = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3) \
+        if ratios else None
+    losses = [r for r in rows if r["spark_over_duck"] and r["spark_over_duck"] > 5]
+    wins = sum(1 for r in ratios if r < 1)
+    return {
+        "scale": scale, "sf_dir": sf_dir, "n": len(rows),
+        "spark_total_sec": bench.get("value"),
+        "duck_total_sec": round(sum(d["sec"] for d in duck.values()
+                                    if d["sec"] > 0), 2),
+        "ratio_geomean": geo,
+        "ratio_p50": ratios[len(ratios) // 2] if ratios else None,
+        "ratio_p90": ratios[int(0.9 * len(ratios))] if ratios else None,
+        "ratio_max": ratios[-1] if ratios else None,
+        "spark_wins": wins,
+        "over_5x": [{"query": r["query"], "spark_over_duck": r["spark_over_duck"]}
+                    for r in sorted(losses, key=lambda x: -x["spark_over_duck"])],
+        "queries": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scale", action="append", required=True,
+                    help="label:sfdir:oracle_sql.json:bench_full.json")
+    args = ap.parse_args()
+    scales = []
+    for s in args.scale:
+        label, sf_dir, oracle, bench = s.split(":")
+        print(f"[h2h] timing DuckDB at {label} ({sf_dir})")
+        scales.append(merge(label, sf_dir, duck_times(sf_dir, oracle), bench))
+    body = {"protocol": "min-of-2 after 1 warm-up, full materialization, "
+                        "same parquet, same 32-core host; DuckDB default "
+                        "threading (all cores)",
+            "scales": scales}
+    with open(args.out, "w") as f:
+        json.dump(body, f, indent=1)
+    for sc in scales:
+        print(f"[h2h] {sc['scale']}: n={sc['n']} geomean={sc['ratio_geomean']} "
+              f"p50={sc['ratio_p50']} p90={sc['ratio_p90']} max={sc['ratio_max']} "
+              f"spark_wins={sc['spark_wins']} over_5x={len(sc['over_5x'])}")
+
+
+if __name__ == "__main__":
+    main()
