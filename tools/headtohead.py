@@ -32,7 +32,9 @@ def duck_times(sf_dir, oracle_path, reps=2):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
     out = {}
