@@ -27,8 +27,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def duck_times(sf_dir, oracle_path, reps=2):
-    import duckdb
+def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300):
+    """cap_sec: per-query wall cap enforced via con.interrupt() from a
+    watchdog thread. A capped query is recorded as sec=cap_sec with
+    timed_out=true — the published ratio is then a LOWER bound on
+    Spark's win (DuckDB needed MORE than the cap), never an upper.
+    """
+    import duckdb, threading
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -38,18 +43,38 @@ def duck_times(sf_dir, oracle_path, reps=2):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
     out = {}
-    for name, sql in sorted(oracle.items()):
+
+    def run_capped(sql):
+        timer = threading.Timer(cap_sec, con.interrupt)
+        timer.start()
         try:
-            con.execute(sql).fetchall()  # warm-up (I/O cache, plan cache)
+            return con.execute(sql).fetchall()
+        finally:
+            timer.cancel()
+
+    for name, sql in sorted(oracle.items()):
+        t_all = time.perf_counter()
+        try:
+            run_capped(sql)  # warm-up (I/O cache, plan cache)
             best = math.inf
             for _ in range(reps):
                 t0 = time.perf_counter()
-                rows = con.execute(sql).fetchall()
+                rows = run_capped(sql)
                 best = min(best, time.perf_counter() - t0)
             out[name] = {"sec": round(best, 4), "rows": len(rows)}
+            print(f"[h2h] {name}: {best:.3f}s "
+                  f"(total {time.perf_counter() - t_all:.1f}s)", flush=True)
+        except duckdb.InterruptException:
+            out[name] = {"sec": float(cap_sec), "timed_out": True}
+            print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
         except Exception as e:
-            out[name] = {"sec": -1.0, "error": f"{type(e).__name__}: {str(e)[:200]}"}
-            print(f"[h2h] duckdb FAIL {name}: {out[name]['error']}")
+            msg = f"{type(e).__name__}: {str(e)[:200]}"
+            if "INTERRUPT" in msg.upper():
+                out[name] = {"sec": float(cap_sec), "timed_out": True}
+                print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
+            else:
+                out[name] = {"sec": -1.0, "error": msg}
+                print(f"[h2h] duckdb FAIL {name}: {msg}", flush=True)
     con.close()
     return out
 
@@ -66,6 +91,8 @@ def merge(scale, sf_dir, duck, bench_path):
             ratios.append(r)
         rows.append({"query": name, "spark_sec": s, "duck_sec": d,
                      "spark_over_duck": r,
+                     **({"duck_timed_out": True}
+                        if duck[name].get("timed_out") else {}),
                      **({"duck_error": duck[name]["error"]}
                         if "error" in duck[name] else {})})
     ratios.sort()
@@ -83,6 +110,7 @@ def merge(scale, sf_dir, duck, bench_path):
         "ratio_p90": ratios[int(0.9 * len(ratios))] if ratios else None,
         "ratio_max": ratios[-1] if ratios else None,
         "spark_wins": wins,
+        "duck_timed_out": [r["query"] for r in rows if r.get("duck_timed_out")],
         "over_5x": [{"query": r["query"], "spark_over_duck": r["spark_over_duck"]}
                     for r in sorted(losses, key=lambda x: -x["spark_over_duck"])],
         "queries": rows,
