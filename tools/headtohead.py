@@ -27,55 +27,83 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300):
-    """cap_sec: per-query wall cap enforced via con.interrupt() from a
+def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300,
+               mem_limit="48GB", tmp_limit="30GB"):
+    """Per-QUERY fresh connection: a capped/OOM'd query must not poison
+    the rest of the run (one shared connection left every query after a
+    disk-full spill failing with OOM). memory_limit + a bounded
+    temp_directory make DuckDB spill to disk up to tmp_limit instead of
+    filling the volume.
+
+    cap_sec: per-query wall cap enforced via con.interrupt() from a
     watchdog thread. A capped query is recorded as sec=cap_sec with
     timed_out=true — the published ratio is then a LOWER bound on
     Spark's win (DuckDB needed MORE than the cap), never an upper.
+    A query DuckDB cannot complete on this box (OOM / temp-dir budget
+    exceeded) is recorded as infeasible=true and EXCLUDED from ratio
+    stats — conservative, since only Spark LOSSES gate anything.
     """
-    import duckdb, threading
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written table: a dir of part files
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
-        elif os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    import duckdb, shutil, tempfile, threading
     oracle = json.load(open(oracle_path))
     out = {}
+    spill_dir = tempfile.mkdtemp(prefix="h2h_duck_spill_")
 
-    def run_capped(sql):
-        timer = threading.Timer(cap_sec, con.interrupt)
-        timer.start()
-        try:
-            return con.execute(sql).fetchall()
-        finally:
-            timer.cancel()
+    def fresh_con():
+        con = duckdb.connect()
+        con.sql(f"SET memory_limit='{mem_limit}'")
+        con.sql(f"SET temp_directory='{spill_dir}'")
+        con.sql(f"SET max_temp_directory_size='{tmp_limit}'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark-written table: a dir of parts
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            elif os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return con
 
     for name, sql in sorted(oracle.items()):
         t_all = time.perf_counter()
+        con = fresh_con()
+
+        def run_capped():
+            timer = threading.Timer(cap_sec, con.interrupt)
+            timer.start()
+            try:
+                return con.execute(sql).fetchall()
+            finally:
+                timer.cancel()
+
         try:
-            run_capped(sql)  # warm-up (I/O cache, plan cache)
+            run_capped()  # warm-up (I/O cache, plan cache)
             best = math.inf
             for _ in range(reps):
                 t0 = time.perf_counter()
-                rows = run_capped(sql)
+                rows = run_capped()
                 best = min(best, time.perf_counter() - t0)
             out[name] = {"sec": round(best, 4), "rows": len(rows)}
             print(f"[h2h] {name}: {best:.3f}s "
                   f"(total {time.perf_counter() - t_all:.1f}s)", flush=True)
-        except duckdb.InterruptException:
-            out[name] = {"sec": float(cap_sec), "timed_out": True}
-            print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
         except Exception as e:
             msg = f"{type(e).__name__}: {str(e)[:200]}"
-            if "INTERRUPT" in msg.upper():
+            if isinstance(e, duckdb.InterruptException) \
+                    or "INTERRUPT" in msg.upper():
                 out[name] = {"sec": float(cap_sec), "timed_out": True}
                 print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
+            elif isinstance(e, (duckdb.OutOfMemoryException, MemoryError)) \
+                    or "Out of Memory" in msg or "temp_directory" in msg \
+                    or "No space" in msg:
+                out[name] = {"sec": -1.0, "infeasible": True, "error": msg}
+                print(f"[h2h] {name}: INFEASIBLE single-process ({msg})",
+                      flush=True)
             else:
                 out[name] = {"sec": -1.0, "error": msg}
                 print(f"[h2h] duckdb FAIL {name}: {msg}", flush=True)
-    con.close()
+        finally:
+            try:
+                con.close()
+            except Exception:
+                pass
+    shutil.rmtree(spill_dir, ignore_errors=True)
     return out
 
 
@@ -93,6 +121,8 @@ def merge(scale, sf_dir, duck, bench_path):
                      "spark_over_duck": r,
                      **({"duck_timed_out": True}
                         if duck[name].get("timed_out") else {}),
+                     **({"duck_infeasible": True}
+                        if duck[name].get("infeasible") else {}),
                      **({"duck_error": duck[name]["error"]}
                         if "error" in duck[name] else {})})
     ratios.sort()
@@ -111,6 +141,8 @@ def merge(scale, sf_dir, duck, bench_path):
         "ratio_max": ratios[-1] if ratios else None,
         "spark_wins": wins,
         "duck_timed_out": [r["query"] for r in rows if r.get("duck_timed_out")],
+        "duck_infeasible": [r["query"] for r in rows
+                            if r.get("duck_infeasible")],
         "over_5x": [{"query": r["query"], "spark_over_duck": r["spark_over_duck"]}
                     for r in sorted(losses, key=lambda x: -x["spark_over_duck"])],
         "queries": rows,
