@@ -21,34 +21,27 @@ scale-out DuckDB does not have. The gate in the artifact is the ratio
 DISTRIBUTION, and any query >5x slower than DuckDB at the 10x scale is
 individually explained or fixed.
 """
-import argparse, json, math, os, time
+import argparse, json, math, os, subprocess, sys, tempfile, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300,
-               mem_limit="48GB", tmp_limit="30GB"):
-    """Per-QUERY fresh connection: a capped/OOM'd query must not poison
-    the rest of the run (one shared connection left every query after a
-    disk-full spill failing with OOM). memory_limit + a bounded
-    temp_directory make DuckDB spill to disk up to tmp_limit instead of
-    filling the volume.
+def child_run(sf_dir, oracle_path, name, cap_sec, mem_limit, tmp_limit):
+    """Run ONE query in this (child) process and print a JSON result.
 
-    cap_sec: per-query wall cap enforced via con.interrupt() from a
-    watchdog thread. A capped query is recorded as sec=cap_sec with
-    timed_out=true — the published ratio is then a LOWER bound on
-    Spark's win (DuckDB needed MORE than the cap), never an upper.
-    A query DuckDB cannot complete on this box (OOM / temp-dir budget
-    exceeded) is recorded as infeasible=true and EXCLUDED from ratio
-    stats — conservative, since only Spark LOSSES gate anything.
+    Isolation rationale: a fresh duckdb connection does NOT isolate
+    allocator-level exhaustion — one OOM'd query left the C++ allocator
+    unable to serve even a 32 KiB block for the NEXT query's
+    CREATE VIEW, killing the whole run. A subprocess per query makes an
+    OOM kill exactly one measurement. The OS page cache survives across
+    processes, so the warm-up still warms I/O.
     """
-    import duckdb, shutil, tempfile, threading
-    oracle = json.load(open(oracle_path))
-    out = {}
+    import duckdb, shutil, threading
+    sql = json.load(open(oracle_path))[name]
     spill_dir = tempfile.mkdtemp(prefix="h2h_duck_spill_")
-
-    def fresh_con():
+    result = {}
+    try:
         con = duckdb.connect()
         con.sql(f"SET memory_limit='{mem_limit}'")
         con.sql(f"SET temp_directory='{spill_dir}'")
@@ -59,11 +52,6 @@ def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300,
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
             elif os.path.exists(p):
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        return con
-
-    for name, sql in sorted(oracle.items()):
-        t_all = time.perf_counter()
-        con = fresh_con()
 
         def run_capped():
             timer = threading.Timer(cap_sec, con.interrupt)
@@ -76,34 +64,85 @@ def duck_times(sf_dir, oracle_path, reps=2, cap_sec=300,
         try:
             run_capped()  # warm-up (I/O cache, plan cache)
             best = math.inf
-            for _ in range(reps):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 rows = run_capped()
                 best = min(best, time.perf_counter() - t0)
-            out[name] = {"sec": round(best, 4), "rows": len(rows)}
-            print(f"[h2h] {name}: {best:.3f}s "
-                  f"(total {time.perf_counter() - t_all:.1f}s)", flush=True)
+            result = {"sec": round(best, 4), "rows": len(rows)}
         except Exception as e:
             msg = f"{type(e).__name__}: {str(e)[:200]}"
             if isinstance(e, duckdb.InterruptException) \
                     or "INTERRUPT" in msg.upper():
-                out[name] = {"sec": float(cap_sec), "timed_out": True}
-                print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
+                result = {"sec": float(cap_sec), "timed_out": True}
             elif isinstance(e, (duckdb.OutOfMemoryException, MemoryError)) \
                     or "Out of Memory" in msg or "temp_directory" in msg \
-                    or "No space" in msg:
-                out[name] = {"sec": -1.0, "infeasible": True, "error": msg}
-                print(f"[h2h] {name}: INFEASIBLE single-process ({msg})",
-                      flush=True)
+                    or "No space" in msg or "bad allocation" in msg:
+                result = {"sec": -1.0, "infeasible": True, "error": msg}
             else:
-                out[name] = {"sec": -1.0, "error": msg}
-                print(f"[h2h] duckdb FAIL {name}: {msg}", flush=True)
-        finally:
-            try:
-                con.close()
-            except Exception:
-                pass
-    shutil.rmtree(spill_dir, ignore_errors=True)
+                result = {"sec": -1.0, "error": msg}
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    print("H2H_RESULT " + json.dumps(result), flush=True)
+
+
+def duck_times(sf_dir, oracle_path, state_path, cap_sec=300,
+               mem_limit="48GB", tmp_limit="30GB"):
+    """Per-QUERY subprocess (see child_run). Results stream into
+    state_path after every query, so a crashed or killed run resumes
+    where it left off instead of re-paying completed measurements.
+
+    cap_sec: per-query wall cap (con.interrupt in the child; a hard
+    kill from here as backstop). A capped query is recorded as
+    sec=cap_sec with timed_out=true — the published ratio is then a
+    LOWER bound on Spark's win (DuckDB needed MORE than the cap). A
+    query DuckDB cannot complete on this box (OOM / temp-dir budget)
+    is recorded as infeasible=true and EXCLUDED from ratio stats —
+    conservative, since only Spark LOSSES gate anything.
+    """
+    oracle = json.load(open(oracle_path))
+    out = {}
+    if os.path.exists(state_path):
+        out = json.load(open(state_path))
+        print(f"[h2h] resuming: {len(out)} results already in {state_path}",
+              flush=True)
+    for name in sorted(oracle):
+        if name in out:
+            continue
+        t_all = time.perf_counter()
+        # warmup + 2 reps can each run up to cap_sec before interrupt
+        # lands; hard-kill backstop covers an interrupt that never takes.
+        hard_cap = 3 * cap_sec + 120
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 sf_dir, oracle_path, name, str(cap_sec), mem_limit,
+                 tmp_limit],
+                capture_output=True, text=True, timeout=hard_cap)
+            res = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("H2H_RESULT "):
+                    res = json.loads(line[len("H2H_RESULT "):])
+            if res is None:  # child died before reporting (hard OOM kill)
+                tail = (proc.stderr or proc.stdout or "").strip()[-200:]
+                res = {"sec": -1.0, "infeasible": True,
+                       "error": f"child exit {proc.returncode}: {tail}"}
+        except subprocess.TimeoutExpired:
+            res = {"sec": float(cap_sec), "timed_out": True,
+                   "error": "hard kill: interrupt did not land"}
+        out[name] = res
+        if res.get("timed_out"):
+            print(f"[h2h] {name}: CAPPED at {cap_sec}s", flush=True)
+        elif res.get("infeasible"):
+            print(f"[h2h] {name}: INFEASIBLE single-process "
+                  f"({res.get('error', '')[:120]})", flush=True)
+        elif "error" in res:
+            print(f"[h2h] duckdb FAIL {name}: {res['error'][:120]}",
+                  flush=True)
+        else:
+            print(f"[h2h] {name}: {res['sec']:.3f}s "
+                  f"(total {time.perf_counter() - t_all:.1f}s)", flush=True)
+        with open(state_path, "w") as f:
+            json.dump(out, f)
     return out
 
 
@@ -150,6 +189,10 @@ def merge(scale, sf_dir, duck, bench_path):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _, _, sf_dir, oracle, name, cap, mem, tmp = sys.argv
+        child_run(sf_dir, oracle, name, float(cap), mem, tmp)
+        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--scale", action="append", required=True,
@@ -159,7 +202,9 @@ def main():
     for s in args.scale:
         label, sf_dir, oracle, bench = s.split(":")
         print(f"[h2h] timing DuckDB at {label} ({sf_dir})")
-        scales.append(merge(label, sf_dir, duck_times(sf_dir, oracle), bench))
+        state = args.out + f".state.{label}.json"
+        scales.append(merge(label, sf_dir,
+                            duck_times(sf_dir, oracle, state), bench))
     body = {"protocol": "min-of-2 after 1 warm-up, full materialization, "
                         "same parquet, same 32-core host; DuckDB default "
                         "threading (all cores)",
