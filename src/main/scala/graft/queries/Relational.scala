@@ -16,10 +16,11 @@ import graft.operators.{Skew, Windows}
   * §2.3 marks them "absent"); they come free with the DataFrame-native
   * design and are mandated by the driver's north star.
   *
-  * Numeric discipline: money aggregates go through DECIMAL and are
-  * emitted as DOUBLE (exact decimal sum → one deterministic double
-  * conversion) so Spark's parallel partial aggregation and DuckDB's
-  * serial sum cannot drift (see [[QuerySpec]]).
+  * Numeric discipline: money aggregates are exact and fold-order
+  * independent so Spark's parallel partial aggregation and a serial
+  * oracle cannot drift (see [[QuerySpec]]) — either DECIMAL sums
+  * emitted as DOUBLE, or the scaled-integer fast path ([[moneySum]])
+  * on head-to-head-flagged hot aggregates.
   */
 object Relational {
 
@@ -28,27 +29,49 @@ object Relational {
     * value in both engines. */
   private val discPrice = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
+  /** Exact money sum on the scaled-integer fast path.
+    *
+    * A DECIMAL(18,x) sum widens the accumulator past the long-compact
+    * precision 18, forcing Spark's BigDecimal object path — measured
+    * 4.9 s vs 0.87 s for the q1 aggregate on the 10× bench fixture.
+    * Instead: the input doubles carry a fixed number of decimal digits,
+    * so `floor(x*scale + 0.5)` recovers the exact integer (all money
+    * values here are non-negative; floor pins the same rounding in
+    * Spark and any IEEE-754 oracle), and `try_sum` accumulates with
+    * CHECKED int64 adds — overflow is a loud NULL (a hash-gate
+    * failure), never a silent wrap. Integer sums are fold-order
+    * independent, so partial aggregation and salting stay bit-equal to
+    * a serial oracle. Capacity: 9.2e18 scaled units per GROUP (~9.2e12
+    * dollars at the 1e-6 charge scale); a corpus whose single group
+    * exceeds that keeps the DECIMAL formulation (q18 does) and pays
+    * the object-agg tax knowingly.
+    */
+  private def moneySum(c: Column, scale: Long): Column =
+    try_sum(floor(c * scale + lit(0.5))) / scale.toDouble
+  private def moneySumSql(expr: String, scale: Long): String =
+    s"sum(CAST(FLOOR(($expr) * $scale + 0.5) AS BIGINT)) / $scale.0"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- hash aggregation: TPC-H Q1-style pricing summary ----
     QuerySpec.sql("q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
-         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  ${moneySumSql("l_quantity", 100)} AS sum_qty,
+         |  ${moneySumSql("l_extendedprice", 100)} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+         |  ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)} AS sum_charge,
+         |  ${moneySumSql("l_quantity", 100)} / count(*) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-          sum(($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).cast("decimal(18,6)")).cast("double").as("sum_charge"),
-          (sum($"l_quantity".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          moneySum($"l_quantity", 100).as("sum_qty"),
+          moneySum($"l_extendedprice", 100).as("sum_base_price"),
+          moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000).as("sum_disc_price"),
+          moneySum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 1000000).as("sum_charge"),
+          (moneySum($"l_quantity", 100) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -58,7 +81,7 @@ object Relational {
     // shuffles — the layout that survives 100 TB (fact-fact shuffle on the
     // join key, AQE handles skew).
     QuerySpec.sql("q2_join_revenue",
-      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+      s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue
          |FROM lineitem
          |JOIN orders   ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -71,8 +94,7 @@ object Relational {
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"))
+        .agg(moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
     },
 
@@ -83,7 +105,7 @@ object Relational {
     // the scans as pushed predicates; every dim broadcasts, so the only
     // shuffle is lineitem⋈orders and the final tiny aggregation. ----
     QuerySpec.sql("q98_local_supplier",
-      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+      s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue
          |FROM lineitem
          |JOIN orders   ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -106,8 +128,7 @@ object Relational {
         .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
           $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"))
+        .agg(moneySum($"l_extendedprice" * (lit(1) - $"l_discount"), 10000).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
     },
 
@@ -491,21 +512,22 @@ object Relational {
     // 3 values over all of lineitem — the textbook hot-key groupBy whose
     // single reducer bottlenecks at scale. Skew.saltedAgg fans each key
     // over 16 salt buckets (phase 1) and merges 16 partials per key
-    // (phase 2); decimal sums make the two-phase result bit-equal to the
-    // oracle's one-phase GROUP BY regardless of fold order. ----
+    // (phase 2); scaled-integer sums (see moneySum) make the two-phase
+    // result bit-equal to the oracle's one-phase GROUP BY regardless of
+    // fold order, with checked adds at both phases. ----
     QuerySpec.sql("q58_salted_agg",
-      """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      s"""SELECT l_returnflag,
+         |  ${moneySumSql("l_quantity", 100)} AS total_qty,
+         |  ${moneySumSql("l_extendedprice", 100)} AS total_price,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Skew.saltedAgg(Tables.lineitem(s, d), Seq("l_returnflag"), 16, Map(
-          "total_qty" -> ((sum($"l_quantity".cast("decimal(18,2)")), (c: Column) => sum(c))),
-          "total_price" -> ((sum($"l_extendedprice".cast("decimal(18,2)")), (c: Column) => sum(c))),
+          "total_qty" -> ((try_sum(floor($"l_quantity" * 100 + lit(0.5))), (c: Column) => try_sum(c))),
+          "total_price" -> ((try_sum(floor($"l_extendedprice" * 100 + lit(0.5))), (c: Column) => try_sum(c))),
           "n" -> ((count(lit(1)), (c: Column) => sum(c)))))
         .select($"l_returnflag",
-          $"total_qty".cast("double").as("total_qty"),
-          $"total_price".cast("double").as("total_price"),
+          ($"total_qty" / 100.0).as("total_qty"),
+          ($"total_price" / 100.0).as("total_price"),
           $"n".cast("long").as("n"))
         .orderBy($"l_returnflag")
     },
