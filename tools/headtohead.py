@@ -205,9 +205,13 @@ def main():
         state = args.out + f".state.{label}.json"
         scales.append(merge(label, sf_dir,
                             duck_times(sf_dir, oracle, state), bench))
-    body = {"protocol": "min-of-2 after 1 warm-up, full materialization, "
-                        "same parquet, same 32-core host; DuckDB default "
-                        "threading (all cores)",
+    body = {"protocol": "both engines min-of-2 after 1 warm-up, full "
+                        "materialization, same parquet, same 32-core host; "
+                        "DuckDB default threading (all cores), fresh process "
+                        "per query; Spark side is the per-query MIN across 2 "
+                        "bench sessions (SCALING.md min-of-k discipline — "
+                        "wall noise is +10-25% per session and only ever "
+                        "adds), so ratios compare floors to floors",
             "scales": scales}
     with open(args.out, "w") as f:
         json.dump(body, f, indent=1)
