@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, SliceId, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, SliceId, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -72,6 +72,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3,
           s"asof_pick requires exactly 3 arguments, got ${children.size}")
         AsOfPick(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("subword_stats"),
+      new ExpressionInfo(classOf[SubwordStats].getName, "subword_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"subword_stats requires exactly 1 argument, got ${children.size}")
+        SubwordStats(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("space_token_stats"),
+      new ExpressionInfo(classOf[SpaceTokenStats].getName, "space_token_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"space_token_stats requires exactly 2 arguments, got ${children.size}")
+        SpaceTokenStats(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("lsh_plane_bits"),

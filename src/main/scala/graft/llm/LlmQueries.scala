@@ -424,7 +424,12 @@ object LlmQueries {
         .orderBy($"content_hash")
     },
 
-    // ---- token statistics: explode + count/distinct/stopword-ratio ----
+    // ---- token statistics: count / distinct / stopword-ratio per doc.
+    // The oracle keeps the unnest + GROUP BY formulation; the engine side
+    // is one codegen'd byte scan per row
+    // ([[graft.functions.SpaceTokenStats]]) — exploding tokens to compute
+    // doc-local counters would shuffle the whole corpus's tokens at
+    // 100 TB for values that never need to leave their row. ----
     QuerySpec.sql("q41_token_stats",
       """SELECT doc_id, count(*) AS n_tokens,
         |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
@@ -433,21 +438,24 @@ object LlmQueries {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct($"w").cast("long").as("n_distinct"),
-          (sum(when($"w".isin("the", "a", "of", "and", "to", "in", "is", "on"), 1)
-            .otherwise(0)).cast("double") / count(lit(1))).as("stop_ratio"))
+        .select($"doc_id", call_function("space_token_stats", $"text",
+          typedLit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))).as("st"))
+        .select($"doc_id",
+          $"st.n_tok".as("n_tokens"),
+          $"st.n_distinct".as("n_distinct"),
+          ($"st.stop_hits".cast("double") / $"st.n_tok").as("stop_ratio"))
         .orderBy($"doc_id")
     },
 
-    // ---- BPE-ish subword tokenization via regex classes (the
-    // whitespace-split complement of q41): letter runs / digit runs /
-    // single punctuation, the usual pre-tokenizer shape. Pure per-row
-    // regexp_extract_all + array math — embarrassingly parallel, no
-    // shuffle before the final sort. The simple character-class pattern
-    // behaves identically in Java regex (Spark) and RE2 (DuckDB). ----
+    // ---- BPE-ish subword tokenization (the whitespace-split complement
+    // of q41): letter runs / digit runs / single punctuation, the usual
+    // pre-tokenizer shape. The oracle keeps the regex + list-lambda
+    // formulation (char classes behave identically in RE2); the engine
+    // side computes all four stats in ONE codegen'd byte scan
+    // ([[graft.functions.SubwordStats]]) — the composed form's
+    // `transform`/`filter` lambdas are CodegenFallback (whole projection
+    // drops to interpreted rows) and re-materialize the token array per
+    // pass. Embarrassingly parallel, no shuffle before the final sort. ----
     QuerySpec.sql("q39_bpe_tokens",
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_subtokens,
@@ -459,13 +467,12 @@ object LlmQueries {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
+        .select($"doc_id", call_function("subword_stats", $"text").as("st"))
         .select($"doc_id",
-          regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
-        .select($"doc_id",
-          size($"toks").cast("long").as("n_subtokens"),
-          size(array_distinct($"toks")).cast("long").as("n_distinct"),
-          array_max(transform($"toks", t => length(t))).cast("long").as("max_token_len"),
-          size(filter($"toks", t => t.rlike("^[0-9]+$"))).cast("long").as("n_numeric"))
+          $"st.n_subtokens".as("n_subtokens"),
+          $"st.n_distinct".as("n_distinct"),
+          $"st.max_token_len".as("max_token_len"),
+          $"st.n_numeric".as("n_numeric"))
         .orderBy($"doc_id")
     },
 
@@ -1244,8 +1251,13 @@ object LlmQueries {
     // ---- Gopher-style repetition rules: duplicate-token fraction and
     // top-bigram fraction per doc (integer ppm — floor division on
     // non-negative values agrees across engines), with the keep/drop
-    // verdict the quality filter applies. Two hash aggregations per
-    // doc-local key; nothing global. ----
+    // verdict the quality filter applies. The oracle keeps the
+    // unnest + two-aggregation + join formulation; the engine side is
+    // one codegen'd byte scan per row ([[graft.functions.SpaceTokenStats]]:
+    // bigrams are keyed as the raw byte slice spanning both tokens — the
+    // separator is always ' ', so no concat) — everything here is
+    // doc-local, and the exploded form would shuffle every token AND
+    // every bigram of a 100 TB corpus twice plus re-join. ----
     QuerySpec.sql("q75_repetition_rules",
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |       WHERE len(string_split(text, ' ')) >= 2),
@@ -1263,20 +1275,13 @@ object LlmQueries {
         |    AND (b.top_bg * 1000000) // (t.n_tok - 1) < 200000
         |    THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM ts t JOIN bt b USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val ws = Tables.documents(s, d)
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size($"w") >= 2)
-      val tokStats = ws.select($"doc_id", explode($"w").as("tok"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_distinct"))
-      val bgTop = ws.select($"doc_id",
-          explode(expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
-      tokStats.join(bgTop, "doc_id")
-        .select($"doc_id", $"n_tok",
-          expr("((n_tok - n_distinct) * 1000000) div n_tok").as("dup_tok_ppm"),
-          expr("(top_bg * 1000000) div (n_tok - 1)").as("top_bigram_ppm"))
+      Tables.documents(s, d)
+        .select($"doc_id", call_function("space_token_stats", $"text",
+          typedLit(Seq.empty[String])).as("st"))
+        .filter($"st.n_tok" >= 2)
+        .select($"doc_id", $"st.n_tok".as("n_tok"),
+          expr("((st.n_tok - st.n_distinct) * 1000000) div st.n_tok").as("dup_tok_ppm"),
+          expr("(st.top_bg * 1000000) div (st.n_tok - 1)").as("top_bigram_ppm"))
         .withColumn("pass",
           when($"dup_tok_ppm" < 300000 && $"top_bigram_ppm" < 200000, 1L).otherwise(0L))
         .orderBy($"doc_id")
