@@ -61,10 +61,9 @@ object CorpusDedup {
     // would make a streaming plan stream-stream); docs under 3 tokens
     // have no shingles — null minima, so their band keys match nothing
     // and they still flow through the exact check
-    val w = split(col("text"), " ")
     val sig = newDocs
       .select(col("doc_id"), PortableHash.md5Long(col("text")).as("th"),
-        when(size(w) >= 3, LlmQueries.minsExpr(w)).otherwise(lit(null)).as("mins"))
+        LlmQueries.minsExpr(col("text")).as("mins"))
       .select(col("doc_id") +: col("th") +:
         (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
     val exact = hashIdx.select(col("th"), lit(1).as("is_exact"))

@@ -81,16 +81,23 @@ object LlmQueries {
   private val MhA: IndexedSeq[Long] = (0 until 16).map(j => (2654435761L * (2 * j + 1)) % P)
   private val MhB: IndexedSeq[Long] = (0 until 16).map(j => (2654435789L * (j + 7) + 40503L * j) % P)
 
-  /** 16-permutation MinHash signature: 16 `min` aggregates in ONE pass
-    * (single shuffle on doc_id, partial min map-side). */
+  /** 16-permutation MinHash signature as h0..h15 columns — SHUFFLE-FREE:
+    * one codegen'd byte scan per document ([[graft.functions.ShingleHashes]]
+    * feeding [[graft.functions.MinhashMins]]), no token explode, no
+    * groupBy. The aggregation form this replaced (explode shingles →
+    * md5 per shingle string → 16 partial-min aggregates) shuffled a
+    * (doc_id, partial-minima) row per doc per partition and paid
+    * interpreted `concat_ws` string construction per shingle; at 100 TB
+    * the signature step should be a map-only pass over the corpus.
+    * Values are bit-identical (same hash space — the oracle's `sigSql`
+    * aggregation form still hash-proves every consumer). Docs under 3
+    * tokens have no shingles → NULL minima → excluded, matching the
+    * aggregation form's absent group. */
   private def minhashSig(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .withColumn("h", PortableHash.md5Mod(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(
-        min((col("h") * MhA(0) + MhB(0)) % P).as("h0"),
-        (1 until 16).map(j =>
-          min((col("h") * MhA(j) + MhB(j)) % P).as(s"h$j")): _*)
+    docs.select(col("doc_id"), minsExpr(col("text")).as("mins"))
+      .filter(col("mins").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
 
   // ---------- shared SQL fragments (DuckDB side) ----------
 
@@ -145,21 +152,21 @@ object LlmQueries {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** The 16 per-row MinHash minima as ONE array expression over a
-    * words-array column (all minima in one codegen'd `minhash_mins`
-    * pass — the 16 separate `array_min(transform(...))` walks this
-    * replaces ran the lambda interpreted and allocated an intermediate
-    * array per permutation per row). The single source of the row-form
-    * signature: [[rowSignature]] wraps it, and [[CorpusDedup]] uses it
-    * directly where the signature must ride one projection (a second
-    * branch of the source would make a streaming plan stream-stream). */
-  private[llm] def minsExpr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val shs = transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", slice(w, i, lit(3))))
-    val hs = transform(shs, s => PortableHash.md5Mod(s))
-    call_function("minhash_mins", hs, typedLit(Seq(MhA.toSeq, MhB.toSeq)))
-  }
+  /** The 16 per-row MinHash minima as ONE array expression over the TEXT
+    * column: shingle hashing and all permutation minima in two chained
+    * codegen'd byte scans ([[graft.functions.ShingleHashes]] →
+    * [[graft.functions.MinhashMins]]) — no `split`, no `transform`
+    * lambdas (CodegenFallback), no per-shingle string concatenation.
+    * NULL when the document has fewer than 3 tokens (no shingles — the
+    * "no signature" contract). The single source of the row-form
+    * signature: [[rowSignature]] and [[minhashSig]] wrap it, and
+    * [[CorpusDedup]] uses it directly where the signature must ride one
+    * projection (a second branch of the source would make a streaming
+    * plan stream-stream). */
+  private[llm] def minsExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("minhash_mins",
+      call_function("shingle_hashes", text, lit(3)),
+      typedLit(Seq(MhA.toSeq, MhB.toSeq)))
 
   /** Stateless per-ROW MinHash signature: the same 16 permutation minima
     * as [[minhashSig]], computed with array higher-order functions over
@@ -170,9 +177,8 @@ object LlmQueries {
     * band-key store — [[graft.streaming.IncrementalNearDup]]), or to
     * trade shuffle for per-row CPU in a batch plan. */
   def rowSignature(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), minsExpr(col("w")).as("mins"))
+    docs.select(col("doc_id"), minsExpr(col("text")).as("mins"))
+      .filter(col("mins").isNotNull)
       .select(col("doc_id") +:
         (0 until 16).map(j => element_at(col("mins"), j + 1).as(s"h$j")): _*)
 
@@ -904,8 +910,12 @@ object LlmQueries {
          |  FROM h)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, h FROM ranked WHERE rank <= 4
          |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
-      val h = shingles(Tables.documents(s, d))
-        .select($"doc_id", PortableHash.md5Mod($"sh").as("h")).distinct()
+      // doc-local distinct via ONE byte scan + array_distinct — the
+      // (doc_id, h) dedup never shuffles (it's per-row), and only the
+      // already-distinct hashes reach the top-k exchange
+      val h = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(array_distinct(call_function("shingle_hashes", $"text", lit(3)))).as("h"))
       Windows.topKPerGroup(h, Seq("doc_id"), Seq($"h".asc), 4)
         .select($"doc_id", $"rnk".cast("long").as("rank"), $"h")
         .orderBy($"doc_id", $"rank")
@@ -1225,26 +1235,36 @@ object LlmQueries {
     // 3-gram with the held-out benchmark set (here a deterministic ~5%
     // hash slice of the corpus standing in for an eval suite) are
     // reported with their overlap count; the training pipeline drops
-    // them. Shape: the benchmark shingle set is DISTINCT'd then
+    // them. Shape: overlap is counted in the portable 60-bit%P HASH
+    // space — the same space the whole MinHash chain signs in — never on
+    // shingle strings: each side's per-doc distinct hash set comes from
+    // ONE codegen'd byte scan ([[graft.functions.ShingleHashes]] +
+    // `array_distinct`, doc-local — no token shuffle, no per-shingle
+    // string construction), the benchmark set is DISTINCT'd then
     // broadcast (eval suites are tiny next to a 100 TB corpus), so the
-    // training side streams once with a map-side hash probe — the only
-    // shuffle is the per-doc distinct-hit count. ----
+    // training side streams once with a map-side long-hash probe, and
+    // the per-doc hit count is a plain count with map-side partials
+    // (doc-local dedup already happened — no global count-DISTINCT
+    // shuffle of hit rows). ----
     QuerySpec.sql("q74_decontaminate", {
       val h = md5ModSql("CAST(doc_id AS VARCHAR)")
       s"""WITH $shinglesSql,
-         |bsh AS (SELECT DISTINCT sh FROM sh WHERE $h % 20 = 0),
-         |tsh AS (SELECT doc_id, sh FROM sh WHERE $h % 20 <> 0)
-         |SELECT t.doc_id, CAST(count(DISTINCT t.sh) AS BIGINT) AS n_hits
-         |FROM tsh t JOIN bsh b USING (sh)
+         |dsh AS (SELECT DISTINCT doc_id, ${md5ModSql("sh")} AS h FROM sh),
+         |bsh AS (SELECT DISTINCT h FROM dsh WHERE $h % 20 = 0),
+         |tsh AS (SELECT doc_id, h FROM dsh WHERE $h % 20 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM tsh t JOIN bsh b USING (h)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     }) { (s, d) =>
-      val sh = shingles(Tables.documents(s, d))
+      val hs = Tables.documents(s, d)
+        .select($"doc_id",
+          explode(array_distinct(call_function("shingle_hashes", $"text", lit(3)))).as("h"))
       val isBench = PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0
-      val bsh = sh.filter(isBench).select($"sh").distinct()
-      sh.filter(!isBench)
-        .join(broadcast(bsh), "sh")
+      val bsh = hs.filter(isBench).select($"h").distinct()
+      hs.filter(!isBench)
+        .join(broadcast(bsh), "h")
         .groupBy($"doc_id")
-        .agg(countDistinct($"sh").as("n_hits"))
+        .agg(count(lit(1)).as("n_hits"))
         .orderBy($"doc_id")
     },
 
