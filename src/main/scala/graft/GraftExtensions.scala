@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, ShingleHashes, SliceId, SpaceTokenStats, SubwordStats, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, ShingleHashes, SliceId, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"space_token_stats requires exactly 2 arguments, got ${children.size}")
         SpaceTokenStats(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("space_token_counts"),
+      new ExpressionInfo(classOf[SpaceTokenCounts].getName, "space_token_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"space_token_counts requires exactly 1 argument, got ${children.size}")
+        SpaceTokenCounts(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_hashes"),

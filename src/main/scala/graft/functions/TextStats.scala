@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -79,6 +79,18 @@ object TextStatsUtil {
           slots(idx) = oldSlots(i); used(idx) = true; hashes(idx) = oldHashes(i)
           if (counted) counts(idx) = oldCounts(i)
         }
+        i += 1
+      }
+    }
+
+    /** Visit every distinct entry as (start, len, count); slot order —
+      * deterministic for identical input bytes (FNV-driven), arbitrary
+      * otherwise. Uncounted tables report count = 1. */
+    def foreachEntry(f: (Int, Int, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (used(i)) f((slots(i) >>> 32).toInt, (slots(i) & 0xffffffffL).toInt,
+          if (counted) counts(i) else 1L)
         i += 1
       }
     }
@@ -194,6 +206,42 @@ object TextStatsUtil {
     row
   }
 
+  /** `space_token_counts(text)`: the document's DISTINCT single-space
+    * tokens with their occurrence counts, as `array<struct<term, tf>>` —
+    * the per-document term-frequency table computed where the document
+    * lives. Token semantics match `string_split(text, ' ')` (empty
+    * tokens from consecutive / leading / trailing separators kept), so
+    * `explode(space_token_counts(text))` ≡ the exploded split grouped by
+    * (doc, term) — WITHOUT the corpus-sized exchange: TF is doc-local
+    * arithmetic, and only the distinct (doc, term) pairs ever reach a
+    * downstream shuffle (df aggregation, posting-list build). Element
+    * order is hash-slot order — deterministic per document, meaningless,
+    * and irrelevant to every consumer (explode feeds joins/aggregates). */
+  def spaceTokenCounts(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val tokens = new SliceTable(64, counted = true)
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') { // token = [tokStart, i)
+        tokens.add(b, tokStart, i - tokStart)
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](tokens.size)
+    var k = 0
+    tokens.foreachEntry { (start, len, cnt) =>
+      val row = new GenericInternalRow(2)
+      row.update(0, UTF8String.fromBytes(b, start, len))
+      row.update(1, cnt)
+      out(k) = row
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def isStop(b: Array[Byte], start: Int, len: Int,
       stops: Array[Array[Byte]]): Boolean = {
     var j = 0
@@ -303,4 +351,34 @@ object SpaceTokenStats {
     StructField("n_distinct", LongType, nullable = false),
     StructField("stop_hits", LongType, nullable = false),
     StructField("top_bg", LongType, nullable = true)))
+}
+
+/** See [[TextStatsUtil.spaceTokenCounts]]. Registered as
+  * `space_token_counts`. */
+case class SpaceTokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = SpaceTokenCounts.schema
+  override def prettyName: String = "space_token_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"space_token_counts requires a string column, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsUtil.spaceTokenCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextStatsUtil.spaceTokenCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokenCounts =
+    copy(child = newChild)
+}
+
+object SpaceTokenCounts {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
 }

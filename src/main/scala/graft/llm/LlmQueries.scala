@@ -1105,8 +1105,12 @@ object LlmQueries {
     // floor division — identical in both engines); the standard log-idf
     // is the production variant, excluded from the gate only because
     // libm transcendentals differ per engine (SURVEY §6 numeric
-    // discipline). Shape: one shuffle to (doc,term), one to term for df,
-    // a broadcast scalar N, a per-doc top-k window. ----
+    // discipline). Shape: TF is computed doc-locally in one codegen'd
+    // byte scan ([[graft.functions.SpaceTokenCounts]] — the oracle keeps
+    // the unnest + GROUP BY (doc, term) formulation), so the corpus-sized
+    // (doc, term) exchange disappears: only the already-distinct
+    // per-doc term rows shuffle — once to term for df, once back to doc
+    // for the top-k window — plus a broadcast scalar N. ----
     QuerySpec.sql("q68_tfidf",
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1121,12 +1125,14 @@ object LlmQueries {
         |SELECT doc_id, term, tf, score_ppm, rnk FROM ranked
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       // tf feeds BOTH the df aggregation and the scored join: without
-      // materialization the diamond re-scans + re-explodes documents
+      // materialization the diamond re-scans + re-tokenizes documents
       // twice (the q91 lesson — constraint inference defeats exchange
       // reuse). At 100 TB this is the term-frequency table written once.
-      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val tf = docs
+        .select($"doc_id",
+          explode(call_function("space_token_counts", $"text")).as("tc"))
+        .select($"doc_id", $"tc.term".as("term"), $"tc.tf".as("tf"))
         .transform(graft.Materialize(_))
       val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -2209,7 +2215,11 @@ object LlmQueries {
     // is bounded by the segment size. Global document frequency rides a
     // window over the tiny (term × segment) aggregate — no second scan
     // of the corpus; raw text never shuffles (only (term, doc_id)
-    // pairs). df ≥ 25 keeps the gated output to index-worthy terms.
+    // pairs), and the per-doc DISTINCT happens doc-locally in the same
+    // byte scan that tokenizes ([[graft.functions.SpaceTokenCounts]]) —
+    // the exploded-occurrence global `.distinct()` exchange this
+    // replaces shuffled every token occurrence of the corpus.
+    // df ≥ 25 keeps the gated output to index-worthy terms.
     // Postings serialize to ONE comma-joined string for the gate: the
     // driver's checker sorts every column (pandas lexsort) and cannot
     // order list cells, so both engines emit the scalar serialization
@@ -2228,8 +2238,9 @@ object LlmQueries {
         |  FROM seg) WHERE df >= 25
         |ORDER BY term, seg""".stripMargin) { (s, d) =>
       val terms = Tables.documents(s, d)
-        .select($"doc_id", explode(split($"text", " ")).as("term"))
-        .distinct()
+        .select($"doc_id",
+          explode(call_function("space_token_counts", $"text")).as("tc"))
+        .select($"doc_id", $"tc.term".as("term"))
       val seg = terms
         .groupBy($"term", expr("CAST(doc_id DIV 100 AS INT)").as("seg"))
         .agg(count(lit(1)).as("df_seg"),

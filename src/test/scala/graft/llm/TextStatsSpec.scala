@@ -97,6 +97,37 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("space_token_counts matches the explode + GROUP BY formulation") {
+    // duplicate texts exist in the fixture — key by doc, not text value
+    val ids = (adversarial ++ bulk).zipWithIndex.map(_.swap).toDF("id", "text")
+    val composed = ids
+      .select($"id", explode(split($"text", " ")).as("term"))
+      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getString(1), r.getLong(2))).toSet
+      }
+    val scanned = ids
+      .select($"id",
+        explode(call_function("space_token_counts", $"text")).as("tc"))
+      .select($"id", $"tc.term", $"tc.tf")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getString(1), r.getLong(2))).toSet
+      }
+    assert(scanned.keySet == composed.keySet)
+    scanned.foreach { case (t, pairs) =>
+      assert(pairs == composed(t), s"space_token_counts mismatch on doc $t")
+    }
+    // element order is deterministic for identical input
+    val twice = Seq("b a b c a", "b a b c a").toDF("text")
+      .select(call_function("space_token_counts", $"text").as("tc"))
+      .collect()
+    assert(twice(0).getSeq[Any](0) == twice(1).getSeq[Any](0))
+  }
+
   test("null text yields null structs, not errors") {
     val df = Seq[(Integer, String)]((1, null), (2, "a b")).toDF("id", "text")
     val out = df.select(
