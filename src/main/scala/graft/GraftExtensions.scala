@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, ShingleHashes, SliceId, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, ShingleHashes, SliceId, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -104,6 +104,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"shingle_hashes requires exactly 2 arguments, got ${children.size}")
         ShingleHashes(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("space_segments"),
+      new ExpressionInfo(classOf[SpaceSegments].getName, "space_segments"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"space_segments requires exactly 2 arguments, got ${children.size}")
+        SpaceSegments(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("lsh_plane_bits"),

@@ -1855,13 +1855,18 @@ object LlmQueries {
     // and stitch the survivors back together in document order. The
     // fixture text has no newlines, so segmentation is deterministic
     // 10-token blocks (production swaps the segmenter — split('\n') —
-    // without touching the dataflow). Two shuffles total: ONE window
-    // count partitioned by segment (no groupBy+join-back round trip) and
-    // the per-doc reassembly aggregation; order inside each doc is
-    // restored by sorting the collected (idx, seg) structs, so the
-    // output is layout-independent. At 100 TB the segment window is the
-    // canonical dedup shuffle — keys are segment hashes, uniform by
-    // construction. ----
+    // without touching the dataflow). The oracle keeps the
+    // string-keyed window formulation; the engine side segments in one
+    // codegen'd byte scan ([[graft.functions.SpaceSegments]]) and makes
+    // the dedup DECISION travel as longs: duplicate counting aggregates
+    // 60-bit segment hashes (uniform keys, map-side partials), the
+    // per-doc removal set comes back as (doc_id, idx) longs, and
+    // segment TEXT crosses exactly ONE exchange — the doc_id join that
+    // attaches the removal set — with reassembly doc-local (kept
+    // segments re-joined in index order; joining ALL segments with ' '
+    // reproduces the original bytes, so undeduplicated docs round-trip
+    // exactly). The window-by-segment-string form this replaces
+    // shuffled the full corpus text twice. ----
     QuerySpec.sql("q103_segment_dedup",
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |segs AS (SELECT doc_id, gs AS idx,
@@ -1875,21 +1880,31 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |  coalesce(string_agg(CASE WHEN cnt < 2 THEN seg END, ' ' ORDER BY idx), '') AS kept_text
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val segs = Tables.documents(s, d)
-        .select($"doc_id", expr(
-          """transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 10.0) AS INT) - 1),
-            |          i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)))""".stripMargin)
-          .as("seg_arr"))
-        .select($"doc_id", posexplode($"seg_arr"))
-        .select($"doc_id", $"pos".as("idx"), $"col".as("seg"))
-      val flagged = segs.withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy($"seg")))
-      flagged.groupBy($"doc_id").agg(
-          count(lit(1)).as("n_segments"),
-          sum(when($"cnt" >= 2, 1L).otherwise(0L)).as("n_removed"),
-          coalesce(array_join(expr(
-            "transform(sort_array(collect_list(CASE WHEN cnt < 2 THEN struct(idx, seg) END)), x -> x.seg)"),
-            " "), lit("")).as("kept_text"))
+      // (doc_id, idx, h) longs — feeds BOTH the duplicate count and the
+      // removal join (the q91/q68 diamond lesson: materialize the reuse
+      // point or the corpus re-scans twice per branch)
+      val segH = Tables.documents(s, d)
+        .select($"doc_id",
+          posexplode(call_function("space_segments", $"text", lit(10))))
+        .select($"doc_id", $"pos".cast("long").as("idx"), $"col.h".as("h"))
+        .transform(graft.Materialize(_))
+      val dup = segH.groupBy($"h").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2).select($"h")
+      val removed = segH.join(dup, "h") // long-only shuffle
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"idx")).as("rm"),
+          count(lit(1)).as("nrm"))
+      Tables.documents(s, d)
+        .select($"doc_id",
+          call_function("space_segments", $"text", lit(10)).as("sa"))
+        .join(removed, Seq("doc_id"), "left") // the ONE text exchange
+        .select($"doc_id",
+          size($"sa").cast("long").as("n_segments"),
+          coalesce($"nrm", lit(0L)).as("n_removed"),
+          array_join(expr(
+            """transform(filter(sa,
+              |  (x, i) -> rm IS NULL OR NOT array_contains(rm, CAST(i AS BIGINT))),
+              |  x -> x.seg)""".stripMargin), " ").as("kept_text"))
         .orderBy($"doc_id")
     },
 

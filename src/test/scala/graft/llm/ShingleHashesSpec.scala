@@ -104,6 +104,40 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(out(2).getSeq[Long](1).size == 1)
   }
 
+  test("space_segments matches the sequence + slice + concat_ws formulation") {
+    Seq(1, 3, 10).foreach { n =>
+      val composed = docs.select($"text",
+          expr(s"""transform(sequence(0, CAST(ceil(size(split(text, ' ')) / $n.0) AS INT) - 1),
+                  |          i -> concat_ws(' ', slice(split(text, ' '), i * $n + 1, $n)))""".stripMargin)
+            .as("segs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      docs.select($"text",
+          expr(s"transform(space_segments(text, $n), x -> x.seg)").as("segs"),
+          expr(s"transform(space_segments(text, $n), x -> x.h)").as("hs"))
+        .collect().foreach { r =>
+          val t = r.getString(0)
+          val segs = r.getSeq[String](1)
+          assert(segs == composed(t), s"n=$n segments mismatch on '${t.take(60)}'")
+          // hash = the portable md5 % P of the segment string
+          assert(r.getSeq[Long](2) == segs.map(PortableHash.md5ModLocal),
+            s"n=$n hashes mismatch on '${t.take(60)}'")
+          // reassembly contract: joining all segments reproduces the doc
+          assert(segs.mkString(" ") == t, s"n=$n round-trip broke on '${t.take(60)}'")
+        }
+    }
+  }
+
+  test("space_segments: empty text yields one empty segment, null stays null") {
+    val out = Seq[(Integer, String)]((1, null), (2, ""), (3, "a"))
+      .toDF("id", "text")
+      .select($"id", call_function("space_segments", $"text", lit(10)).as("sa"))
+      .orderBy($"id")
+      .collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getSeq[Any](1).size == 1)
+    assert(out(2).getSeq[Any](1).size == 1)
+  }
+
   test("SQL surface and analysis-time failure modes") {
     val row = spark.sql("SELECT shingle_hashes('a b c d', 3) AS hs")
       .collect().head

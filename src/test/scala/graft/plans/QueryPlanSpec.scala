@@ -42,13 +42,19 @@ class QueryPlanSpec extends AnyFunSuite {
       s"no map-side partial sketch:\n$p")
   }
 
-  test("q103 segment dedup: one window shuffle, never single-partition") {
+  test("q103 segment dedup: decision travels as longs, text shuffles once") {
     val p = plan("q103_segment_dedup")
     assert(!p.contains("SinglePartition"), s"single-task stage:\n$p")
-    // the corpus-wide count is a window PARTITIONED BY segment, not a
-    // groupBy + join-back — exactly one Window node over a hash exchange
-    assert("Window\\b".r.findAllIn(p).length >= 1 &&
-      p.contains("hashpartitioning(seg"), s"segment window lost:\n$p")
+    // segmentation is the codegen'd byte scan, and segment TEXT is never
+    // a shuffle key — the corpus-wide duplicate count aggregates the
+    // 60-bit hash column, the removal set comes back keyed by doc_id
+    assert(p.contains("space_segments"), s"byte-scan segmentation lost:\n$p")
+    assert(!p.contains("hashpartitioning(seg"), s"segment text used as shuffle key:\n$p")
+    assert(p.contains("hashpartitioning(h") && p.contains("hashpartitioning(doc_id"),
+      s"hash-count / removal-set exchanges lost:\n$p")
+    // no Window node: the window-by-segment-string form shuffled the
+    // full corpus text twice
+    assert(!"Window\\b".r.findAllIn(p).hasNext, s"segment window came back:\n$p")
   }
 
   test("q105 cross-corpus dedup joins on hashes/bands, never raw text") {
