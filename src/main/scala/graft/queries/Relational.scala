@@ -491,21 +491,23 @@ object Relational {
 
     // ---- unpivot (melt): wide → long over the lineitem money columns;
     // Spark's Unpivot node is a zero-shuffle row expansion (narrow), the
-    // oracle is the standard UNION ALL spelling ----
+    // oracle is the standard UNION ALL spelling. The output is
+    // data-sized (3 rows per lineitem) and deliberately UNSORTED: a
+    // presentational global ORDER BY on a melted 100 TB fact table is a
+    // full-range exchange that buys nothing (the hash gate is
+    // order-insensitive; downstream consumers re-cluster anyway) ----
     QuerySpec.sql("q57_unpivot",
       """SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+        |SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val FROM lineitem""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .withColumn("price", $"l_extendedprice")
         .withColumn("discount", $"l_discount")
         .withColumn("tax", $"l_tax")
         .unpivot(Array($"l_orderkey", $"l_linenumber"),
           Array($"price", $"discount", $"tax"), "metric", "val")
-        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
     },
 
     // ---- skew-proof aggregation through the gate: l_returnflag has only
@@ -544,14 +546,17 @@ object Relational {
         |  CAST(rank() OVER (ORDER BY l_quantity) AS INT) AS rnk,
         |  CAST(dense_rank() OVER (ORDER BY l_quantity) AS INT) AS drnk,
         |  CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS rn
-        |FROM lineitem ORDER BY rn""".stripMargin) { (s, d) =>
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      // No trailing ORDER BY rn: the ranks themselves are the surface
+      // (computed distributively by DistributedRankExec); re-sorting the
+      // data-sized output for presentation would add a second full-range
+      // exchange the order-insensitive gate never observes.
       Tables.lineitem(s, d)
         .withColumn("rnk", rank().over(Window.orderBy($"l_quantity")))
         .withColumn("drnk", dense_rank().over(Window.orderBy($"l_quantity")))
         .withColumn("rn", row_number().over(
           Window.orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")))
         .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"rnk", $"drnk", $"rn")
-        .orderBy($"rn")
     },
 
     // ---- salted large-large join through the gate: lineitem ⋈ part on
