@@ -3537,6 +3537,19 @@ object LlmQueries {
         .filter($"hamming" <= 1)
         .select($"a_id", $"b_id", $"hamming")
         .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- BPE tokenizer TRAINING (the iterative closure of q109's
+    // one-round statistic): learn the first 8 merges over the corpus.
+    // Corpus is touched ONCE (doc-local (term,tf) via space_token_counts
+    // — raw text never shuffles); each round is a vocab-bounded pair
+    // count + a 1-row TakeOrderedAndProject argmax + a map-only literal
+    // replace. The oracle unrolls the same 8 rounds as MATERIALIZED
+    // DuckDB CTEs; tie-breaks are binary-collated string order in both
+    // engines. See [[BpeTrainer]] for the bracketed-symbol encoding
+    // that makes string replace equal greedy list-BPE. ----
+    QuerySpec.sql("q154_bpe_train", BpeTrainer.oracleSql(8)) { (s, d) =>
+      BpeTrainer.train(Tables.documents(s, d), 8)
     }
   )
 
