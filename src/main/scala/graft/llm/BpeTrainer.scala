@@ -72,9 +72,9 @@ object BpeTrainer {
           .stripMargin)).as("pr"))
       .groupBy($"pr").agg(sum($"cnt").as("n"))
 
-  /** Learn `merges` BPE merges over the documents' `text` column. */
-  def train(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Learn `merges` BPE merges; the returned list is driver-sized by
+    * definition (it IS the artifact — one row per merge decision). */
+  def learnMerges(docs: DataFrame, merges: Int): Seq[(Int, String, Long)] = {
     // The vocab is the whole working set of every round — cache once.
     // (Bench/Verify clear caches between queries.)
     var vocab = vocabulary(docs).cache()
@@ -90,13 +90,53 @@ object BpeTrainer {
       vocab = vocab.withColumn("toks",
         call_function("replace", $"toks", lit(pr), lit(pr.replace("><", ""))))
     }
-    import spark.implicits._
-    learned.result().toDF("step", "pair", "n")
+    learned.result()
   }
 
-  /** The DuckDB oracle: the same K rounds unrolled as MATERIALIZED CTEs
-    * (inlined CTEs would re-evaluate the whole prefix per round). */
-  def oracleSql(merges: Int): String = {
+  /** Learn `merges` BPE merges over the documents' `text` column. */
+  def train(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, merges).toDF("step", "pair", "n")
+  }
+
+  /** The PRODUCTION tokenization pass: apply a learned merge table to
+    * the whole corpus and report per-document word / character / token
+    * counts. This is the workload the trainer exists to enable — and
+    * it is MAP-ONLY over the corpus: the merges arrive as K literal
+    * `replace`s baked into the projection (the merge table is
+    * driver-sized by definition), terms come doc-local from
+    * space_token_counts, and the single exchange carries one
+    * (doc_id, 3 longs) partial per document. An alternative for very
+    * hot vocabularies is encoding the DISTINCT vocab once and joining
+    * — that trades the per-row replace CPU for a term-keyed exchange;
+    * at 100 TB the map-only form wins (CPU scales out, exchanges
+    * don't). */
+  def encodeCounts(docs: DataFrame, merges: Seq[(Int, String, Long)]): DataFrame = {
+    val enc = merges.foldLeft(regexp_replace($"term", "(.)", "<$1>")) {
+      case (acc, (_, pr, _)) =>
+        call_function("replace", acc, lit(pr), lit(pr.replace("><", "")))
+    }
+    docs
+      .select($"doc_id",
+        explode(call_function("space_token_counts", lower($"text"))).as("tc"))
+      .select($"doc_id", $"tc.term".as("term"), $"tc.tf".cast("long").as("tf"))
+      .filter($"term".rlike("^[a-z]+$"))
+      .select($"doc_id", $"tf", length($"term").cast("long").as("w_chars"),
+        size(call_function("regexp_extract_all", enc, lit("<([a-z]+)>"), lit(1)))
+          .cast("long").as("w_syms"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_words"),
+        sum($"tf" * $"w_chars").as("n_chars"),
+        sum($"tf" * $"w_syms").as("n_tokens"))
+  }
+
+
+  /** The shared training-chain CTEs: K rounds unrolled as MATERIALIZED
+    * (inlined CTEs would re-evaluate the whole prefix per round —
+    * measured >120 s inlined vs 0.65 s materialized at sf0.01). Ends
+    * with `b$k` = (pr, n) of round k. */
+  private def trainChainSql(merges: Int): String = {
     def round(i: Int): String =
       s"""p$i AS MATERIALIZED (SELECT pr, CAST(sum(cnt) AS BIGINT) AS n FROM (
          |    SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -106,15 +146,40 @@ object BpeTrainer {
          |b$i AS MATERIALIZED (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1),
          |t$i AS MATERIALIZED (SELECT cnt, replace(toks, (SELECT pr FROM b$i),
          |    (SELECT replace(pr, '><', '') FROM b$i)) AS toks FROM t${i - 1})""".stripMargin
-    val union = (1 to merges)
-      .map(i => s"SELECT CAST($i AS INT) AS step, pr AS pair, n FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w AS word, count(*) AS cnt
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
        |t0 AS MATERIALIZED (SELECT cnt, regexp_replace(word, '(.)', '<\\1>', 'g') AS toks FROM words),
-       |${(1 to merges).map(round).mkString(",\n")}
+       |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** The q154 DuckDB oracle: the learned merge table. */
+  def oracleSql(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT CAST($i AS INT) AS step, pr AS pair, n FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${trainChainSql(merges)}
        |$union ORDER BY step""".stripMargin
+  }
+
+  /** The q155 DuckDB oracle: train the same chain, then encode every
+    * document's (doc, term, tf) through the k learned replaces. */
+  def encodeOracleSql(merges: Int): String = {
+    val enc = (1 to merges).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      case (acc, i) =>
+        s"replace($acc, (SELECT pr FROM b$i), (SELECT replace(pr, '><', '') FROM b$i))"
+    }
+    s"""WITH ${trainChainSql(merges)},
+       |dw AS (SELECT doc_id, w, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id, w),
+       |encw AS (SELECT doc_id, tf, len(w) AS w_chars,
+       |    len(regexp_extract_all($enc, '<([a-z]+)>', 1)) AS w_syms
+       |  FROM dw)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+       |  CAST(sum(tf * w_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(tf * w_syms) AS BIGINT) AS n_tokens
+       |FROM encw GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

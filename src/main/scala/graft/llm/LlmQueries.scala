@@ -3550,6 +3550,18 @@ object LlmQueries {
     // that makes string replace equal greedy list-BPE. ----
     QuerySpec.sql("q154_bpe_train", BpeTrainer.oracleSql(8)) { (s, d) =>
       BpeTrainer.train(Tables.documents(s, d), 8)
+    },
+
+    // ---- BPE tokenizer APPLICATION — the production pass training
+    // exists for: tokenize the WHOLE corpus with the learned merges and
+    // report per-doc word/char/token counts (the mix-planning + packing
+    // inputs). The merge table is driver-sized by definition, so the
+    // merges ride the projection as K literal replaces: the corpus pass
+    // is MAP-ONLY, and the one exchange carries a (doc_id, 3 longs)
+    // partial per document. ----
+    QuerySpec.sql("q155_bpe_encode", BpeTrainer.encodeOracleSql(8)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      BpeTrainer.encodeCounts(docs, BpeTrainer.learnMerges(docs, 8))
     }
   )
 

@@ -96,6 +96,39 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got.head == ((1, "<s><t>", 15L)))
   }
 
+  test("encodeCounts matches a scalar encode with the learned merges") {
+    import spark.implicits._
+    val docsWords = Seq(
+      1L -> Seq("stst", "stop", "stop", "post"),
+      2L -> Seq("post", "stst", "ab"),
+      3L -> Seq("ab", "ab", "ab"))
+    val docs = docsWords
+      .map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val merges = BpeTrainer.learnMerges(docs, 3)
+    // scalar greedy application of the same merges, in order
+    def encode(w: String): Vector[String] =
+      merges.foldLeft(w.toVector.map(_.toString)) { case (syms, (_, pr, _)) =>
+        val Array(l, r) = pr.stripPrefix("<").stripSuffix(">").split("><")
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+    val want = docsWords.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => encode(w).size.toLong).sum)
+    }.sortBy(_._1)
+    val got = BpeTrainer.encodeCounts(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+    // tokens strictly compressed vs chars, never below word count
+    got.foreach { case (_, nw, nc, nt) => assert(nt < nc && nt >= nw) }
+  }
+
   test("matches the committed q154 oracle end-to-end on the fixture corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     import spark.implicits._
