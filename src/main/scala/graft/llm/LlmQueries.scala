@@ -3562,6 +3562,33 @@ object LlmQueries {
     QuerySpec.sql("q155_bpe_encode", BpeTrainer.encodeOracleSql(8)) { (s, d) =>
       val docs = Tables.documents(s, d)
       BpeTrainer.encodeCounts(docs, BpeTrainer.learnMerges(docs, 8))
+    },
+
+    // ---- deterministic corpus shuffle + sharding: the training-order
+    // pass. A trainer needs the 100 TB corpus in a reproducible
+    // pseudo-random order (seed = epoch tag) split into round-robin
+    // shards; ORDER BY random() is neither reproducible nor
+    // cross-engine. Position = global rank of a PORTABLE keyed hash
+    // (md5, bit-identical in both engines), ties broken by doc_id —
+    // computed DISTRIBUTIVELY by the same DistributedRankExec rewrite
+    // as q71 (partial ranks + partition offsets, no single-reducer
+    // sort), shard = round-robin in shuffled order (size-balanced in
+    // expectation). Changing the seed string is a new epoch's order. ----
+    QuerySpec.sql("q156_corpus_shuffle", {
+      val h = graft.functions.PortableHash.md5LongSql("'epoch0:' || doc_id")
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos,
+         |  CAST((row_number() OVER (ORDER BY h, doc_id) - 1) % 8 AS INT) AS shard
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id",
+          PortableHash.md5Long(concat(lit("epoch0:"), $"doc_id")).as("h"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy($"h", $"doc_id")).cast("long"))
+        .select($"doc_id", $"pos",
+          (($"pos" - 1) % 8).cast("int").as("shard"))
     }
   )
 
