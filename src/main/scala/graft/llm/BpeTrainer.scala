@@ -40,10 +40,11 @@ import graft.queries._
   * all three adversarial cases against a hand-computed list-BPE.
   *
   * Determinism contract (shared with the DuckDB oracle, which unrolls
-  * the same K rounds as MATERIALIZED CTEs): words are
-  * `lower(text)` split on ' ' filtered to `^[a-z]+$` (so the bracket
-  * alphabet is disjoint from symbols), argmax ties break on the
-  * wrapped pair string ascending — binary collation in both engines.
+  * the same K rounds as MATERIALIZED CTEs): words are the LETTER RUNS
+  * (`[a-z]+` matches) of `lower(text)` (so the bracket alphabet is
+  * disjoint from symbols and digits/punct are run boundaries), argmax
+  * ties break on the wrapped pair string ascending — binary collation
+  * in both engines.
   *
   * Returns the learned merge table: (step INT, pair STRING — the
   * wrapped `<l><r>` form, n BIGINT — the pair's corpus frequency when
@@ -51,13 +52,25 @@ import graft.queries._
   */
 object BpeTrainer {
 
+  /** Pre-tokenization: LETTER RUNS (`[a-z]+` matches of the lowered
+    * text) — "fast," and "key_1" contribute "fast"/"key" instead of
+    * being discarded by a full-match filter; digits/punct are run
+    * boundaries (the GPT-2-style pre-tokenizer shape). Runs keep the
+    * bracket alphabet disjoint from symbols. Extracted per DISTINCT
+    * space-token, so the doc-local (term, tf) dedup still pays for the
+    * corpus pass. */
+  private def letterRuns(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id",
+        explode(call_function("space_token_counts", lower($"text"))).as("tc"))
+      .select($"doc_id", $"tc.tf".cast("long").as("tf"),
+        explode(call_function("regexp_extract_all",
+          $"tc.term", lit("[a-z]+"), lit(0))).as("word"))
+
   /** The distributed word-frequency table with initial character
     * tokenization: (cnt BIGINT, toks STRING like `<f><a><s><t>`). */
   private[llm] def vocabulary(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(call_function("space_token_counts", lower($"text"))).as("tc"))
-      .select($"tc.term".as("word"), $"tc.tf".cast("long").as("tf"))
-      .filter($"word".rlike("^[a-z]+$"))
+    letterRuns(docs)
       .groupBy($"word").agg(sum($"tf").as("cnt"))
       .select($"cnt", regexp_replace($"word", "(.)", "<$1>").as("toks"))
 
@@ -117,11 +130,8 @@ object BpeTrainer {
       case (acc, (_, pr, _)) =>
         call_function("replace", acc, lit(pr), lit(pr.replace("><", "")))
     }
-    docs
-      .select($"doc_id",
-        explode(call_function("space_token_counts", lower($"text"))).as("tc"))
-      .select($"doc_id", $"tc.term".as("term"), $"tc.tf".cast("long").as("tf"))
-      .filter($"term".rlike("^[a-z]+$"))
+    letterRuns(docs)
+      .withColumnRenamed("word", "term")
       .select($"doc_id", $"tf", length($"term").cast("long").as("w_chars"),
         size(call_function("regexp_extract_all", enc, lit("<([a-z]+)>"), lit(1)))
           .cast("long").as("w_syms"))
@@ -148,8 +158,8 @@ object BpeTrainer {
          |    (SELECT replace(pr, '><', '') FROM b$i)) AS toks FROM t${i - 1})""".stripMargin
     s"""words AS MATERIALIZED (
        |  SELECT w AS word, count(*) AS cnt
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w),
        |t0 AS MATERIALIZED (SELECT cnt, regexp_replace(word, '(.)', '<\\1>', 'g') AS toks FROM words),
        |${(1 to merges).map(round).mkString(",\n")}""".stripMargin
   }
@@ -172,8 +182,8 @@ object BpeTrainer {
     }
     s"""WITH ${trainChainSql(merges)},
        |dw AS (SELECT doc_id, w, count(*) AS tf FROM (
-       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
-       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id, w),
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY doc_id, w),
        |encw AS (SELECT doc_id, tf, len(w) AS w_chars,
        |    len(regexp_extract_all($enc, '<([a-z]+)>', 1)) AS w_syms
        |  FROM dw)

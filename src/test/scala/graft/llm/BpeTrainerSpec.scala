@@ -48,7 +48,7 @@ class BpeTrainerSpec extends AnyFunSuite {
 
   private def trainOn(words: Seq[String], merges: Int): Seq[(Int, String, Long)] = {
     import spark.implicits._
-    val docs = Seq(words.mkString(" ")).toDF("text")
+    val docs = Seq(1L -> words.mkString(" ")).toDF("doc_id", "text")
     BpeTrainer.train(docs, merges)
       .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
   }
@@ -133,10 +133,9 @@ class BpeTrainerSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     import spark.implicits._
     val got = BpeTrainer.train(docs, 4).as[(Int, String, Long)].collect().toSeq
-    // reference on the same tokenization (lower + split(' ') + [a-z]+)
+    // reference on the same tokenization (letter runs of lower(text))
     val words = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .as[String].collect().toSeq
     assert(got == referenceBpe(words, 4))
   }

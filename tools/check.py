@@ -35,7 +35,8 @@ def frame_hash(df: pd.DataFrame):
         h.update(("|".join(cell(v) for v in row) + "\n").encode())
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None, protocol=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -60,6 +61,9 @@ def main(sf_dir, out_dir):
         ok_shape = got.shape == want.shape
         ok_cols = list(got.columns) == list(want.columns)
         ok_hash = ok_shape and ok_cols and frame_hash(got) == frame_hash(want)
+        results[name] = {"rows_match": ok_shape, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": int(len(got)),
+                         "oracle_rows": int(len(want))}
         if ok_hash:
             print(f"PASS {name} rows={len(got)}")
             n_pass += 1
@@ -75,7 +79,17 @@ def main(sf_dir, out_dir):
                         print(f"  first diff col={c} row={i}: "
                               f"spark={got[c][i]!r} duck={want[c][i]!r}")
     print(f"== {n_pass} pass / {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "protocol": protocol or "graft.Verify dump -> tools/check.py "
+                       "(same DuckDB hash gate as the driver)",
+                       "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": dict(sorted(results.items()))}, f, indent=0)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))
