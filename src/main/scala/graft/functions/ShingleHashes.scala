@@ -65,12 +65,12 @@ case class ShingleHashes(left: Expression, right: Expression)
   @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
 
   override protected def nullSafeEval(input: Any, ignored: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.hashes(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val gram = n // baked into the generated code once
     nullSafeCodeGen(ctx, ev, (c, _) =>
-      s"${ev.value} = graft.functions.ShingleHashes.eval($c, $gram);")
+      s"${ev.value} = graft.functions.ShingleHashes.hashes($c, $gram);")
   }
 
   override protected def withNewChildrenInternal(
@@ -113,7 +113,15 @@ object ShingleHashes {
     starts
   }
 
-  def eval(s: UTF8String, n: Int): GenericArrayData = {
+  /** Static entry point for both the interpreted and the generated
+    * path. NOT named `eval`: the case class inherits
+    * `eval(InternalRow)`, and scalac suppresses companion static
+    * forwarders for any name the class already has — the generated
+    * `ShingleHashes.eval(str, n)` call then fails Janino compilation
+    * and Spark silently drops the WHOLE stage to interpreted rows
+    * (observed as "Expr codegen error and falling back to interpreter
+    * mode"). A clash-free name gets a real static forwarder. */
+  def hashes(s: UTF8String, n: Int): GenericArrayData = {
     val b = s.getBytes
     val starts = tokenStarts(b)
     val nTok = starts.length - 1
@@ -186,12 +194,12 @@ case class SpaceSegments(left: Expression, right: Expression)
   @transient private lazy val n: Int = right.eval().asInstanceOf[Int]
 
   override protected def nullSafeEval(input: Any, ignored: Any): Any =
-    SpaceSegments.eval(input.asInstanceOf[UTF8String], n)
+    SpaceSegments.segments(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val block = n // baked into the generated code once
     nullSafeCodeGen(ctx, ev, (c, _) =>
-      s"${ev.value} = graft.functions.SpaceSegments.eval($c, $block);")
+      s"${ev.value} = graft.functions.SpaceSegments.segments($c, $block);")
   }
 
   override protected def withNewChildrenInternal(
@@ -204,7 +212,9 @@ object SpaceSegments {
     StructField("seg", StringType, nullable = false),
     StructField("h", LongType, nullable = false))), containsNull = false)
 
-  def eval(s: UTF8String, n: Int): GenericArrayData = {
+  /** Static entry point — named clash-free for the same forwarder
+    * reason as [[ShingleHashes.hashes]]. */
+  def segments(s: UTF8String, n: Int): GenericArrayData = {
     val b = s.getBytes
     val starts = ShingleHashes.tokenStarts(b)
     val nTok = starts.length - 1

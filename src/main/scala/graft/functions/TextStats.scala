@@ -242,6 +242,45 @@ object TextStatsUtil {
     new GenericArrayData(out)
   }
 
+  /** `space_bigram_counts(text)`: the document's DISTINCT adjacent token
+    * bigrams of the single-space split with their occurrence counts, as
+    * `array<struct<bg, tf>>` — the per-document bigram-frequency table
+    * computed where the document lives (the corpus language-model build's
+    * map side). A bigram's string form `tok_i || ' ' || tok_{i+1}` is
+    * exactly the original byte slice from tok_i's start to tok_{i+1}'s
+    * end (tokens cannot contain the separator), so counting never
+    * concatenates — it keys the slice. Token semantics match
+    * `string_split(text, ' ')` (empty tokens kept); a document with
+    * fewer than two tokens yields an empty array. Element order is
+    * hash-slot order — deterministic per document, meaningless, and
+    * irrelevant to every consumer (explode feeds joins/aggregates). */
+  def spaceBigramCounts(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val bigrams = new SliceTable(64, counted = true)
+    var tokStart = 0
+    var prevStart = -1 // start of the previous token, -1 before the first
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') { // token = [tokStart, i)
+        if (prevStart >= 0) bigrams.add(b, prevStart, i - prevStart)
+        prevStart = tokStart
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bigrams.size)
+    var k = 0
+    bigrams.foreachEntry { (start, len, cnt) =>
+      val row = new GenericInternalRow(2)
+      row.update(0, UTF8String.fromBytes(b, start, len))
+      row.update(1, cnt)
+      out(k) = row
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def isStop(b: Array[Byte], start: Int, len: Int,
       stops: Array[Array[Byte]]): Boolean = {
     var j = 0
@@ -380,5 +419,35 @@ case class SpaceTokenCounts(child: Expression) extends UnaryExpression {
 object SpaceTokenCounts {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+}
+
+/** See [[TextStatsUtil.spaceBigramCounts]]. Registered as
+  * `space_bigram_counts`. */
+case class SpaceBigramCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = SpaceBigramCounts.schema
+  override def prettyName: String = "space_bigram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"space_bigram_counts requires a string column, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsUtil.spaceBigramCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextStatsUtil.spaceBigramCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceBigramCounts =
+    copy(child = newChild)
+}
+
+object SpaceBigramCounts {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("bg", StringType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
 }

@@ -3589,6 +3589,147 @@ object LlmQueries {
           Window.orderBy($"h", $"doc_id")).cast("long"))
         .select($"doc_id", $"pos",
           (($"pos" - 1) % 8).cast("int").as("shard"))
+    },
+
+    // ---- exact duplicated-SUBSTRING detection (the token-span dedup of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): a position is duplicated when its 8-token window occurs
+    // more than once in the corpus; duplicated positions merge into
+    // MAXIMAL per-doc spans (touching/overlapping windows coalesce).
+    // MinHash (q43..) answers "are these DOCUMENTS near-identical?";
+    // this answers "which EXACT passages repeat anywhere?" — the
+    // boilerplate/license/quote remover that doc-level dedup cannot
+    // express. Shape: window hashing is ONE codegen'd byte scan per doc
+    // ([[graft.functions.ShingleHashes]] — a window IS a byte slice, the
+    // md5 runs in place); the (pos, hash) table is materialized once
+    // through the seam (it feeds both the global dup-hash aggregation
+    // and the join back — the suffix-array analogue: Lee et al. write
+    // their index to disk too); the dup-hash side shrinks to distinct
+    // repeated hashes via map-side partial counts. All three exchanges
+    // (hash-agg, hash-join, doc-window) are linear in corpus tokens —
+    // no pair enumeration anywhere, so 100 TB costs 100 TB, not n².
+    // Span merge: windows at pos p, p' (p < p') overlap or touch iff
+    // p' - p <= 8, so a gap > 8 starts a new span; span extent is
+    // [min pos, max pos + 8). ----
+    QuerySpec.sql("q157_substring_spans",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 8),
+        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs FROM ws)),
+        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+        |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+        |gaps AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS new_span FROM dp),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  max(pos) + 8 - min(pos) AS span_tokens
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val wins = Tables.documents(s, d)
+        .select($"doc_id",
+          posexplode(call_function("shingle_hashes", $"text", lit(8))))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
+        .transform(graft.Materialize(_))
+      val dup = wins.groupBy($"h").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2).select($"h")
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      wins.join(dup, "h")
+        .select($"doc_id", $"pos")
+        .withColumn("new_span",
+          when($"pos" - lag($"pos", 1).over(byDoc) <= 8, 0L).otherwise(1L))
+        .withColumn("span_id", sum($"new_span").over(byDoc))
+        .groupBy($"doc_id", $"span_id")
+        .agg(min($"pos").as("span_start"), (max($"pos") + 8).as("span_end"))
+        .select($"doc_id", $"span_id", $"span_start", $"span_end",
+          ($"span_end" - $"span_start").as("span_tokens"))
+        .orderBy($"doc_id", $"span_start")
+    },
+
+    // ---- corpus-LM novelty scoring (the integer-exact analogue of
+    // CCNet's LM-perplexity quality filter): train unigram + bigram
+    // frequency tables over the WHOLE corpus, score each document by its
+    // mean inverse-frequency weight — high = built from rare
+    // tokens/transitions (novel or gibberish), low = boilerplate. The
+    // production variant scores -log P; the gate keeps the rational form
+    // 1e9 // count because libm transcendentals differ per engine
+    // (SURVEY §6 numeric discipline) while floor division is exact in
+    // both. Shape: per-doc term AND bigram frequency tables are each ONE
+    // codegen'd byte scan ([[graft.functions.SpaceTokenCounts]] /
+    // [[graft.functions.SpaceBigramCounts]] — a bigram IS a byte slice),
+    // so only already-distinct (doc, gram) rows ever shuffle — once to
+    // the gram for the LM build, once back to the doc for scoring; the
+    // corpus LM is a shuffle join, not a broadcast (at 100 TB the bigram
+    // table is itself data-sized). The keep flag gates on the corpus
+    // mean via one broadcast scalar row, integer cross-multiplied
+    // (bi·n >= Σbi) — no division, no doubles. ----
+    QuerySpec.sql("q158_lm_novelty",
+      """WITH tfq AS (SELECT doc_id, term, count(*) AS tf FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 2),
+        |bgq AS (SELECT doc_id, bg, count(*) AS tf FROM
+        |    (SELECT doc_id, w[gs] || ' ' || w[gs + 1] AS bg FROM
+        |      (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS gs FROM ws))
+        |  GROUP BY doc_id, bg),
+        |c1 AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c1 FROM tfq GROUP BY term),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM bgq GROUP BY bg),
+        |uni AS (SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+        |    CAST(sum(t.tf * (1000000000 // c.c1)) AS BIGINT) AS uw
+        |  FROM tfq t JOIN c1 c USING (term) GROUP BY t.doc_id),
+        |bi AS (SELECT b.doc_id,
+        |    CAST(sum(b.tf * (1000000000 // c.c2)) AS BIGINT)
+        |      // CAST(sum(b.tf) AS BIGINT) AS bi_novelty_ppb
+        |  FROM bgq b JOIN c2 c USING (bg) GROUP BY b.doc_id),
+        |scored AS (SELECT u.doc_id, u.n_tok, u.uw // u.n_tok AS uni_novelty_ppb,
+        |    b.bi_novelty_ppb FROM uni u LEFT JOIN bi b USING (doc_id)),
+        |tot AS (SELECT CAST(sum(bi_novelty_ppb) AS BIGINT) AS tot,
+        |    count(bi_novelty_ppb) AS n_bi FROM scored)
+        |SELECT s.doc_id, s.n_tok,
+        |  CAST(s.uni_novelty_ppb AS BIGINT) AS uni_novelty_ppb,
+        |  CAST(s.bi_novelty_ppb AS BIGINT) AS bi_novelty_ppb,
+        |  CAST(CASE WHEN s.bi_novelty_ppb * t.n_bi >= t.tot
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM scored s, tot t ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id",
+          explode(call_function("space_token_counts", $"text")).as("tc"))
+        .select($"doc_id", $"tc.term".as("term"), $"tc.tf".as("tf"))
+        .transform(graft.Materialize(_))
+      val bgt = docs
+        .select($"doc_id",
+          explode(call_function("space_bigram_counts", $"text")).as("bc"))
+        .select($"doc_id", $"bc.bg".as("bg"), $"bc.tf".as("tf"))
+        .transform(graft.Materialize(_))
+      val c1 = tf.groupBy($"term").agg(sum($"tf").as("c1"))
+      val c2 = bgt.groupBy($"bg").agg(sum($"tf").as("c2"))
+      val uni = tf.join(c1, "term").groupBy($"doc_id").agg(
+        sum($"tf").as("n_tok"),
+        sum(expr("tf * (1000000000 div c1)")).as("uw"))
+        .select($"doc_id", $"n_tok", expr("uw div n_tok").as("uni_novelty_ppb"))
+      val bi = bgt.join(c2, "bg").groupBy($"doc_id").agg(
+        sum(expr("tf * (1000000000 div c2)")).as("bw"),
+        sum($"tf").as("n_bg"))
+        .select($"doc_id", expr("bw div n_bg").as("bi_novelty_ppb"))
+      // scored feeds BOTH the corpus-mean aggregate and the final gate —
+      // without materialization the diamond re-runs both LM joins (the
+      // q68/q91 lesson); one row per doc, 4 columns: driver-cheap, and
+      // at 100 TB it is the per-doc score table written once.
+      val scored = uni.join(bi, Seq("doc_id"), "left")
+        .transform(graft.Materialize(_))
+      val tot = scored.agg(
+        sum($"bi_novelty_ppb").as("tot"),
+        count($"bi_novelty_ppb").as("n_bi"))
+      scored.crossJoin(broadcast(tot))
+        .select($"doc_id", $"n_tok", $"uni_novelty_ppb", $"bi_novelty_ppb",
+          when($"bi_novelty_ppb" * $"n_bi" >= $"tot", 1L).otherwise(0L)
+            .as("keep_flag"))
+        .orderBy($"doc_id")
     }
   )
 

@@ -128,6 +128,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert(twice(0).getSeq[Any](0) == twice(1).getSeq[Any](0))
   }
 
+  test("space_bigram_counts matches the slide + explode + GROUP BY formulation") {
+    val ids = (adversarial ++ bulk).zipWithIndex.map(_.swap).toDF("id", "text")
+    val composed = ids
+      .select($"id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 2) // sequence(1, 0) is DESCENDING in Spark
+      .select($"id", explode(
+        expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")).as("bg"))
+      .groupBy($"id", $"bg").agg(count(lit(1)).as("tf"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getString(1), r.getLong(2))).toSet
+      }
+    val scanned = ids
+      .select($"id",
+        explode(call_function("space_bigram_counts", $"text")).as("bc"))
+      .select($"id", $"bc.bg", $"bc.tf")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getString(1), r.getLong(2))).toSet
+      }
+    assert(scanned.keySet == composed.keySet) // <2-token docs absent from BOTH
+    scanned.foreach { case (t, pairs) =>
+      assert(pairs == composed(t), s"space_bigram_counts mismatch on doc $t")
+    }
+    // element order is deterministic for identical input
+    val twice = Seq("b a b a c", "b a b a c").toDF("text")
+      .select(call_function("space_bigram_counts", $"text").as("bc"))
+      .collect()
+    assert(twice(0).getSeq[Any](0) == twice(1).getSeq[Any](0))
+    // SQL surface + arity failure
+    val row = spark.sql("SELECT space_bigram_counts('a b a b') AS b").collect().head
+    assert(row.getSeq[Any](0).size == 2) // 'a b' (tf 2), 'b a' (tf 1)
+    val e = intercept[Exception](spark.sql("SELECT space_bigram_counts('a', 2)"))
+    assert(e.getMessage.contains("space_bigram_counts"))
+  }
+
   test("null text yields null structs, not errors") {
     val df = Seq[(Integer, String)]((1, null), (2, "a b")).toDF("id", "text")
     val out = df.select(
