@@ -3730,6 +3730,74 @@ object LlmQueries {
           when($"bi_novelty_ppb" * $"n_bi" >= $"tot", 1L).otherwise(0L)
             .as("keep_flag"))
         .orderBy($"doc_id")
+    },
+
+    // ---- substring dedup with a CANONICAL SURVIVOR (the pass Lee et
+    // al. actually ship): for every duplicated 8-token window, the
+    // lexicographically first occurrence (min (doc_id, pos)) KEEPS its
+    // copy; all other occurrences mark their token range for removal.
+    // q157 maps where repeats live; this prices the deletion — per doc:
+    // total tokens, tokens removed (merged non-canonical spans, counted
+    // once under overlap), tokens kept. Shape: the canonical pick is a
+    // groupBy min(struct(doc_id, pos)) + join back — deliberately NOT a
+    // row_number window over occurrences (the oracle's formulation):
+    // partial aggregation collapses each hash's occurrence list
+    // map-side, so a pathological boilerplate window with 10⁹
+    // occurrences costs one combine tree, not one task sorting 10⁹
+    // rows. Everything else rides q157's machinery: one byte-scan per
+    // doc, materialized (pos, hash) table, linear exchanges only. ----
+    QuerySpec.sql("q159_substring_survivors",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs
+        |        FROM ws WHERE len(w) >= 8)),
+        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+        |rm AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM wh) WHERE rn >= 2),
+        |gaps AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS new_span FROM rm),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sp GROUP BY doc_id, span_id),
+        |cut AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |  coalesce(c.removed_tokens, 0) AS removed_tokens,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT)
+        |    - coalesce(c.removed_tokens, 0) AS kept_tokens
+        |FROM documents d LEFT JOIN cut c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val wins = Tables.documents(s, d)
+        .select($"doc_id",
+          posexplode(call_function("shingle_hashes", $"text", lit(8))))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
+        .transform(graft.Materialize(_))
+      val canon = wins.groupBy($"h").agg(
+        min(struct($"doc_id", $"pos")).as("first"),
+        count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2)
+        .select($"h", $"first.doc_id".as("c_doc"), $"first.pos".as("c_pos"))
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val cut = wins.join(canon, "h")
+        .filter(!($"doc_id" === $"c_doc" && $"pos" === $"c_pos"))
+        .select($"doc_id", $"pos")
+        .withColumn("new_span",
+          when($"pos" - lag($"pos", 1).over(byDoc) <= 8, 0L).otherwise(1L))
+        .withColumn("span_id", sum($"new_span").over(byDoc))
+        .groupBy($"doc_id", $"span_id")
+        .agg((max($"pos") + 8 - min($"pos")).as("span_tok"))
+        .groupBy($"doc_id").agg(sum($"span_tok").as("removed_tokens"))
+      Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+        .join(cut, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tok",
+          coalesce($"removed_tokens", lit(0L)).as("removed_tokens"),
+          ($"n_tok" - coalesce($"removed_tokens", lit(0L))).as("kept_tokens"))
+        .orderBy($"doc_id")
     }
   )
 
