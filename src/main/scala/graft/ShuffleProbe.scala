@@ -65,6 +65,9 @@ object ShuffleProbe {
     // driver-egress gate rides the whole-suite probe: ANY >1000 KiB task
     // binary fails the run like a superlinear exchange would
     TaskBinaryGate.install()
+    // silent-degradation gate rides it too: ANY codegen fallback
+    // (a stage quietly running interpreted rows) fails the run
+    CodegenGate.install()
 
     val bytes = new AtomicLong(0L)
     val records = new AtomicLong(0L)
@@ -169,6 +172,8 @@ object ShuffleProbe {
            |"superlinear_unallowed":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},
            |"task_binary_warns":${TaskBinaryGate.warnCount},
            |"task_binary_gate":"zero warnings over Spark's 1000 KiB line",
+           |"codegen_fallback_warns":${CodegenGate.warnCount},
+           |"codegen_gate":"zero 'falling back to interpreter mode' / 'Whole-stage codegen disabled' warnings",
            |"queries":[
            |${artifactRows.mkString(",\n")}
            |]}""".stripMargin
@@ -177,12 +182,16 @@ object ShuffleProbe {
       System.err.println(s"[shuffleprobe] wrote $out (${artifactRows.size} queries)")
     }
     spark.stop()
-    if (superlinear.nonEmpty || errors.nonEmpty || TaskBinaryGate.warnCount > 0) {
+    if (superlinear.nonEmpty || errors.nonEmpty || TaskBinaryGate.warnCount > 0 ||
+        CodegenGate.warnCount > 0) {
       System.err.println(s"[shuffleprobe] SUPERLINEAR shuffle growth: ${superlinear.mkString(", ")}" +
         (if (errors.nonEmpty) s"; ERRORS: ${errors.mkString(", ")}" else "") +
         (if (TaskBinaryGate.warnCount > 0)
            s"; TASK BINARIES over 1000 KiB: ${TaskBinaryGate.warnCount} " +
              s"(max ${TaskBinaryGate.maxSeenKib.round} KiB)"
+         else "") +
+        (if (CodegenGate.warnCount > 0)
+           s"; CODEGEN FALLBACKS (interpreted stages): ${CodegenGate.warnCount}"
          else ""))
       sys.exit(1)
     }
