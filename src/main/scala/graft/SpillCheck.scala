@@ -43,6 +43,9 @@ object SpillCheck {
     "q115_pagerank", "q134_ivfpq_trained", "q127_triangles",
     "q91_sketch_error", "q149_sql_dedup_probe", "q105_cross_corpus_dedup",
     "q139_star_banding", "q144_semdedup_survivors", "q61_neardup_banded",
+    // token-scale (pos, hash) materialization + window-hash shuffles —
+    // the substring-dedup family is the heaviest per-token memory user
+    "q157_substring_spans", "q159_substring_survivors",
     "q1_pricing_summary")
 
   private final class SpillListener extends SparkListener {

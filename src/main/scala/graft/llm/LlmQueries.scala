@@ -3798,6 +3798,70 @@ object LlmQueries {
           coalesce($"removed_tokens", lit(0L)).as("removed_tokens"),
           ($"n_tok" - coalesce($"removed_tokens", lit(0L))).as("kept_tokens"))
         .orderBy($"doc_id")
+    },
+
+    // ---- SPAN-level decontamination: q74 flags which training docs
+    // overlap the held-out benchmark slice (drop the doc); this emits
+    // the surgical alternative — the exact token ranges in each
+    // training doc whose 5-token windows appear ANYWHERE in the
+    // benchmark, merged into maximal spans (cut the passage, keep the
+    // doc). Same benchmark convention as q74 (deterministic ~5% hash
+    // slice standing in for an eval suite); the window length is a
+    // deployment parameter (GPT-3 used 13-grams, PaLM 8) — 5 here so
+    // the fixture's synthetic vocabulary still produces matches at the
+    // sf0.01 gate scale (longer windows gate on an empty result).
+    // The scale shape DIFFERS
+    // from q157's global self-dedup: the dup set is one-sided and
+    // benchmark-sized, so it is DISTINCT'd once and BROADCAST — the
+    // 100 TB corpus streams through a map-side long-hash probe with no
+    // corpus-sized exchange at all (the only shuffle is the per-doc
+    // span-merge window over matched positions — contamination-sized,
+    // not corpus-sized). In production the benchmark window set is
+    // precomputed from the (tiny) eval suite; the second corpus scan
+    // here only exists because the fixture carves the benchmark out of
+    // the same table, and its filter prunes hashing to the ~5% slice. ----
+    QuerySpec.sql("q160_decontaminate_spans", {
+      val bh = md5ModSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 5),
+        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+4], ' ') AS sh FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS gs FROM ws)),
+        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+        |bwin AS (SELECT DISTINCT h FROM wh WHERE $bh % 20 = 0),
+        |dp AS (SELECT t.doc_id, t.pos FROM wh t JOIN bwin b USING (h)
+        |       WHERE $bh % 20 <> 0),
+        |gaps AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |       THEN 0 ELSE 1 END AS new_span FROM dp),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS span_start, max(pos) + 5 AS span_end,
+        |  max(pos) + 5 - min(pos) AS span_tokens
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin
+    }) { (s, d) =>
+      val wins = Tables.documents(s, d)
+        .select($"doc_id",
+          posexplode(call_function("shingle_hashes", $"text", lit(5))))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
+      val isBench = PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0
+      val bwin = Tables.documents(s, d)
+        .filter(PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0)
+        .select(explode(call_function("shingle_hashes", $"text", lit(5))).as("h"))
+        .distinct()
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      wins.filter(!isBench)
+        .join(broadcast(bwin), "h")
+        .select($"doc_id", $"pos")
+        .withColumn("new_span",
+          when($"pos" - lag($"pos", 1).over(byDoc) <= 5, 0L).otherwise(1L))
+        .withColumn("span_id", sum($"new_span").over(byDoc))
+        .groupBy($"doc_id", $"span_id")
+        .agg(min($"pos").as("span_start"), (max($"pos") + 5).as("span_end"))
+        .select($"doc_id", $"span_id", $"span_start", $"span_end",
+          ($"span_end" - $"span_start").as("span_tokens"))
+        .orderBy($"doc_id", $"span_start")
     }
   )
 
