@@ -3629,24 +3629,9 @@ object LlmQueries {
         |  max(pos) + 8 - min(pos) AS span_tokens
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
-      val wins = Tables.documents(s, d)
-        .select($"doc_id",
-          posexplode(call_function("shingle_hashes", $"text", lit(8))))
-        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
+      val wins = SubstringDedup.windowHashes(Tables.documents(s, d), 8)
         .transform(graft.Materialize(_))
-      val dup = wins.groupBy($"h").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" >= 2).select($"h")
-      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      wins.join(dup, "h")
-        .select($"doc_id", $"pos")
-        .withColumn("new_span",
-          when($"pos" - lag($"pos", 1).over(byDoc) <= 8, 0L).otherwise(1L))
-        .withColumn("span_id", sum($"new_span").over(byDoc))
-        .groupBy($"doc_id", $"span_id")
-        .agg(min($"pos").as("span_start"), (max($"pos") + 8).as("span_end"))
-        .select($"doc_id", $"span_id", $"span_start", $"span_end",
-          ($"span_end" - $"span_start").as("span_tokens"))
-        .orderBy($"doc_id", $"span_start")
+      SubstringDedup.dupSpans(wins, 8).orderBy($"doc_id", $"span_start")
     },
 
     // ---- corpus-LM novelty scoring (the integer-exact analogue of
@@ -3771,26 +3756,9 @@ object LlmQueries {
         |    - coalesce(c.removed_tokens, 0) AS kept_tokens
         |FROM documents d LEFT JOIN cut c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val wins = Tables.documents(s, d)
-        .select($"doc_id",
-          posexplode(call_function("shingle_hashes", $"text", lit(8))))
-        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
+      val wins = SubstringDedup.windowHashes(Tables.documents(s, d), 8)
         .transform(graft.Materialize(_))
-      val canon = wins.groupBy($"h").agg(
-        min(struct($"doc_id", $"pos")).as("first"),
-        count(lit(1)).as("cnt"))
-        .filter($"cnt" >= 2)
-        .select($"h", $"first.doc_id".as("c_doc"), $"first.pos".as("c_pos"))
-      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      val cut = wins.join(canon, "h")
-        .filter(!($"doc_id" === $"c_doc" && $"pos" === $"c_pos"))
-        .select($"doc_id", $"pos")
-        .withColumn("new_span",
-          when($"pos" - lag($"pos", 1).over(byDoc) <= 8, 0L).otherwise(1L))
-        .withColumn("span_id", sum($"new_span").over(byDoc))
-        .groupBy($"doc_id", $"span_id")
-        .agg((max($"pos") + 8 - min($"pos")).as("span_tok"))
-        .groupBy($"doc_id").agg(sum($"span_tok").as("removed_tokens"))
+      val cut = SubstringDedup.survivorCuts(wins, 8)
       Tables.documents(s, d)
         .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
         .join(cut, Seq("doc_id"), "left")
@@ -3841,26 +3809,12 @@ object LlmQueries {
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin
     }) { (s, d) =>
-      val wins = Tables.documents(s, d)
-        .select($"doc_id",
-          posexplode(call_function("shingle_hashes", $"text", lit(5))))
-        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("h"))
       val isBench = PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0
-      val bwin = Tables.documents(s, d)
-        .filter(PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0)
-        .select(explode(call_function("shingle_hashes", $"text", lit(5))).as("h"))
-        .distinct()
-      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      wins.filter(!isBench)
-        .join(broadcast(bwin), "h")
-        .select($"doc_id", $"pos")
-        .withColumn("new_span",
-          when($"pos" - lag($"pos", 1).over(byDoc) <= 5, 0L).otherwise(1L))
-        .withColumn("span_id", sum($"new_span").over(byDoc))
-        .groupBy($"doc_id", $"span_id")
-        .agg(min($"pos").as("span_start"), (max($"pos") + 5).as("span_end"))
-        .select($"doc_id", $"span_id", $"span_start", $"span_end",
-          ($"span_end" - $"span_start").as("span_tokens"))
+      val wins = SubstringDedup
+        .windowHashes(Tables.documents(s, d), 5).filter(!isBench)
+      val bwin = SubstringDedup
+        .windowIndex(Tables.documents(s, d).filter(isBench), 5)
+      SubstringDedup.contaminationSpans(wins, bwin, 5)
         .orderBy($"doc_id", $"span_start")
     }
   )
