@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, RemoveTokenSpans, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -96,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"space_token_counts requires exactly 1 argument, got ${children.size}")
         SpaceTokenCounts(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("remove_token_spans"),
+      new ExpressionInfo(classOf[RemoveTokenSpans].getName, "remove_token_spans"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"remove_token_spans requires exactly 2 arguments, got ${children.size}")
+        RemoveTokenSpans(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("space_bigram_counts"),

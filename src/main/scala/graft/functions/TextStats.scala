@@ -281,6 +281,39 @@ object TextStatsUtil {
     new GenericArrayData(out)
   }
 
+  /** See [[RemoveTokenSpans]]. Spans must be sorted by start and
+    * disjoint (the `mergeSpans` output contract); token indices are
+    * the single-space split's, end exclusive. */
+  def removeTokenSpans(s: UTF8String, spans: ArrayData): UTF8String = {
+    val b = s.getBytes
+    val starts = ShingleHashes.tokenStarts(b)
+    val nTok = starts.length - 1
+    val k = spans.numElements()
+    if (k == 0) return s
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var si = 0
+    var first = true
+    var t = 0
+    while (t < nTok) {
+      while (si < k && spans.getStruct(si, 2).getLong(1) <= t) si += 1
+      val covered = si < k && {
+        val sp = spans.getStruct(si, 2)
+        sp.getLong(0) <= t && t < sp.getLong(1)
+      }
+      if (!covered) {
+        if (!first) { out(o) = ' '; o += 1 }
+        val from = starts(t)
+        val until = starts(t + 1) - 1 // end of token t (strip sep/sentinel)
+        System.arraycopy(b, from, out, o, until - from)
+        o += until - from
+        first = false
+      }
+      t += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   private def isStop(b: Array[Byte], start: Int, len: Int,
       stops: Array[Array[Byte]]): Boolean = {
     var j = 0

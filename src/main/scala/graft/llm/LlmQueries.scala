@@ -3816,6 +3816,54 @@ object LlmQueries {
         .windowIndex(Tables.documents(s, d).filter(isBench), 5)
       SubstringDedup.contaminationSpans(wins, bwin, 5)
         .orderBy($"doc_id", $"span_start")
+    },
+
+    // ---- APPLY the cut list — the cleaned corpus itself: q159 prices
+    // substring dedup, this one produces its output (the table the next
+    // pipeline stage trains on). Every doc's canonical-survivor spans
+    // are spliced out and the survivors rejoined; docs without cuts
+    // round-trip byte-identically (empty tokens included). Shape: spans
+    // aggregate at DOC grain (duplication-sized, few per doc), join
+    // back on doc_id, and the splice is ONE codegen'd byte scan per
+    // document ([[graft.functions.RemoveTokenSpans]] — kept tokens copy
+    // straight from the original bytes; the filter + array_join
+    // formulation the oracle runs is a CodegenFallback HOF and would
+    // re-materialize a token array per row). The corpus shuffles ONCE
+    // (docs → their cut lists); at 100 TB that join is the rewrite
+    // pass's whole exchange budget. ----
+    QuerySpec.sql("q161_apply_cuts",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs
+        |        FROM ws WHERE len(w) >= 8)),
+        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+        |rm AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM wh) WHERE rn >= 2),
+        |gaps AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS new_span FROM rm),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sp GROUP BY doc_id, span_id),
+        |toks AS (SELECT doc_id, gs - 1 AS pos, w[gs] AS tok FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS gs FROM ws)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t WHERE NOT EXISTS
+        |  (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+        |   AND t.pos >= s.s AND t.pos < s.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+        |    count(*) AS kt FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+        |  CAST(coalesce(a.kt, 0) AS BIGINT) AS kept_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val wins = SubstringDedup.windowHashes(Tables.documents(s, d), 8)
+        .transform(graft.Materialize(_))
+      val spans = SubstringDedup.survivorSpans(wins, 8)
+      SubstringDedup.applyCuts(Tables.documents(s, d), spans)
+        .orderBy($"doc_id")
     }
   )
 

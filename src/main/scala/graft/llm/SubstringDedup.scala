@@ -85,11 +85,11 @@ object SubstringDedup {
     mergeSpans(wins.join(dup, "h").select(col("doc_id"), col("pos")), n)
   }
 
-  /** Canonical-survivor cut list (q159): per doc, tokens covered by
+  /** Canonical-survivor span map: maximal per-doc spans covered by
     * non-canonical occurrences of duplicated windows (the first
-    * occurrence by (doc_id, pos) keeps its copy). Returns
-    * (doc_id, removed_tokens) for docs with at least one cut. */
-  def survivorCuts(wins: DataFrame, n: Int): DataFrame = {
+    * occurrence by (doc_id, pos) keeps its copy) — the cut list
+    * [[applyCuts]] consumes. */
+  def survivorSpans(wins: DataFrame, n: Int): DataFrame = {
     val canon = wins.groupBy(col("h")).agg(
         min(struct(col("doc_id"), col("pos"))).as("first"),
         count(lit(1)).as("cnt"))
@@ -100,8 +100,40 @@ object SubstringDedup {
       .filter(!(col("doc_id") === col("c_doc") && col("pos") === col("c_pos")))
       .select(col("doc_id"), col("pos"))
     mergeSpans(marked, n)
+  }
+
+  /** Canonical-survivor cut totals (q159): (doc_id, removed_tokens)
+    * for docs with at least one cut. */
+  def survivorCuts(wins: DataFrame, n: Int): DataFrame =
+    survivorSpans(wins, n)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_tokens")).as("removed_tokens"))
+
+  /** Produce the CLEANED corpus (q161): splice every span out of its
+    * document and reassemble the survivors — (doc_id, clean_text,
+    * kept_tokens). The splice is one codegen'd byte scan per document
+    * ([[graft.functions.RemoveTokenSpans]]): the sorted span list rides
+    * a doc-grain aggregation (spans per doc are few — duplication-
+    * sized, never corpus-sized), joins back on doc_id, and tokens are
+    * copied straight from the original bytes — no token arrays, no
+    * per-token rows, no higher-order lambdas. Docs without cuts pass
+    * through byte-identical. */
+  def applyCuts(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val emptyCuts = expr(
+      "CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")
+    val lists = spans.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("cuts"),
+      sum(col("span_tokens")).as("removed_tokens"))
+    docs
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(lists, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        call_function("remove_token_spans", col("text"),
+          coalesce(col("cuts"), emptyCuts)).as("clean_text"),
+        (col("n_tok") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("kept_tokens"))
   }
 
   /** One-sided contamination span map (q160): spans in `trainWins`

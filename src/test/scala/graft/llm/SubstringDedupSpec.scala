@@ -59,6 +59,33 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(cuts(3L) == 4L) // [1, 5)
   }
 
+  test("applyCuts: splice, byte-identical round-trip, full cut, empty tokens") {
+    val corpus = docs(
+      1L -> "a b c d e",     // canonical — untouched
+      2L -> "a b c d e",     // full duplicate — fully cut
+      3L -> "p  q r",        // no cuts + CONSECUTIVE separators: empty token
+      4L -> "x y a b c d e z w") // interior duplicate of doc 1's window
+    val wins = SubstringDedup.windowHashes(corpus, 3)
+    val spans = SubstringDedup.survivorSpans(wins, 3)
+    val out = SubstringDedup.applyCuts(corpus, spans).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d e", 5L))) // canonical: byte-identical
+    assert(out(2L) == (("", 0L))) // fully cut -> empty string, 0 kept
+    assert(out(3L) == (("p  q r", 4L))) // empty token preserved exactly
+    // doc 4: windows at pos 2..4 ("a b c".."c d e") are non-canonical
+    // -> span [2, 7) cut; survivors "x y" + "z w"
+    assert(out(4L) == (("x y z w", 4L)))
+    // SQL surface + arity failure
+    val row = spark.sql(
+      """SELECT remove_token_spans('a b c d',
+        |  array(named_struct('s', 1L, 'e', 3L))) AS t""".stripMargin)
+      .collect().head
+    assert(row.getString(0) == "a d")
+    val e = intercept[Exception](
+      spark.sql("SELECT remove_token_spans('a')"))
+    assert(e.getMessage.contains("remove_token_spans"))
+  }
+
   test("contaminationSpans: only benchmark-matching ranges are flagged") {
     val train = docs(10L -> "a b c d e f", 11L -> "u v w x y z")
     val bench = docs(99L -> "c d e")
