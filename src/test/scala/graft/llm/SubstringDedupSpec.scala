@@ -86,6 +86,41 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("remove_token_spans"))
   }
 
+  test("detect -> cut iterates to a duplication-free fixpoint") {
+    // Cutting can CREATE new windows (the bytes on either side of a cut
+    // become adjacent), so one pass is not guaranteed dup-free — the
+    // production pipeline iterates. Pin that the loop terminates and
+    // the fixpoint has ZERO duplicated windows, on a corpus built to
+    // need more than one round: docs 2 and 3 share "m1 m2 m3" only
+    // AFTER their different middles are cut as duplicates of doc 1.
+    val n = 3
+    var corpus = docs(
+      1L -> "a b c d e f g h",
+      2L -> "m1 a b c d e m2 m3",
+      3L -> "m1 d e f g h m2 m3")
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 6) {
+      val wins = SubstringDedup.windowHashes(corpus, n)
+      val spans = SubstringDedup.survivorSpans(wins, n)
+      if (spans.isEmpty) done = true
+      else {
+        corpus = SubstringDedup.applyCuts(corpus, spans)
+          .select($"doc_id", $"clean_text".as("text"))
+        rounds += 1
+      }
+    }
+    assert(done, s"no fixpoint within $rounds rounds")
+    assert(rounds >= 1) // the fixture genuinely required cutting
+    // fixpoint property: no window occurs twice anywhere
+    val residual = SubstringDedup.dupSpans(
+      SubstringDedup.windowHashes(corpus, n), n).count()
+    assert(residual == 0L)
+    // canonical doc 1 survived untouched through every round
+    val d1 = corpus.filter($"doc_id" === 1L).collect().head.getString(1)
+    assert(d1 == "a b c d e f g h")
+  }
+
   test("contaminationSpans: only benchmark-matching ranges are flagged") {
     val train = docs(10L -> "a b c d e f", 11L -> "u v w x y z")
     val bench = docs(99L -> "c d e")
