@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
         graft.plans.GraftTvfs.dedupProbeName),
       graft.plans.GraftTvfs.buildDedupProbe _))
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.GraftTvfs.dupSpansName),
+      new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
+        graft.plans.GraftTvfs.dupSpansName),
+      graft.plans.GraftTvfs.buildDupSpans _))
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),

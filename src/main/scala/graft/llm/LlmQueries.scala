@@ -3864,6 +3864,37 @@ object LlmQueries {
       val spans = SubstringDedup.survivorSpans(wins, 8)
       SubstringDedup.applyCuts(Tables.documents(s, d), spans)
         .orderBy($"doc_id")
+    },
+
+    // ---- the substring-dedup SQL surface: `graft_dup_spans(view, n)`
+    // TVF over a named view — the Spark side is nothing but spark.sql
+    // text (the q148/q149 discipline: one operator definition, two
+    // surfaces). Oracle = q157's chain; the TVF rebuilds the window
+    // table per invocation by design (documented at the builder —
+    // repeated-analysis workflows go through the Scala surface, where
+    // the Materialize seam applies; a TVF builder runs at analysis
+    // time, so materializing there would execute mid-analysis). ----
+    QuerySpec.sql("q162_sql_dup_spans",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 8),
+        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs FROM ws)),
+        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+        |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+        |gaps AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |       THEN 0 ELSE 1 END AS new_span FROM dp),
+        |sp AS (SELECT doc_id, pos,
+        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  max(pos) + 8 - min(pos) AS span_tokens
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_q162_docs")
+      s.sql("""SELECT * FROM graft_dup_spans('graft_q162_docs', 8)
+              |ORDER BY doc_id, span_start""".stripMargin)
     }
   )
 

@@ -68,6 +68,36 @@ object GraftTvfs {
       .queryExecution.logical
   }
 
+  val dupSpansName = "graft_dup_spans"
+
+  /** `graft_dup_spans(docs_view, n)` →
+    * [[graft.llm.SubstringDedup.dupSpans]]: maximal per-doc token spans
+    * whose n-token windows occur more than once across the view
+    * (doc_id, span_id, span_start, span_end, span_tokens). `n` is an
+    * integer literal (it parameterizes plan construction). The window
+    * table is rebuilt per invocation — a repeated-analysis workflow
+    * should build it once and go through the Scala surface, where the
+    * [[graft.Materialize]] seam applies (same caveat as
+    * [[buildDedupProbe]]; a TVF builder runs at analysis time, so
+    * materializing here would eagerly execute mid-analysis). */
+  def buildDupSpans(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 2,
+      s"$dupSpansName(docs_view, n) requires 2 arguments, got ${children.size}")
+    val view = strArg(dupSpansName, children(0), "docs_view")
+    val nExpr = children(1)
+    require(nExpr.foldable &&
+        nExpr.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$dupSpansName: n must be an integer literal, got ${nExpr.sql}")
+    val nVal = nExpr.eval()
+    require(nVal != null, s"$dupSpansName: n must not be null")
+    val n = nVal.asInstanceOf[Int]
+    require(n >= 1, s"$dupSpansName: n must be >= 1, got $n")
+    val spark = SparkSession.active
+    graft.llm.SubstringDedup.dupSpans(
+        graft.llm.SubstringDedup.windowHashes(spark.table(view), n), n)
+      .queryExecution.logical
+  }
+
   val dedupProbeName = "graft_dedup_probe"
 
   /** `graft_dedup_probe(probe_view, corpus_view)` →

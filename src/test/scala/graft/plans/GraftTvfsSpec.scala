@@ -58,4 +58,27 @@ class GraftTvfsSpec extends AnyFunSuite {
     }
     assert(missingView.getMessage.toLowerCase.contains("no_such_view_anywhere"))
   }
+
+  test("graft_dup_spans TVF returns exactly the Scala operator's rows") {
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, "x y a b c d"), (2L, "p q a b c r"), (3L, "u v w"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_dup_spans('tvf_docs', 3) ORDER BY doc_id, span_start")
+      .collect().toSeq
+    val viaScala = graft.llm.SubstringDedup.dupSpans(
+        graft.llm.SubstringDedup.windowHashes(spark.table("tvf_docs"), 3), 3)
+      .orderBy($"doc_id", $"span_start").collect().toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty) // "a b c" repeats
+    // n must be an integer literal; a string is an analysis-time failure
+    val badN = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dup_spans('tvf_docs', 'three')").collect()
+    }
+    assert(badN.getMessage.contains("integer literal"))
+    val badRange = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dup_spans('tvf_docs', 0)").collect()
+    }
+    assert(badRange.getMessage.contains(">= 1"))
+  }
 }
