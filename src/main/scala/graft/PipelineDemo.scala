@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The README "Running at 100 TB" pipeline as ONE runnable job —
-  * ingest → compact+cluster → dedup → index → train-mix — each stage
+  * ingest → compact+cluster → dedup → scrub → index → train-mix — each stage
   * producing the artifact the next one reads, timed at its boundary,
   * and its row counts cross-checked against the independently gated
   * queries (the per-stage correctness lives in the oracle gates; this
@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   *                 range-clustered by vec_id
   *  3. dedup     — q65 survivors (LSH bands → components → best per
   *                 cluster) filter the compacted corpus
+  *  3b. scrub    — passage-level substring dedup over the survivors
+  *                 (`SubstringDedup`: detect → splice), removed-token
+  *                 total cross-checked against the q159 gate
   *  4. index     — `KMeans.train` on the embeddings, postings written
   *                 cell-partitioned (the nprobe/k pruning layout);
   *                 per-cell membership equals the q119 gate's output
   *  5. train-mix — q79 (lang filter → exact dedup → quality cutoff →
-  *                 512-token packing) over the DEDUPED corpus
+  *                 512-token packing) over the deduped AND scrubbed corpus
   */
 object PipelineDemo {
 
@@ -38,6 +41,7 @@ object PipelineDemo {
     val raw = s"$workDir/raw"
     val tables = s"$workDir/tables"
     val dedup = s"$workDir/dedup"
+    val scrub = s"$workDir/scrub"
     var out = Vector.empty[Stage]
     def stage(name: String)(body: => (Long, String)): Unit = {
       val t0 = System.nanoTime()
@@ -84,6 +88,38 @@ object PipelineDemo {
       (n, s"kept $n of $total docs")
     }
 
+    stage("scrub") {
+      // passage-level pass AFTER doc-level dedup (the production chain:
+      // survivors can still share boilerplate/quotes doc-level dedup
+      // cannot see). Canonical-survivor spans spliced out, corpus
+      // rewritten with original schema for the train-mix stage; the
+      // removed-token total must agree with the independently gated
+      // q159 run over the same corpus.
+      val docs = core.Tables.documents(spark, dedup)
+      val nDocs = docs.count()
+      val wins = llm.SubstringDedup.windowHashes(docs, 8)
+        .transform(graft.Materialize(_))
+      val cleaned = llm.SubstringDedup
+        .applyCuts(docs, llm.SubstringDedup.survivorSpans(wins, 8))
+        .transform(graft.Materialize(_))
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(cleaned, "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+          col("source"), length(col("clean_text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$scrub/documents.parquet")
+      val written = spark.read.parquet(s"$scrub/documents.parquet").count()
+      require(written == nDocs, s"scrub changed doc count ($nDocs -> $written)")
+      val totTok = docs
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+      val kept = cleaned.agg(sum(col("kept_tokens"))).head.getLong(0)
+      val removedGate = SparkEntry
+        .queries("q159_substring_survivors")(spark, dedup)
+        .agg(sum(col("removed_tokens"))).head.getLong(0)
+      require(totTok - kept == removedGate,
+        s"scrub removed ${totTok - kept} tokens but the q159 gate says $removedGate")
+      (written, s"cut ${totTok - kept} of $totTok tokens (== q159 gate)")
+    }
+
     stage("index") {
       val emb = core.Tables.embeddings(spark, tables)
         .filter(size(col("embedding")) === 64)
@@ -108,8 +144,8 @@ object PipelineDemo {
     }
 
     stage("train-mix") {
-      val survivors = spark.read.parquet(s"$dedup/documents.parquet").count()
-      val packed = SparkEntry.queries("q79_corpus_pipeline")(spark, dedup)
+      val survivors = spark.read.parquet(s"$scrub/documents.parquet").count()
+      val packed = SparkEntry.queries("q79_corpus_pipeline")(spark, scrub)
       packed.write.mode("overwrite").parquet(s"$workDir/trainmix.parquet")
       val n = spark.read.parquet(s"$workDir/trainmix.parquet").count()
       require(n > 0 && n <= survivors,

@@ -11,19 +11,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineDemoSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("all five stages run end-to-end with consistent counts") {
+  test("all six stages run end-to-end with consistent counts") {
     val work = java.nio.file.Files.createTempDirectory("graft-pipe").toString
     val stages = PipelineDemo.run(spark, "/root/testdata/sf0.001", work)
     assert(stages.map(_.name) ==
-      Seq("ingest", "compact", "dedup", "index", "train-mix"))
+      Seq("ingest", "compact", "dedup", "scrub", "index", "train-mix"))
     val byName = stages.map(s => s.name -> s).toMap
     // ingest landed the corpus; dedup kept a non-trivial strict subset
     assert(byName("ingest").rows == byName("compact").rows)
     assert(byName("dedup").rows > 0 &&
       byName("dedup").rows <= byName("compact").rows)
+    // passage-level scrub rewrites text, never drops documents
+    assert(byName("scrub").rows == byName("dedup").rows)
     // packing emitted at most one row per surviving doc
     assert(byName("train-mix").rows > 0 &&
-      byName("train-mix").rows <= byName("dedup").rows)
+      byName("train-mix").rows <= byName("scrub").rows)
   }
 
   test("persisted-materialization (table) mode completes with identical counts") {
