@@ -46,6 +46,8 @@ object CodegenGate {
     "org.apache.spark.sql.catalyst.expressions.RowOrdering",
     "org.apache.spark.sql.execution.WholeStageCodegenExec")
 
+  private val selfTestHits = new AtomicLong(0)
+
   def install(): Unit = synchronized {
     if (installed) return
     val appender = new AbstractAppender(
@@ -54,6 +56,7 @@ object CodegenGate {
         val msg = e.getMessage.getFormattedMessage
         if (msg.contains(SelfTestMarker)) {
           selfTestSeen.set(true)
+          selfTestHits.incrementAndGet()
         } else if (msg.contains("falling back to interpreter mode") ||
             msg.contains("Whole-stage codegen disabled for plan")) {
           warns.incrementAndGet()
@@ -66,16 +69,29 @@ object CodegenGate {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
-    EmitterLoggers.foreach(l =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(l, Level.WARN))
-    // end-to-end self-test through one pinned emitter: logger -> level ->
-    // additivity -> root appender -> this gate
-    LogManager.getLogger(EmitterLoggers.head).warn(
-      s"$SelfTestMarker: synthetic event, not a real codegen fallback")
-    require(selfTestSeen.get(),
-      "codegen gate appender did not observe its synthetic WARN — " +
-        "the logging hook is broken; a zero-fallback result would be a false pass")
-    installed = true
+    try {
+      EmitterLoggers.foreach(l =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(l, Level.WARN))
+      // end-to-end self-test through EVERY pinned emitter (logger ->
+      // level -> additivity -> root appender -> this gate): a config
+      // that blinds any ONE chain (e.g. additivity=false on the
+      // execution subtree) must fail install, not false-zero later
+      selfTestHits.set(0)
+      EmitterLoggers.foreach(l => LogManager.getLogger(l).warn(
+        s"$SelfTestMarker: synthetic event, not a real codegen fallback"))
+      require(selfTestSeen.get() && selfTestHits.get() == EmitterLoggers.size,
+        s"codegen gate observed ${selfTestHits.get()} of " +
+          s"${EmitterLoggers.size} synthetic WARNs — at least one emitter " +
+          "chain is blinded; a zero-fallback result would be a false pass")
+      installed = true
+    } catch {
+      case t: Throwable =>
+        // never leave the appender attached on a failed install — a
+        // retry would attach a second one and double-count every WARN
+        ctx.getConfiguration.getRootLogger.removeAppender(appender.getName)
+        ctx.updateLoggers()
+        throw t
+    }
   }
 
   def warnCount: Long = warns.get()

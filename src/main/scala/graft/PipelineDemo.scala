@@ -99,11 +99,13 @@ object PipelineDemo {
       val nDocs = docs.count()
       val wins = llm.SubstringDedup.windowHashes(docs, 8)
         .transform(graft.Materialize(_))
+      // lang/source ride applyCuts' single corpus join (carry) — a
+      // re-join of docs here would double the rewrite pass's exchange
       val cleaned = llm.SubstringDedup
-        .applyCuts(docs, llm.SubstringDedup.survivorSpans(wins, 8))
+        .applyCuts(docs, llm.SubstringDedup.survivorSpans(wins, 8),
+          carry = Seq("lang", "source"))
         .transform(graft.Materialize(_))
-      docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(cleaned, "doc_id")
+      cleaned
         .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
           col("source"), length(col("clean_text")).cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(s"$scrub/documents.parquet")

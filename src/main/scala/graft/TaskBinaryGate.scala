@@ -64,17 +64,26 @@ object TaskBinaryGate {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
-    // pin the emitter so WARNs from it always flow regardless of root level
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      EmitterLogger, Level.WARN)
-    // end-to-end self-test: emitter logger -> level check -> additivity ->
-    // root appender -> this gate
-    LogManager.getLogger(EmitterLogger).warn(
-      s"$SelfTestMarker: synthetic event, not a real task-binary warning")
-    require(selfTestSeen.get(),
-      "task-binary gate appender did not observe its synthetic WARN — " +
-        "the logging hook is broken; a zero-warning result would be a false pass")
-    installed = true
+    try {
+      // pin the emitter so WARNs from it always flow regardless of root level
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        EmitterLogger, Level.WARN)
+      // end-to-end self-test: emitter logger -> level check -> additivity ->
+      // root appender -> this gate
+      LogManager.getLogger(EmitterLogger).warn(
+        s"$SelfTestMarker: synthetic event, not a real task-binary warning")
+      require(selfTestSeen.get(),
+        "task-binary gate appender did not observe its synthetic WARN — " +
+          "the logging hook is broken; a zero-warning result would be a false pass")
+      installed = true
+    } catch {
+      case t: Throwable =>
+        // never leave the appender attached on a failed install — a
+        // retry would attach a second one and double-count every WARN
+        ctx.getConfiguration.getRootLogger.removeAppender(appender.getName)
+        ctx.updateLoggers()
+        throw t
+    }
   }
 
   /** "… with size 1103.4 KiB" / "2.1 MiB" → KiB. */

@@ -293,14 +293,28 @@ object TextStatsUtil {
     val out = new Array[Byte](b.length)
     var o = 0
     var si = 0
+    // current span decoded to two locals, refreshed only when si
+    // advances — the per-token loop stays allocation-free (getStruct
+    // wraps a fresh row per call; spans are sorted and disjoint)
+    var spStart = -1L
+    var spEnd = -1L
+    def load(i: Int): Unit = {
+      if (spans.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"remove_token_spans: spans must not contain null (element $i)")
+      val sp = spans.getStruct(i, 2)
+      spStart = sp.getLong(0)
+      spEnd = sp.getLong(1)
+    }
+    load(0)
     var first = true
     var t = 0
     while (t < nTok) {
-      while (si < k && spans.getStruct(si, 2).getLong(1) <= t) si += 1
-      val covered = si < k && {
-        val sp = spans.getStruct(si, 2)
-        sp.getLong(0) <= t && t < sp.getLong(1)
+      while (si < k && spEnd <= t) {
+        si += 1
+        if (si < k) load(si)
       }
+      val covered = si < k && spStart <= t && t < spEnd
       if (!covered) {
         if (!first) { out(o) = ' '; o += 1 }
         val from = starts(t)

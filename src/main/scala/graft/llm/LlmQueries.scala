@@ -103,6 +103,39 @@ object LlmQueries {
 
   private def md5ModSql(e: String): String = PortableHash.md5ModSql(e)
 
+  /** ws/win/wh CTEs: every n-token window of each document with its
+    * 0-based position and portable hash (the oracle twin of
+    * [[graft.llm.SubstringDedup.windowHashes]]). `ws` is unfiltered so
+    * callers may also tokenize ALL docs from it; docs under n tokens
+    * contribute no windows (the len guard lives in `win`). ONE
+    * definition for the q157/q159/q160/q161/q162 family so the window
+    * convention cannot fork between detector, pricer, and applier. */
+  private def windowHashSql(n: Int): String =
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+${n - 1}], ' ') AS sh FROM
+       |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS gs
+       |        FROM ws WHERE len(w) >= $n)),
+       |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win)""".stripMargin
+
+  /** gaps/sp CTEs: merge matched positions from `from` (doc_id, pos)
+    * into per-doc span ids (gap > n starts a new span) — the oracle
+    * twin of [[graft.llm.SubstringDedup.mergeSpans]]. */
+  private def spanMergeSql(n: Int, from: String): String =
+    s"""gaps AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+       |       THEN 0 ELSE 1 END AS new_span FROM $from),
+       |sp AS (SELECT doc_id, pos,
+       |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)""".stripMargin
+
+  /** The (doc_id, span_id, span_start, span_end, span_tokens) final
+    * select over `sp` — q157/q160/q162's output shape. */
+  private def spanSelectSql(n: Int): String =
+    s"""SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       |  min(pos) AS span_start, max(pos) + $n AS span_end,
+       |  max(pos) + $n - min(pos) AS span_tokens
+       |FROM sp GROUP BY doc_id, span_id
+       |ORDER BY doc_id, span_start""".stripMargin
+
   private val shinglesSql =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |       WHERE len(string_split(text, ' ')) >= 3),
@@ -3612,23 +3645,11 @@ object LlmQueries {
     // p' - p <= 8, so a gap > 8 starts a new span; span extent is
     // [min pos, max pos + 8). ----
     QuerySpec.sql("q157_substring_spans",
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |       WHERE len(string_split(text, ' ')) >= 8),
-        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
-        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs FROM ws)),
-        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+      s"""WITH ${windowHashSql(8)},
         |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
         |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
-        |gaps AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-        |       THEN 0 ELSE 1 END AS new_span FROM dp),
-        |sp AS (SELECT doc_id, pos,
-        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
-        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-        |  min(pos) AS span_start, max(pos) + 8 AS span_end,
-        |  max(pos) + 8 - min(pos) AS span_tokens
-        |FROM sp GROUP BY doc_id, span_id
-        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+        |${spanMergeSql(8, "dp")}
+        |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
       val wins = SubstringDedup.windowHashes(Tables.documents(s, d), 8)
         .transform(graft.Materialize(_))
       SubstringDedup.dupSpans(wins, 8).orderBy($"doc_id", $"span_start")
@@ -3732,20 +3753,12 @@ object LlmQueries {
     // rows. Everything else rides q157's machinery: one byte-scan per
     // doc, materialized (pos, hash) table, linear exchanges only. ----
     QuerySpec.sql("q159_substring_survivors",
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
-        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs
-        |        FROM ws WHERE len(w) >= 8)),
-        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+      s"""WITH ${windowHashSql(8)},
         |rm AS (SELECT doc_id, pos FROM (
         |  SELECT doc_id, pos,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM wh) WHERE rn >= 2),
-        |gaps AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-        |       THEN 0 ELSE 1 END AS new_span FROM rm),
-        |sp AS (SELECT doc_id, pos,
-        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps),
+        |${spanMergeSql(8, "rm")},
         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
         |  FROM sp GROUP BY doc_id, span_id),
         |cut AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_tokens
@@ -3790,24 +3803,12 @@ object LlmQueries {
     // the same table, and its filter prunes hashing to the ~5% slice. ----
     QuerySpec.sql("q160_decontaminate_spans", {
       val bh = md5ModSql("CAST(doc_id AS VARCHAR)")
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |       WHERE len(string_split(text, ' ')) >= 5),
-        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+4], ' ') AS sh FROM
-        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS gs FROM ws)),
-        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+      s"""WITH ${windowHashSql(5)},
         |bwin AS (SELECT DISTINCT h FROM wh WHERE $bh % 20 = 0),
         |dp AS (SELECT t.doc_id, t.pos FROM wh t JOIN bwin b USING (h)
         |       WHERE $bh % 20 <> 0),
-        |gaps AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
-        |       THEN 0 ELSE 1 END AS new_span FROM dp),
-        |sp AS (SELECT doc_id, pos,
-        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
-        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-        |  min(pos) AS span_start, max(pos) + 5 AS span_end,
-        |  max(pos) + 5 - min(pos) AS span_tokens
-        |FROM sp GROUP BY doc_id, span_id
-        |ORDER BY doc_id, span_start""".stripMargin
+        |${spanMergeSql(5, "dp")}
+        |${spanSelectSql(5)}""".stripMargin
     }) { (s, d) =>
       val isBench = PortableHash.md5Mod($"doc_id".cast("string")) % 20 === 0
       val wins = SubstringDedup
@@ -3832,20 +3833,12 @@ object LlmQueries {
     // (docs → their cut lists); at 100 TB that join is the rewrite
     // pass's whole exchange budget. ----
     QuerySpec.sql("q161_apply_cuts",
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
-        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs
-        |        FROM ws WHERE len(w) >= 8)),
-        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+      s"""WITH ${windowHashSql(8)},
         |rm AS (SELECT doc_id, pos FROM (
         |  SELECT doc_id, pos,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         |  FROM wh) WHERE rn >= 2),
-        |gaps AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-        |       THEN 0 ELSE 1 END AS new_span FROM rm),
-        |sp AS (SELECT doc_id, pos,
-        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps),
+        |${spanMergeSql(8, "rm")},
         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
         |  FROM sp GROUP BY doc_id, span_id),
         |toks AS (SELECT doc_id, gs - 1 AS pos, w[gs] AS tok FROM
@@ -3875,23 +3868,11 @@ object LlmQueries {
     // the Materialize seam applies; a TVF builder runs at analysis
     // time, so materializing there would execute mid-analysis). ----
     QuerySpec.sql("q162_sql_dup_spans",
-      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |       WHERE len(string_split(text, ' ')) >= 8),
-        |win AS (SELECT doc_id, gs - 1 AS pos, array_to_string(w[gs:gs+7], ' ') AS sh FROM
-        |       (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS gs FROM ws)),
-        |wh AS (SELECT doc_id, pos, ${md5ModSql("sh")} AS h FROM win),
+      s"""WITH ${windowHashSql(8)},
         |dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
         |dp AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
-        |gaps AS (SELECT doc_id, pos,
-        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-        |       THEN 0 ELSE 1 END AS new_span FROM dp),
-        |sp AS (SELECT doc_id, pos,
-        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)
-        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
-        |  min(pos) AS span_start, max(pos) + 8 AS span_end,
-        |  max(pos) + 8 - min(pos) AS span_tokens
-        |FROM sp GROUP BY doc_id, span_id
-        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+        |${spanMergeSql(8, "dp")}
+        |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("graft_q162_docs")
       s.sql("""SELECT * FROM graft_dup_spans('graft_q162_docs', 8)
               |ORDER BY doc_id, span_start""".stripMargin)

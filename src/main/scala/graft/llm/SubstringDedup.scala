@@ -117,8 +117,12 @@ object SubstringDedup {
     * sized, never corpus-sized), joins back on doc_id, and tokens are
     * copied straight from the original bytes — no token arrays, no
     * per-token rows, no higher-order lambdas. Docs without cuts pass
-    * through byte-identical. */
-  def applyCuts(docs: DataFrame, spans: DataFrame): DataFrame = {
+    * through byte-identical. `carry` columns of `docs` ride the single
+    * corpus join into the output unchanged (a caller re-joining docs to
+    * recover them would pay a SECOND corpus-sized exchange — the whole
+    * rewrite pass budget is this one join). */
+  def applyCuts(docs: DataFrame, spans: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val emptyCuts = expr(
       "CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")
     val lists = spans.groupBy(col("doc_id")).agg(
@@ -126,14 +130,16 @@ object SubstringDedup {
         struct(col("span_start"), col("span_end")))).as("cuts"),
       sum(col("span_tokens")).as("removed_tokens"))
     docs
-      .select(col("doc_id"), col("text"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .select(col("doc_id") +: col("text") +:
+        size(split(col("text"), " ")).cast("long").as("n_tok") +:
+        carry.map(col): _*)
       .join(lists, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         call_function("remove_token_spans", col("text"),
-          coalesce(col("cuts"), emptyCuts)).as("clean_text"),
+          coalesce(col("cuts"), emptyCuts)).as("clean_text") +:
         (col("n_tok") - coalesce(col("removed_tokens"), lit(0L)))
-          .as("kept_tokens"))
+          .as("kept_tokens") +:
+        carry.map(col): _*)
   }
 
   /** One-sided contamination span map (q160): spans in `trainWins`
