@@ -69,6 +69,13 @@ object CodegenGate {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
+    // prior EFFECTIVE levels (getLoggerConfig walks to the nearest
+    // configured ancestor, so this is non-null even for inherited
+    // loggers), captured so a failed install can roll the pins back
+    // instead of leaving global logging state mutated
+    val priorLevels: Map[String, Level] = EmitterLoggers.map { l =>
+      l -> ctx.getConfiguration.getLoggerConfig(l).getLevel
+    }.toMap
     try {
       EmitterLoggers.foreach(l =>
         org.apache.logging.log4j.core.config.Configurator.setLevel(l, Level.WARN))
@@ -87,8 +94,13 @@ object CodegenGate {
     } catch {
       case t: Throwable =>
         // never leave the appender attached on a failed install — a
-        // retry would attach a second one and double-count every WARN
+        // retry would attach a second one and double-count every WARN —
+        // and roll back the level pins so global logging state is
+        // unchanged after a throwing install
         ctx.getConfiguration.getRootLogger.removeAppender(appender.getName)
+        priorLevels.foreach { case (l, lvl) =>
+          org.apache.logging.log4j.core.config.Configurator.setLevel(l, lvl)
+        }
         ctx.updateLoggers()
         throw t
     }

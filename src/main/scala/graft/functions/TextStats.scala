@@ -303,8 +303,18 @@ object TextStatsUtil {
         throw new IllegalArgumentException(
           s"remove_token_spans: spans must not contain null (element $i)")
       val sp = spans.getStruct(i, 2)
+      val prevEnd = spEnd
       spStart = sp.getLong(0)
       spEnd = sp.getLong(1)
+      // the forward-only cursor silently skips out-of-order spans, so the
+      // sorted/disjoint contract is CHECKED on this user-facing SQL
+      // function, not just documented (O(1) per span; prevEnd is -1 on
+      // the first load)
+      if (spEnd <= spStart || spStart < prevEnd)
+        throw new IllegalArgumentException(
+          "remove_token_spans: spans must be non-empty, sorted by start, " +
+            s"and disjoint; element $i is [$spStart, $spEnd) after a span " +
+            s"ending at $prevEnd")
     }
     load(0)
     var first = true

@@ -483,7 +483,6 @@ object LlmQueries {
           $"st.n_tok".as("n_tokens"),
           $"st.n_distinct".as("n_distinct"),
           ($"st.stop_hits".cast("double") / $"st.n_tok").as("stop_ratio"))
-        .orderBy($"doc_id")
     },
 
     // ---- BPE-ish subword tokenization (the whitespace-split complement
@@ -512,7 +511,6 @@ object LlmQueries {
           $"st.n_distinct".as("n_distinct"),
           $"st.max_token_len".as("max_token_len"),
           $"st.n_numeric".as("n_numeric"))
-        .orderBy($"doc_id")
     },
 
     // ---- quality scoring: pure elementwise arithmetic (rational ops only
@@ -537,7 +535,6 @@ object LlmQueries {
           ((length($"text") - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
           digitRatio.as("digit_ratio"),
           (least(lit(1.0), nTok / 100.0) * (lit(1.0) - digitRatio)).as("quality"))
-        .orderBy($"doc_id")
     },
 
     // ---- MinHash signatures (near-dup sketch): 16 salted min-hashes over
@@ -545,7 +542,7 @@ object LlmQueries {
     QuerySpec.sql("q43_minhash_sig",
       s"""WITH $sigSql
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
-      minhashSig(Tables.documents(s, d)).orderBy($"doc_id")
+      minhashSig(Tables.documents(s, d))
     },
 
     // ---- LSH banding: 4 bands × 4 rows; candidate pairs = docs sharing a
@@ -619,7 +616,7 @@ object LlmQueries {
       val simhash = (0 until 16)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
-      sums.select($"doc_id", simhash.cast("long").as("simhash")).orderBy($"doc_id")
+      sums.select($"doc_id", simhash.cast("long").as("simhash"))
     },
 
     // ---- brute-force cosine top-k (ANN baseline): queries = vec_id < 10
@@ -895,7 +892,6 @@ object LlmQueries {
       Tables.documents(s, d)
         .filter(PortableHash.md5Mod($"doc_id".cast("string")) % 100 < 7)
         .select($"doc_id", $"lang", $"n_chars")
-        .orderBy($"doc_id")
     },
 
     // ---- language identification: marker-word profile scoring with a
@@ -929,7 +925,6 @@ object LlmQueries {
       scores.select($"doc_id", $"lang_meta", $"s_en", $"s_de", $"s_es",
           when($"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
             .when($"s_de" >= $"s_es", "de").otherwise("es").as("lang_guess"))
-        .orderBy($"doc_id")
     },
 
     // ---- document fingerprinting: k smallest shingle hashes per doc
@@ -1038,7 +1033,6 @@ object LlmQueries {
       val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster_id")
         .select($"doc_id", $"cluster_id", $"cluster_size")
-        .orderBy($"doc_id")
     },
 
     // ---- dedup SURVIVOR SELECTION: the end-to-end near-dup pipeline —
@@ -1267,7 +1261,6 @@ object LlmQueries {
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("b.doc_id").as("doc_id"))
         .agg(min(col("a.doc_id")).as("dup_of"))
-        .orderBy($"doc_id")
     },
 
     // ---- benchmark decontamination: training docs sharing any word
@@ -1304,7 +1297,6 @@ object LlmQueries {
         .join(broadcast(bsh), "h")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"))
-        .orderBy($"doc_id")
     },
 
     // ---- Gopher-style repetition rules: duplicate-token fraction and
@@ -1343,7 +1335,6 @@ object LlmQueries {
           expr("(st.top_bg * 1000000) div (st.n_tok - 1)").as("top_bigram_ppm"))
         .withColumn("pass",
           when($"dup_tok_ppm" < 300000 && $"top_bigram_ppm" < 200000, 1L).otherwise(0L))
-        .orderBy($"doc_id")
     },
 
     // ---- per-language quality quantile filter: keep the top half of
@@ -1395,7 +1386,6 @@ object LlmQueries {
           ($"cum_tok" - $"n_tok").as("start_off"),
           expr("(cum_tok - n_tok) div 512").as("seq_id"),
           expr("(cum_tok - n_tok) % 512").as("seq_off"))
-        .orderBy($"doc_id")
     },
 
     // ---- sketch algebra: per-group KMV sketches MERGED into a global
@@ -1478,7 +1468,6 @@ object LlmQueries {
       graft.operators.Prefix.runningSum(q, $"n_tok", "cum",
           ts = "doc_id", tie = "doc_id")
         .select($"doc_id", $"n_tok", expr("(cum - n_tok) div 512").as("seq_id"))
-        .orderBy($"doc_id")
     },
 
     // ---- KMV as a TRUE two-phase UDAF ([[TypedAggs.KmvSketch]]): the
@@ -1550,7 +1539,6 @@ object LlmQueries {
           regexp_replace($"text", "[0-9]+", "#").as("redacted"),
           size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long")
             .as("n_redactions"))
-        .orderBy($"doc_id")
     },
 
     // ---- ANN index quality evaluation: recall@3 of the IVF probe
@@ -1938,7 +1926,6 @@ object LlmQueries {
             """transform(filter(sa,
               |  (x, i) -> rm IS NULL OR NOT array_contains(rm, CAST(i AS BIGINT))),
               |  x -> x.seg)""".stripMargin), " ").as("kept_text"))
-        .orderBy($"doc_id")
     },
 
     // ---- cross-corpus incremental dedup: a NEW batch (odd doc_ids)
@@ -1979,7 +1966,6 @@ object LlmQueries {
       // where the caller materializes — see CorpusDedup's scaladoc)
       CorpusDedup.probe(docs.filter($"doc_id" % 2 === 1),
           CorpusDedup.bandIndex(old), CorpusDedup.hashIndex(old))
-        .orderBy($"doc_id")
     },
 
     // ---- asymmetric CONTAINMENT on the LSH candidate pairs: |A∩B|/|A|
@@ -2514,7 +2500,6 @@ object LlmQueries {
         .filter($"h" * $"mw" < $"n_chars" * lit(P))
         .select($"doc_id", $"lang", $"n_chars",
           ($"n_chars".cast("double") / $"mw".cast("double")).as("p_keep"))
-        .orderBy($"doc_id")
     },
 
     // ---- KMV SET OPERATIONS: the estimator q59/q78 stop at distinct
@@ -3272,7 +3257,6 @@ object LlmQueries {
                 |  '&gt;', '>'), '&lt;', '<'), '&amp;', '&')""".stripMargin).as("s"))
       stripped.select($"doc_id", md5(encode($"s", "UTF-8")).as("stripped_md5"),
           ($"s" === $"text").as("matches_original"), $"n_tags")
-        .orderBy($"doc_id")
     },
 
     // ---- the q105 cross-corpus probe through the PURE-SQL surface:
@@ -3728,14 +3712,21 @@ object LlmQueries {
       // at 100 TB it is the per-doc score table written once.
       val scored = uni.join(bi, Seq("doc_id"), "left")
         .transform(graft.Materialize(_))
+      // tot and the cross-multiplication run in DECIMAL(38,0): scores
+      // reach 1e9 ppb, so a BIGINT product (and the BIGINT sum feeding
+      // it) would overflow once doc count passes ~9.2e9 — exactly the
+      // 100 TB regime this query narrates. Decimal keeps it exact to
+      // ~1e29 docs; output columns are unchanged BIGINTs.
       val tot = scored.agg(
-        sum($"bi_novelty_ppb").as("tot"),
+        sum($"bi_novelty_ppb".cast("decimal(38,0)")).as("tot"),
         count($"bi_novelty_ppb").as("n_bi"))
       scored.crossJoin(broadcast(tot))
         .select($"doc_id", $"n_tok", $"uni_novelty_ppb", $"bi_novelty_ppb",
-          when($"bi_novelty_ppb" * $"n_bi" >= $"tot", 1L).otherwise(0L)
-            .as("keep_flag"))
-        .orderBy($"doc_id")
+          when($"bi_novelty_ppb".cast("decimal(38,0)") * $"n_bi" >= $"tot",
+            1L).otherwise(0L).as("keep_flag"))
+      // no trailing ORDER BY: per-doc output, order-insensitive gate
+      // (q57/q71/q150 discipline — a sort here is a corpus-sized range
+      // exchange at scale)
     },
 
     // ---- substring dedup with a CANONICAL SURVIVOR (the pass Lee et
@@ -3778,7 +3769,6 @@ object LlmQueries {
         .select($"doc_id", $"n_tok",
           coalesce($"removed_tokens", lit(0L)).as("removed_tokens"),
           ($"n_tok" - coalesce($"removed_tokens", lit(0L))).as("kept_tokens"))
-        .orderBy($"doc_id")
     },
 
     // ---- SPAN-level decontamination: q74 flags which training docs
@@ -3856,7 +3846,6 @@ object LlmQueries {
         .transform(graft.Materialize(_))
       val spans = SubstringDedup.survivorSpans(wins, 8)
       SubstringDedup.applyCuts(Tables.documents(s, d), spans)
-        .orderBy($"doc_id")
     },
 
     // ---- the substring-dedup SQL surface: `graft_dup_spans(view, n)`

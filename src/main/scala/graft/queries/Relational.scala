@@ -973,14 +973,17 @@ object Relational {
     // plan-gated in GlobalSeqSpec, here gated end-to-end from SQL
     // text). Ordering key (n_chars, doc_id) matches the z-order/packing
     // pipelines' layout key. ----
+    // No trailing ORDER BY: the gate is order-insensitive and the output is
+    // one row per document, so a presentational sort would add a corpus-sized
+    // range exchange at scale (same discipline as q57/q71).
     QuerySpec.sql("q150_sql_global_seq",
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS seq
-        |FROM documents ORDER BY seq""".stripMargin) { (s, d) =>
+        |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("graft_q150_docs")
       s.sql("""SELECT doc_id,
               |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS seq
-              |FROM graft_q150_docs ORDER BY seq""".stripMargin)
+              |FROM graft_q150_docs""".stripMargin)
     }
   )
 

@@ -11,12 +11,18 @@ import json, sys
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 qa, qb = a["queries"], b["queries"]
-assert set(qa) == set(qb), "sessions ran different query sets"
+# Explicit raises, not asserts: python -O strips asserts, which would
+# silently let a failed query's -1 win the per-query min.
+if set(qa) != set(qb):
+    raise SystemExit(f"sessions ran different query sets: "
+                     f"only-a={sorted(set(qa) - set(qb))} "
+                     f"only-b={sorted(set(qb) - set(qa))}")
 # Bench records a failed query as -1; a -1 must never win the min (it
 # would silently make the merged artifact FASTER). Refuse to merge
 # sessions with failures — the artifact is only defined over clean runs.
 bad = sorted(q for q in qa if qa[q] <= 0 or qb[q] <= 0)
-assert not bad, f"failed queries in a session (time <= 0): {bad}"
+if bad:
+    raise SystemExit(f"failed queries in a session (time <= 0): {bad}")
 mins = {q: min(qa[q], qb[q]) for q in qa}
 out = {
     "protocol": "per-query MIN across 2 Bench sessions (each itself "
