@@ -74,6 +74,20 @@ object LlmQueries {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("sh"))
 
+  /** Hashing-trick feature-space size for the q163/q164 supervised
+    * quality classifier — pinned to [[QualityClassifier.Buckets]] so the
+    * oracle SQL cannot drift from the operator. */
+  private val QcBuckets = QualityClassifier.Buckets
+
+  /** CCNet-style source seeds: curated-looking sources label positive,
+    * crawl-looking sources negative; everything else is the unlabeled
+    * corpus the trained scorer filters. (Declared before `specs` — the
+    * oracle SQL strings interpolate these eagerly.) */
+  private val QcPos = Seq("src0", "src1", "src2")
+  private val QcNeg = Seq("src17", "src18", "src19")
+  private val QcPosSqlList = QcPos.map("'" + _ + "'").mkString(", ")
+  private val QcSeedSqlList = (QcPos ++ QcNeg).map("'" + _ + "'").mkString(", ")
+
   /** MinHash permutation constants: h_j(x) = (a_j·x + b_j) mod P over the
     * base md5 hash — one md5 per shingle, 16 cheap affine transforms
     * (16× fewer digest computations than salting the input per
@@ -3865,8 +3879,175 @@ object LlmQueries {
       Tables.documents(s, d).createOrReplaceTempView("graft_q162_docs")
       s.sql("""SELECT * FROM graft_dup_spans('graft_q162_docs', 8)
               |ORDER BY doc_id, span_start""".stripMargin)
+    },
+
+    // ---- SUPERVISED document-quality scoring (VERDICT r9 #2): the
+    // CCNet/fastText-style seed-trained filter — the production stage
+    // after the unsupervised heuristics (q42/q75) and corpus-LM novelty
+    // (q158). Training: per-bucket log-count-ratio weights over HASHED
+    // token features (md5 % 4096 — the hashing trick bounds the model at
+    // 4096 rows no matter how large the corpus vocabulary grows, so the
+    // weight table broadcasts at ANY scale). Labels come from SOURCE
+    // seeds, CCNet's own discipline (curated seed = positive, raw-crawl
+    // seed = negative); the scorer then runs over the WHOLE corpus
+    // map-only. Integer-exact rational form (no libm): the per-bucket
+    // weight is w = 1e6·p/(p+q) with p,q the add-one-smoothed bucket
+    // frequencies in the pos/neg seed token streams — σ(log-count-ratio)
+    // as an exact rational (monotone in the log-odds, bounded [0,1e6]),
+    // cross-multiplied in DECIMAL(38,0) so it stays exact at any seed
+    // size. Doc score = Σtf·w div Σtf ∈ [0,1e6]; keep = score ≥ the
+    // TRAINED intercept (midpoint of the class-mean seed scores — a
+    // fixed posterior-½ cut is miscalibrated whenever class token
+    // totals differ; measured here: every doc scores 484k–527k, so ½
+    // would keep everything).
+    // Shape at 100 TB: training touches only the seeds (one linear
+    // groupBy into 4096 buckets + one seed-sized mean); scoring is one
+    // byte-scan projection + a broadcast join + one linear
+    // groupBy(doc_id) — e≈1.0, the corpus never pairs with itself. ----
+    QuerySpec.sql("q163_quality_classifier",
+      s"""WITH ${qcSql(s"source IN ($QcSeedSqlList)")},
+        |sc AS (SELECT bt.doc_id,
+        |    CAST(sum(bt.tf * wt.w) // sum(bt.tf) AS BIGINT) AS score_ppm
+        |  FROM bt JOIN wt USING (b) GROUP BY bt.doc_id),
+        |${qcThresholdSql(s"source IN ($QcSeedSqlList)")}
+        |SELECT doc_id, score_ppm,
+        |  CAST(CASE WHEN score_ppm >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM sc CROSS JOIN thr t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bt = qcBucketed(docs).transform(graft.Materialize(_))
+      val w = QualityClassifier.weights(s, bt, $"label" =!= 0)
+      // scores feed BOTH the intercept mean and the final gate — the
+      // diamond rule: materialize once (at 100 TB this is the per-doc
+      // score table written once)
+      val sc = QualityClassifier.score(bt, w).transform(graft.Materialize(_))
+      val thr = QualityClassifier.threshold(sc,
+        qcSeedLabels(docs, $"source".isin(QcPos ++ QcNeg: _*)))
+      sc.crossJoin(broadcast(thr))
+        .select($"doc_id", $"score_ppm",
+          when($"score_ppm" >= $"thr", 1L).otherwise(0L).as("keep_flag"))
+    },
+
+    // ---- the classifier's HELD-OUT evaluation, in-gate: train on the
+    // even-doc_id half of the seeds, score the odd half, and put the
+    // measured recall/accuracy next to the unsupervised heuristic
+    // baseline (q42's quality = min(1, n_tok/100)·(1−digit_ratio),
+    // thresholded at ½ in its exact integer form) on the SAME held-out
+    // docs. Output: (method × label) accuracy table — for 'pos' rows
+    // correct = kept (recall of the curated class), for 'neg' rows
+    // correct = rejected (crawl rejection rate). The eval is the gate:
+    // a training bug (weights from the eval split, flipped labels,
+    // broken smoothing) moves these hashes. ----
+    QuerySpec.sql("q164_quality_eval",
+      s"""WITH ${qcSql(s"source IN ($QcSeedSqlList) AND doc_id % 2 = 0")},
+        |ho AS (SELECT doc_id,
+        |    CASE WHEN source IN ($QcPosSqlList) THEN 'pos' ELSE 'neg' END AS label
+        |  FROM documents
+        |  WHERE source IN ($QcSeedSqlList) AND doc_id % 2 = 1),
+        |sc AS (SELECT bt.doc_id,
+        |    CAST(sum(bt.tf * wt.w) // sum(bt.tf) AS BIGINT) AS score_ppm
+        |  FROM bt JOIN wt USING (b) GROUP BY bt.doc_id),
+        |${qcThresholdSql(s"source IN ($QcSeedSqlList) AND doc_id % 2 = 0")},
+        |cl AS (SELECT 'classifier' AS method, ho.label,
+        |    CASE WHEN sc.score_ppm >= t.thr THEN 1 ELSE 0 END AS keep
+        |  FROM ho JOIN sc USING (doc_id) CROSS JOIN thr t),
+        |hh AS (SELECT 'heuristic' AS method, ho.label,
+        |    CASE WHEN 2 * least(len(string_split(d.text, ' ')), 100)
+        |        * (length(d.text) - length(regexp_replace(d.text, '[^0-9]', '', 'g')))
+        |      >= 100 * length(d.text) THEN 1 ELSE 0 END AS keep
+        |  FROM ho JOIN documents d USING (doc_id)),
+        |u AS (SELECT * FROM cl UNION ALL SELECT * FROM hh)
+        |SELECT method, label, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(keep) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN (label = 'pos' AND keep = 1)
+        |    OR (label = 'neg' AND keep = 0) THEN 1 ELSE 0 END) AS BIGINT) AS correct_docs,
+        |  CAST(sum(CASE WHEN (label = 'pos' AND keep = 1)
+        |    OR (label = 'neg' AND keep = 0) THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS acc_ppm
+        |FROM u GROUP BY method, label
+        |ORDER BY method, label""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bt = qcBucketed(docs).transform(graft.Materialize(_))
+      val seeds = $"source".isin(QcPos ++ QcNeg: _*)
+      val w = QualityClassifier.weights(s, bt,
+        $"label" =!= 0 && $"doc_id" % 2 === 0)
+      val ho = docs.filter(seeds && $"doc_id" % 2 === 1)
+        .select($"doc_id",
+          when($"source".isin(QcPos: _*), "pos").otherwise("neg").as("label"),
+          $"text")
+      // scores feed the intercept mean AND the held-out gate: diamond →
+      // materialize (same rule as q163)
+      val sc = QualityClassifier.score(bt, w).transform(graft.Materialize(_))
+      val thr = QualityClassifier.threshold(sc,
+        qcSeedLabels(docs, seeds && $"doc_id" % 2 === 0))
+      val cl = ho.join(sc, "doc_id").crossJoin(broadcast(thr))
+        .select(lit("classifier").as("method"), $"label",
+          when($"score_ppm" >= $"thr", 1L).otherwise(0L).as("keep"))
+      val nTok = size(split($"text", " ")).cast("long")
+      val digits = length(regexp_replace($"text", "[^0-9]", "")).cast("long")
+      val hh = ho.select(lit("heuristic").as("method"), $"label",
+        when(lit(2L) * least(nTok, lit(100L))
+            * (length($"text").cast("long") - digits)
+          >= lit(100L) * length($"text").cast("long"), 1L).otherwise(0L).as("keep"))
+      val correct = when(($"label" === "pos" && $"keep" === 1L) ||
+        ($"label" === "neg" && $"keep" === 0L), 1L).otherwise(0L)
+      cl.unionByName(hh)
+        .groupBy($"method", $"label")
+        .agg(count(lit(1)).as("n_docs"), sum($"keep").as("kept_docs"),
+          sum(correct).as("correct_docs"))
+        .select($"method", $"label", $"n_docs", $"kept_docs", $"correct_docs",
+          expr("correct_docs * 1000000 div n_docs").as("acc_ppm"))
+        .orderBy($"method", $"label") // 4-row aggregate output: sort stays
     }
   )
+
+  // ---------- supervised quality classifier (q163/q164 shared) ----------
+  // Machinery lives on [[QualityClassifier]] (spec-proven to learn on
+  // signal); these adapters bind the fixture's source-seed labels.
+
+  /** Fixture docs with the CCNet source-seed label column
+    * [[QualityClassifier.bucketed]] expects. */
+  private def qcLabeled(docs: DataFrame): DataFrame =
+    docs.withColumn("label",
+      when($"source".isin(QcPos: _*), 1)
+        .when($"source".isin(QcNeg: _*), -1).otherwise(0))
+
+  private def qcBucketed(docs: DataFrame): DataFrame =
+    QualityClassifier.bucketed(qcLabeled(docs))
+
+  /** Labeled seed docs for intercept training: (doc_id, is_pos). */
+  private def qcSeedLabels(docs: DataFrame, pred: Column): DataFrame =
+    docs.filter(pred).select($"doc_id", $"source".isin(QcPos: _*).as("is_pos"))
+
+  /** Oracle twin of [[qcThreshold]] (assumes `sc` is in scope; `predSql`
+    * picks the labeled training docs). */
+  private def qcThresholdSql(predSql: String): String =
+    s"""thr AS (SELECT
+       |    ((sum(CASE WHEN source IN ($QcPosSqlList) THEN score_ppm ELSE 0 END)
+       |      // sum(CASE WHEN source IN ($QcPosSqlList) THEN 1 ELSE 0 END))
+       |   + (sum(CASE WHEN source NOT IN ($QcPosSqlList) THEN score_ppm ELSE 0 END)
+       |      // sum(CASE WHEN source NOT IN ($QcPosSqlList) THEN 1 ELSE 0 END))) // 2 AS thr
+       |  FROM sc JOIN documents USING (doc_id) WHERE ($predSql))""".stripMargin
+
+  /** Oracle twin of [[qcBucketed]]+[[qcWeights]]: tok/bt/cnt/tot/wt CTEs
+    * (HUGEINT cross-multiplication — DuckDB's exact integer widening).
+    * `trainPredSql` picks the training rows (all seeds for q163, the
+    * even-doc_id half for q164's held-out eval). */
+  private def qcSql(trainPredSql: String): String =
+    s"""tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |bt AS (SELECT doc_id, source, ${md5ModSql("term")} % $QcBuckets AS b,
+       |    CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+       |cnt AS (SELECT b,
+       |    sum(CASE WHEN source IN ($QcPosSqlList) THEN tf ELSE 0 END) AS a,
+       |    sum(CASE WHEN source NOT IN ($QcPosSqlList) THEN tf ELSE 0 END) AS c
+       |  FROM bt WHERE ($trainPredSql) GROUP BY b),
+       |tot AS (SELECT coalesce(sum(a), 0) AS ta, coalesce(sum(c), 0) AS tc0 FROM cnt),
+       |wt AS (SELECT g.gs AS b, CAST(
+       |    (CAST(coalesce(n.a, 0) + 1 AS HUGEINT) * (t.tc0 + $QcBuckets) * 1000000) //
+       |    (CAST(coalesce(n.a, 0) + 1 AS HUGEINT) * (t.tc0 + $QcBuckets)
+       |      + CAST(coalesce(n.c, 0) + 1 AS HUGEINT) * (t.ta + $QcBuckets)) AS BIGINT) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${QcBuckets - 1})) AS gs) g
+       |  CROSS JOIN tot t LEFT JOIN cnt n ON n.b = g.gs)""".stripMargin
 
   /** Coarse IVF quantizer CTEs (assumes `e`/`norms` from [[annBaseSql]]):
     * static codebook vec_id < 8, argmax-cosine `assign` (ties → lower

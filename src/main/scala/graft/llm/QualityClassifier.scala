@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Supervised document-quality scoring — the CCNet/fastText-style
+  * seed-trained filter stage (Wenzek et al., "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data"): train a linear
+  * classifier on a curated-positive / crawl-negative seed split, then
+  * score the whole corpus and keep what looks curated. Not in the
+  * reference (which has no text layer) — part of the mandated
+  * LLM-pipeline extension surface, the filter stage after the
+  * unsupervised heuristics (q42/q75) and corpus-LM novelty (q158).
+  *
+  * Model: per-BUCKET log-count-ratio weights over hashed token features
+  * (md5 % [[Buckets]] — the hashing trick bounds the weight table at
+  * 4096 rows no matter how large the corpus vocabulary grows, so the
+  * model broadcasts at ANY scale). Integer-exact rational form (the
+  * engine's no-libm discipline): the weight is w = 1e6·p/(p+q) with p,q
+  * the add-one-smoothed bucket frequencies in the positive/negative
+  * seed token streams — σ(log-count-ratio) as an exact rational
+  * (monotone in the log-odds, bounded [0, 1e6]), cross-multiplied in
+  * DECIMAL(38,0). Doc score = Σtf·w div Σtf ∈ [0, 1e6]; the decision
+  * threshold is TRAINED ([[threshold]]): the midpoint of the class-mean
+  * seed scores — the linear classifier's intercept — because a fixed
+  * posterior-½ cut is miscalibrated whenever class token totals differ.
+  *
+  * Shape at 100 TB: training touches only the seeds (one linear groupBy
+  * into [[Buckets]] buckets + one seed-sized mean); scoring is one
+  * byte-scan projection + a broadcast join + one linear
+  * groupBy(doc_id). The corpus never pairs with itself; every exchange
+  * is linear in corpus tokens (shuffle-probed via q163).
+  *
+  * Learning is PROVEN on signal in QualityClassifierSpec: on a
+  * synthetic corpus whose classes draw from genuinely different token
+  * distributions, the trained scorer separates held-out docs with
+  * ≥90% accuracy; on the driver fixture (whose sources share one
+  * distribution — measured: an exact NB log-odds-sum reference also
+  * scores ~52% held-out) q164 records the honest chance-level result
+  * next to the heuristic baseline.
+  */
+object QualityClassifier {
+
+  /** Hashing-trick feature-space size: token → md5 bucket. */
+  val Buckets = 4096
+
+  /** Doc-local hashed-bucket term frequencies: one byte-scan per doc
+    * (`space_token_counts`) then bucket = md5 % [[Buckets]] per DISTINCT
+    * term — a map-only projection; the corpus does not shuffle here.
+    * Input needs (doc_id, text, label: int 1=pos / -1=neg / 0=unlabeled);
+    * output (doc_id, label, b, tf). */
+  def bucketed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("label"),
+        explode(call_function("space_token_counts", col("text"))).as("tc"))
+      .select(col("doc_id"), col("label"),
+        (PortableHash.md5Mod(col("tc.term")) % Buckets).as("b"),
+        col("tc.tf").cast("long").as("tf"))
+
+  /** Seed-trained per-bucket weights, COMPLETE over all [[Buckets]]
+    * buckets (unseen buckets get the smoothed prior — no join-miss
+    * handling downstream). `trainPred` selects the training rows of
+    * `bt`; label 1 counts positive, -1 negative. */
+  def weights(s: SparkSession, bt: DataFrame, trainPred: Column): DataFrame = {
+    val counts = bt.filter(trainPred)
+      .groupBy(col("b")).agg(
+        sum(when(col("label") === 1, col("tf")).otherwise(0L)).as("a"),
+        sum(when(col("label") === -1, col("tf")).otherwise(0L)).as("c"))
+    val totals = counts.agg(
+      coalesce(sum(col("a")), lit(0L)).as("ta"),
+      coalesce(sum(col("c")), lit(0L)).as("tc0"))
+    s.range(Buckets).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""(CAST(coalesce(a, 0) + 1 AS DECIMAL(38,0)) * (tc0 + $Buckets) * 1000000) div
+           |(CAST(coalesce(a, 0) + 1 AS DECIMAL(38,0)) * (tc0 + $Buckets)
+           |  + CAST(coalesce(c, 0) + 1 AS DECIMAL(38,0)) * (ta + $Buckets))""".stripMargin)
+        .as("w"))
+  }
+
+  /** Score every doc in `bt` against a broadcast weight table: posterior
+    * ppm = Σtf·w div Σtf ∈ [0, 1e6]. One broadcast join + one linear
+    * groupBy — the whole serving path. Output (doc_id, score_ppm). */
+  def score(bt: DataFrame, weights: DataFrame): DataFrame =
+    bt.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(tf * w) div sum(tf)").as("score_ppm"))
+
+  /** The trained INTERCEPT: keep-threshold = midpoint of the class-mean
+    * scores on the labeled training docs (two Σ div n means, halved —
+    * integer-exact). `labels` is (doc_id, is_pos: boolean) for the
+    * training docs; requires ≥1 doc per class or the integral divide
+    * nulls out (which a downstream gate catches loudly). 1 row,
+    * broadcast by the caller. */
+  def threshold(sc: DataFrame, labels: DataFrame): DataFrame =
+    sc.join(labels, "doc_id").agg(expr(
+      """((sum(CASE WHEN is_pos THEN score_ppm ELSE 0 END)
+        |    div sum(CASE WHEN is_pos THEN 1 ELSE 0 END))
+        | + (sum(CASE WHEN NOT is_pos THEN score_ppm ELSE 0 END)
+        |    div sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END))) div 2""".stripMargin)
+      .as("thr"))
+}
