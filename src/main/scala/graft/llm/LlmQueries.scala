@@ -924,18 +924,17 @@ object LlmQueries {
         |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
         |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_guess
         |FROM scores ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val en = Seq("the", "and", "of", "to", "a", "is")
-      val de = Seq("der", "die", "das", "und", "ist", "ein")
-      val es = Seq("el", "la", "los", "de", "y", "es")
-      def score(ws: Seq[String]) =
-        sum(when($"w".isin(ws: _*), 1).otherwise(0))
-      val scores = Tables.documents(s, d)
-        .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
-        .groupBy($"doc_id")
-        .agg(first($"lang").as("lang_meta"),
-          score(en).cast("long").as("s_en"),
-          score(de).cast("long").as("s_de"),
-          score(es).cast("long").as("s_es"))
+      // per-language stop hits are doc-local byte scans (one
+      // space_token_stats per detector list — the CorpusAnalyzer
+      // fusion), NOT explode+groupBy: the pre-fusion form shuffled
+      // every token in the corpus to count three per-doc integers
+      // (VERDICT r9 #3). This query's whole plan is scan → project.
+      val scores = Tables.documents(s, d).select(
+        Seq($"doc_id", $"lang".as("lang_meta")) ++
+        CorpusAnalyzer.LangStops.map { case (code, stops) =>
+          call_function("space_token_stats", $"text", typedLit(stops))
+            .getField("stop_hits").as(s"s_$code")
+        }: _*)
       scores.select($"doc_id", $"lang_meta", $"s_en", $"s_de", $"s_es",
           when($"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
             .when($"s_de" >= $"s_es", "de").otherwise("es").as("lang_guess"))
@@ -1473,9 +1472,16 @@ object LlmQueries {
         .select($"doc_id", $"text")
       val keep = en.groupBy(md5($"text").as("ch")).agg(min($"doc_id").as("doc_id"))
       val surv = en.join(keep.select($"doc_id"), "doc_id")
-      val st = surv.select($"doc_id", explode(split($"text", " ")).as("tok"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_distinct"))
+      // doc-local byte-scan stats, NOT explode+groupBy: the filter
+      // stage's token counts never leave their row — the pre-fusion
+      // form shuffled every surviving token in the corpus to count
+      // per-doc stats (the q41/q75 lesson, applied to the pipeline
+      // composition query; VERDICT r9 #3)
+      val st = surv.select($"doc_id",
+          call_function("space_token_stats", $"text",
+            typedLit(Seq.empty[String])).as("st"))
+        .select($"doc_id", $"st.n_tok".as("n_tok"),
+          $"st.n_distinct".as("n_distinct"))
       val q = st.filter($"n_tok" >= 5 &&
           expr("((n_tok - n_distinct) * 1000000) div n_tok") < 400000)
         .select($"doc_id", $"n_tok")
@@ -3997,6 +4003,88 @@ object LlmQueries {
         .select($"method", $"label", $"n_docs", $"kept_docs", $"correct_docs",
           expr("correct_docs * 1000000 div n_docs").as("acc_ppm"))
         .orderBy($"method", $"label") // 4-row aggregate output: sort stays
+    },
+
+    // ---- the ONE-PASS fused corpus analyzer (VERDICT r9 #3), gated:
+    // every per-doc statistic the filter stages consume — token stats
+    // (q41), subword stats (q39), char-class counts + quality heuristic
+    // (q42), repetition rules (q75), lang-id (q49) — from a SINGLE
+    // map-only projection ([[CorpusAnalyzer.profile]]): one corpus
+    // read instead of five, no token explode, no shuffle at all
+    // (this query's whole plan is scan → project). The oracle
+    // recomputes the full profile from the composed SQL primitives, so
+    // a drift in ANY fused stat (or in the one-definition stopword
+    // lists) moves this hash. ----
+    QuerySpec.sql("q165_doc_profile",
+      """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+        |ts AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+        |    sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END) AS stop_hits,
+        |    sum(CASE WHEN tok IN ('the','and','of','to','a','is') THEN 1 ELSE 0 END) AS s_en,
+        |    sum(CASE WHEN tok IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de,
+        |    sum(CASE WHEN tok IN ('el','la','los','de','y','es') THEN 1 ELSE 0 END) AS s_es
+        |  FROM toks GROUP BY doc_id),
+        |bg AS (SELECT doc_id, array_to_string(w[gs:gs+1], ' ') AS bg FROM
+        |    (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS gs
+        |     FROM ws WHERE len(w) >= 2)),
+        |bt AS (SELECT doc_id, max(c) AS top_bg FROM
+        |    (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |  GROUP BY doc_id),
+        |sw AS (SELECT doc_id,
+        |    CAST(len(toks2) AS BIGINT) AS n_subtokens,
+        |    CAST(len(list_distinct(toks2)) AS BIGINT) AS n_sub_distinct,
+        |    CAST(list_max(list_transform(toks2, t -> length(t))) AS BIGINT) AS max_token_len,
+        |    CAST(len(list_filter(toks2, t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_numeric
+        |  FROM (SELECT doc_id,
+        |      regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks2
+        |    FROM documents)),
+        |cc AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(t.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(t.stop_hits AS BIGINT) AS stop_hits,
+        |  CAST(t.s_en AS BIGINT) AS s_en, CAST(t.s_de AS BIGINT) AS s_de,
+        |  CAST(t.s_es AS BIGINT) AS s_es,
+        |  CASE WHEN t.s_en >= t.s_de AND t.s_en >= t.s_es THEN 'en'
+        |       WHEN t.s_de >= t.s_es THEN 'de' ELSE 'es' END AS lang_guess,
+        |  sw.n_subtokens, sw.n_sub_distinct, sw.max_token_len, sw.n_numeric,
+        |  cc.n_chars, cc.n_digit_chars,
+        |  CAST(((t.n_tokens - t.n_distinct) * 1000000) // t.n_tokens AS BIGINT) AS dup_tok_ppm,
+        |  CAST(CASE WHEN t.n_tokens >= 2
+        |    THEN (bt.top_bg * 1000000) // (t.n_tokens - 1) ELSE NULL END AS BIGINT) AS top_bigram_ppm,
+        |  CAST(CASE WHEN 2 * least(t.n_tokens, 100) * (cc.n_chars - cc.n_digit_chars)
+        |    >= 100 * cc.n_chars THEN 1 ELSE 0 END AS BIGINT) AS quality_keep,
+        |  CAST(CASE WHEN ((t.n_tokens - t.n_distinct) * 1000000) // t.n_tokens < 300000
+        |    AND t.n_tokens >= 2 AND (bt.top_bg * 1000000) // (t.n_tokens - 1) < 200000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS repetition_pass
+        |FROM ts t JOIN sw USING (doc_id) JOIN cc USING (doc_id)
+        |LEFT JOIN bt USING (doc_id)""".stripMargin) { (s, d) =>
+      CorpusAnalyzer.profile(Tables.documents(s, d))
+        .select($"doc_id",
+          $"tok.n_tok".as("n_tokens"),
+          $"tok.n_distinct".as("n_distinct"),
+          $"tok.stop_hits".as("stop_hits"),
+          $"s_en", $"s_de", $"s_es",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
+            .when($"s_de" >= $"s_es", "de").otherwise("es").as("lang_guess"),
+          $"sub.n_subtokens".as("n_subtokens"),
+          $"sub.n_distinct".as("n_sub_distinct"),
+          $"sub.max_token_len".as("max_token_len"),
+          $"sub.n_numeric".as("n_numeric"),
+          $"n_chars", $"n_digit_chars",
+          expr("((tok.n_tok - tok.n_distinct) * 1000000) div tok.n_tok")
+            .as("dup_tok_ppm"),
+          when($"tok.n_tok" >= 2,
+            expr("(tok.top_bg * 1000000) div (tok.n_tok - 1)")).as("top_bigram_ppm"),
+          when(lit(2L) * least($"tok.n_tok", lit(100L))
+              * ($"n_chars" - $"n_digit_chars") >= lit(100L) * $"n_chars",
+            1L).otherwise(0L).as("quality_keep"),
+          when(expr("((tok.n_tok - tok.n_distinct) * 1000000) div tok.n_tok") < 300000
+              && $"tok.n_tok" >= 2
+              && expr("(tok.top_bg * 1000000) div (tok.n_tok - 1)") < 200000,
+            1L).otherwise(0L).as("repetition_pass"))
     }
   )
 
