@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, QuantizedDot, RemoveTokenSpans, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
+import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, NfkcFold, PiiMask, QuantizedDot, RemoveTokenSpans, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -133,6 +133,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"space_segments requires exactly 2 arguments, got ${children.size}")
         SpaceSegments(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfkc_fold"),
+      new ExpressionInfo(classOf[NfkcFold].getName, "nfkc_fold"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"nfkc_fold requires exactly 1 argument, got ${children.size}")
+        NfkcFold(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_mask"),
+      new ExpressionInfo(classOf[PiiMask].getName, "pii_mask"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"pii_mask requires exactly 1 argument, got ${children.size}")
+        PiiMask(children(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("lsh_plane_bits"),
