@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
         graft.plans.GraftTvfs.dupSpansName),
       graft.plans.GraftTvfs.buildDupSpans _))
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.GraftTvfs.dupSurvivorsName),
+      new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
+        graft.plans.GraftTvfs.dupSurvivorsName),
+      graft.plans.GraftTvfs.buildDupSurvivors _))
+    ext.injectTableFunction((
+      new FunctionIdentifier(graft.plans.GraftTvfs.dupCutsName),
+      new ExpressionInfo(graft.plans.GraftTvfs.getClass.getName,
+        graft.plans.GraftTvfs.dupCutsName),
+      graft.plans.GraftTvfs.buildDupCuts _))
     ext.injectFunction((
       new FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),

@@ -4205,6 +4205,54 @@ object LlmQueries {
       all.select($"doc_id", call_function("pii_mask", $"text").as("p"))
         .select($"doc_id", $"p.masked".as("masked"), $"p.n_url".as("n_url"),
           $"p.n_email".as("n_email"), $"p.n_num".as("n_num"))
+    },
+
+    // ---- the substring-verb SQL surface COMPLETED (VERDICT r9 #8): a
+    // pure-SQL user could detect spans (q162) but not price or produce
+    // the cleaned corpus. `graft_dup_survivors` / `graft_dup_cuts` close
+    // that — the Spark side of both gates is nothing but spark.sql text
+    // (the q148/q149/q162 discipline: one operator definition, two
+    // surfaces). Same analysis-time-rebuild caveat as q162, documented
+    // on the builders. q168 = the cleaned corpus from SQL, against
+    // q161's oracle verbatim. ----
+    QuerySpec.sql("q168_sql_dup_cuts",
+      s"""WITH ${windowHashSql(8)},
+        |rm AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM wh) WHERE rn >= 2),
+        |${spanMergeSql(8, "rm")},
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sp GROUP BY doc_id, span_id),
+        |toks AS (SELECT doc_id, gs - 1 AS pos, w[gs] AS tok FROM
+        |       (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS gs FROM ws)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t WHERE NOT EXISTS
+        |  (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+        |   AND t.pos >= s.s AND t.pos < s.e)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+        |    count(*) AS kt FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+        |  CAST(coalesce(a.kt, 0) AS BIGINT) AS kept_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_q168_docs")
+      s.sql("""SELECT doc_id, clean_text, kept_tokens
+              |FROM graft_dup_cuts('graft_q168_docs', 8)""".stripMargin)
+    },
+
+    // ---- q169 = the survivor cut-span pricing from SQL (q159's span
+    // machinery through the TVF surface). ----
+    QuerySpec.sql("q169_sql_dup_survivors",
+      s"""WITH ${windowHashSql(8)},
+        |rm AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM wh) WHERE rn >= 2),
+        |${spanMergeSql(8, "rm")}
+        |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("graft_q169_docs")
+      s.sql("""SELECT * FROM graft_dup_survivors('graft_q169_docs', 8)
+              |ORDER BY doc_id, span_start""".stripMargin)
     }
   )
 

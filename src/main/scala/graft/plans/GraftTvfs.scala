@@ -98,6 +98,61 @@ object GraftTvfs {
       .queryExecution.logical
   }
 
+  /** Shared (docs_view, n) argument parsing for the substring-dedup
+    * TVF family — one contract, three verbs. */
+  private def docsViewAndN(name: String, children: Seq[Expression]): (String, Int) = {
+    require(children.size == 2,
+      s"$name(docs_view, n) requires 2 arguments, got ${children.size}")
+    val view = strArg(name, children(0), "docs_view")
+    val nExpr = children(1)
+    require(nExpr.foldable &&
+        nExpr.dataType == org.apache.spark.sql.types.IntegerType,
+      s"$name: n must be an integer literal, got ${nExpr.sql}")
+    val nVal = nExpr.eval()
+    require(nVal != null, s"$name: n must not be null")
+    val n = nVal.asInstanceOf[Int]
+    require(n >= 1, s"$name: n must be >= 1, got $n")
+    (view, n)
+  }
+
+  val dupSurvivorsName = "graft_dup_survivors"
+
+  /** `graft_dup_survivors(docs_view, n)` →
+    * [[graft.llm.SubstringDedup.survivorSpans]]: the NON-canonical
+    * occurrences' merged cut spans — for every duplicated n-token
+    * window, the lexicographically first occurrence keeps its copy and
+    * every other occurrence's range is marked (doc_id, span_id,
+    * span_start, span_end, span_tokens). Same rebuild-per-invocation
+    * caveat as [[buildDupSpans]]. */
+  def buildDupSurvivors(children: Seq[Expression]): LogicalPlan = {
+    val (view, n) = docsViewAndN(dupSurvivorsName, children)
+    val spark = SparkSession.active
+    graft.llm.SubstringDedup.survivorSpans(
+        graft.llm.SubstringDedup.windowHashes(spark.table(view), n), n)
+      .queryExecution.logical
+  }
+
+  val dupCutsName = "graft_dup_cuts"
+
+  /** `graft_dup_cuts(docs_view, n)` → the CLEANED corpus from pure SQL:
+    * [[graft.llm.SubstringDedup.applyCuts]] over the canonical-survivor
+    * spans — (doc_id, clean_text, kept_tokens), every non-canonical
+    * duplicated window's tokens spliced out via the native
+    * `remove_token_spans` byte splice. Completes the substring-verb SQL
+    * surface (detect = graft_dup_spans, price = graft_dup_survivors,
+    * rewrite = this); the window table is rebuilt per invocation — a
+    * repeated-analysis workflow should go through the Scala surface
+    * where the [[graft.Materialize]] seam applies. */
+  def buildDupCuts(children: Seq[Expression]): LogicalPlan = {
+    val (view, n) = docsViewAndN(dupCutsName, children)
+    val spark = SparkSession.active
+    val docs = spark.table(view)
+    graft.llm.SubstringDedup.applyCuts(docs,
+        graft.llm.SubstringDedup.survivorSpans(
+          graft.llm.SubstringDedup.windowHashes(docs, n), n))
+      .queryExecution.logical
+  }
+
   val dedupProbeName = "graft_dedup_probe"
 
   /** `graft_dedup_probe(probe_view, corpus_view)` →
