@@ -3985,7 +3985,9 @@ object LlmQueries {
       val sc = QualityClassifier.score(bt, w).transform(graft.Materialize(_))
       val thr = QualityClassifier.threshold(sc,
         qcSeedLabels(docs, seeds && $"doc_id" % 2 === 0))
-      val cl = ho.join(sc, "doc_id").crossJoin(broadcast(thr))
+      // ho is seed-sized by design → broadcast: sc streams through with
+      // no doc-sized exchange (same rule as the threshold join)
+      val cl = sc.join(broadcast(ho), "doc_id").crossJoin(broadcast(thr))
         .select(lit("classifier").as("method"), $"label",
           when($"score_ppm" >= $"thr", 1L).otherwise(0L).as("keep"))
       val nTok = size(split($"text", " ")).cast("long")

@@ -94,7 +94,11 @@ object QualityClassifier {
     * nulls out (which a downstream gate catches loudly). 1 row,
     * broadcast by the caller. */
   def threshold(sc: DataFrame, labels: DataFrame): DataFrame =
-    sc.join(labels, "doc_id").agg(expr(
+    // labels is seed-sized BY DESIGN (the curated/crawl seed sets are
+    // curated artifacts, not corpus-scale) — broadcast explicitly so the
+    // per-doc score table streams through the join without an exchange
+    // at any corpus scale
+    sc.join(broadcast(labels), "doc_id").agg(expr(
       """((sum(CASE WHEN is_pos THEN score_ppm ELSE 0 END)
         |    div sum(CASE WHEN is_pos THEN 1 ELSE 0 END))
         | + (sum(CASE WHEN NOT is_pos THEN score_ppm ELSE 0 END)
