@@ -46,6 +46,9 @@ object SpillCheck {
     // token-scale (pos, hash) materialization + window-hash shuffles —
     // the substring-dedup family is the heaviest per-token memory user
     "q157_substring_spans", "q159_substring_survivors",
+    // r9 additions: the SQL rewrite pass (corpus join + splice through
+    // the TVF surface) and the classifier's score/intercept diamond
+    "q168_sql_dup_cuts", "q163_quality_classifier",
     "q1_pricing_summary")
 
   private final class SpillListener extends SparkListener {
