@@ -195,14 +195,18 @@ object Bench {
     // floors to floors. Parity is required on EVERY run, not just the
     // best one.
     val streamReps = 3
-    val streamRuns =
-      try (1 to streamReps).map { _ =>
-        System.gc()
-        StreamBench.run(spark, sfDir)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] stream bench failed: ${e.getMessage}")
-        Seq.empty
+    // per-rep try: a transient failure on a later rep must not discard
+    // earlier successful parity-clean measurements (that would report
+    // -1 with two valid floors in hand — worse than the old single-run
+    // protocol for the same hiccup)
+    val streamRuns = (1 to streamReps).flatMap { i =>
+      System.gc()
+      try Some(StreamBench.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream rep $i failed: ${e.getMessage}")
+        None
       }
+    }
     val streamRes = streamRuns match {
       case rs if rs.nonEmpty && rs.forall(_.parity) =>
         System.err.println(s"[bench] streaming rates (best-of-$streamReps): " +

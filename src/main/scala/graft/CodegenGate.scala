@@ -69,12 +69,16 @@ object CodegenGate {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     ctx.getConfiguration.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
-    // prior EFFECTIVE levels (getLoggerConfig walks to the nearest
-    // configured ancestor, so this is non-null even for inherited
-    // loggers), captured so a failed install can roll the pins back
-    // instead of leaving global logging state mutated
-    val priorLevels: Map[String, Level] = EmitterLoggers.map { l =>
-      l -> ctx.getConfiguration.getLoggerConfig(l).getLevel
+    // prior state per emitter: whether the logger had its OWN config
+    // (getLoggerConfig returns the nearest configured ancestor, so an
+    // exact name match means an explicit config existed) and its level —
+    // captured so a failed install can TRULY roll back: restore the
+    // level on loggers that had one, REMOVE the config Configurator
+    // creates for loggers that were inheriting (pinning those would
+    // detach them from future root-level changes)
+    val priorOwn: Map[String, Option[Level]] = EmitterLoggers.map { l =>
+      val cfg = ctx.getConfiguration.getLoggerConfig(l)
+      l -> (if (cfg.getName == l) Some(cfg.getLevel) else None)
     }.toMap
     try {
       EmitterLoggers.foreach(l =>
@@ -98,8 +102,11 @@ object CodegenGate {
         // and roll back the level pins so global logging state is
         // unchanged after a throwing install
         ctx.getConfiguration.getRootLogger.removeAppender(appender.getName)
-        priorLevels.foreach { case (l, lvl) =>
-          org.apache.logging.log4j.core.config.Configurator.setLevel(l, lvl)
+        priorOwn.foreach {
+          case (l, Some(lvl)) =>
+            org.apache.logging.log4j.core.config.Configurator.setLevel(l, lvl)
+          case (l, None) =>
+            ctx.getConfiguration.removeLogger(l) // back to inheriting
         }
         ctx.updateLoggers()
         throw t

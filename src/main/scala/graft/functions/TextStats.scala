@@ -293,28 +293,40 @@ object TextStatsUtil {
     val out = new Array[Byte](b.length)
     var o = 0
     var si = 0
+    // UPFRONT O(k) validation of the whole span list: the forward-only
+    // cursor below silently skips any span it never reaches (e.g. an
+    // out-of-order span behind an already-passed position), so a lazy
+    // per-load check could not actually enforce the sorted/disjoint
+    // contract on this user-facing SQL function — spans past the last
+    // covered token would go unchecked entirely.
+    locally {
+      var prevEnd = 0L
+      var v = 0
+      while (v < k) {
+        if (spans.isNullAt(v))
+          throw new IllegalArgumentException(
+            s"remove_token_spans: spans must not contain null (element $v)")
+        val sp = spans.getStruct(v, 2)
+        val vs = sp.getLong(0)
+        val ve = sp.getLong(1)
+        if (vs < 0 || ve <= vs || vs < prevEnd)
+          throw new IllegalArgumentException(
+            "remove_token_spans: spans must be non-negative, non-empty, " +
+              s"sorted by start, and disjoint; element $v is [$vs, $ve) " +
+              s"after a span ending at $prevEnd")
+        prevEnd = ve
+        v += 1
+      }
+    }
     // current span decoded to two locals, refreshed only when si
     // advances — the per-token loop stays allocation-free (getStruct
-    // wraps a fresh row per call; spans are sorted and disjoint)
+    // wraps a fresh row per call)
     var spStart = -1L
     var spEnd = -1L
     def load(i: Int): Unit = {
-      if (spans.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"remove_token_spans: spans must not contain null (element $i)")
       val sp = spans.getStruct(i, 2)
-      val prevEnd = spEnd
       spStart = sp.getLong(0)
       spEnd = sp.getLong(1)
-      // the forward-only cursor silently skips out-of-order spans, so the
-      // sorted/disjoint contract is CHECKED on this user-facing SQL
-      // function, not just documented (O(1) per span; prevEnd is -1 on
-      // the first load)
-      if (spEnd <= spStart || spStart < prevEnd)
-        throw new IllegalArgumentException(
-          "remove_token_spans: spans must be non-empty, sorted by start, " +
-            s"and disjoint; element $i is [$spStart, $spEnd) after a span " +
-            s"ending at $prevEnd")
     }
     load(0)
     var first = true

@@ -49,10 +49,7 @@ object CorpusAnalyzer {
     * 3 stop-set scans) — what fusion saves is the table I/O (one corpus
     * read instead of five) and the downstream exchanges, which is the
     * 100 TB cost; the per-row CPU was already map-side. */
-  def profile(docs: DataFrame, carry: Seq[String] = Seq.empty): DataFrame = {
-    val langCols = LangStops.map { case (code, stops) =>
-      col(s"__st_$code").getField("stop_hits").as(s"s_$code")
-    }
+  def profile(docs: DataFrame, carry: Seq[String] = Seq.empty): DataFrame =
     docs.select(
       Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         call_function("space_token_stats", col("text"), typedLit(Stopwords)).as("tok"),
@@ -63,11 +60,6 @@ object CorpusAnalyzer {
           .as("n_digit_chars")) ++
       LangStops.map { case (code, stops) =>
         call_function("space_token_stats", col("text"), typedLit(stops))
-          .as(s"__st_$code")
+          .getField("stop_hits").as(s"s_$code")
       }: _*)
-    .select(
-      Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
-        col("tok"), col("sub"), col("n_chars"), col("n_digit_chars")) ++
-      langCols: _*)
-  }
 }

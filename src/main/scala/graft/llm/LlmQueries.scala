@@ -3981,8 +3981,12 @@ object LlmQueries {
           when($"source".isin(QcPos: _*), "pos").otherwise("neg").as("label"),
           $"text")
       // scores feed the intercept mean AND the held-out gate: diamond →
-      // materialize (same rule as q163)
-      val sc = QualityClassifier.score(bt, w).transform(graft.Materialize(_))
+      // materialize (same rule as q163). Only SEED docs' scores are ever
+      // consumed here (train-half intercept + odd-half eval), so score
+      // the seed slice, not the corpus — at 100 TB the unfiltered form
+      // pays a corpus-sized aggregation whose output is discarded.
+      val sc = QualityClassifier.score(bt.filter($"label" =!= 0), w)
+        .transform(graft.Materialize(_))
       val thr = QualityClassifier.threshold(sc,
         qcSeedLabels(docs, seeds && $"doc_id" % 2 === 0))
       // ho is seed-sized by design → broadcast: sc streams through with
