@@ -142,13 +142,14 @@ object LlmQueries {
        |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM gaps)""".stripMargin
 
   /** The (doc_id, span_id, span_start, span_end, span_tokens) final
-    * select over `sp` — q157/q160/q162's output shape. */
+    * select over `sp` — q157/q160/q162/q169's output shape. No trailing
+    * ORDER BY: the gate hashes order-insensitively, and the span output
+    * is duplication-proportional (a data-sized range exchange at scale). */
   private def spanSelectSql(n: Int): String =
     s"""SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        |  min(pos) AS span_start, max(pos) + $n AS span_end,
        |  max(pos) + $n - min(pos) AS span_tokens
-       |FROM sp GROUP BY doc_id, span_id
-       |ORDER BY doc_id, span_start""".stripMargin
+       |FROM sp GROUP BY doc_id, span_id""".stripMargin
 
   private val shinglesSql =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -949,17 +950,18 @@ object LlmQueries {
          |ranked AS (SELECT doc_id, h,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rank
          |  FROM h)
-         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, h FROM ranked WHERE rank <= 4
-         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, h FROM ranked WHERE rank <= 4""".stripMargin) { (s, d) =>
       // doc-local distinct via ONE byte scan + array_distinct — the
       // (doc_id, h) dedup never shuffles (it's per-row), and only the
-      // already-distinct hashes reach the top-k exchange
+      // already-distinct hashes reach the top-k exchange. Output is
+      // 4×n_docs rows — no trailing sort (the gate hashes
+      // order-insensitively; a range exchange on a data-proportional
+      // output is pure cost at scale).
       val h = Tables.documents(s, d)
         .select($"doc_id",
           explode(array_distinct(call_function("shingle_hashes", $"text", lit(3)))).as("h"))
       Windows.topKPerGroup(h, Seq("doc_id"), Seq($"h".asc), 4)
         .select($"doc_id", $"rnk".cast("long").as("rank"), $"h")
-        .orderBy($"doc_id", $"rank")
     },
 
     // ---- approximate distinct (HLL sketch), SELF-VALIDATING gate: the
@@ -1004,8 +1006,7 @@ object LlmQueries {
         |  FROM (
         |    SELECT doc_id, hex(encode(text)) AS hx,
         |      unnest(generate_series(0, CAST(floor((length(hex(encode(text))) - 1) / 64) AS BIGINT))) AS gs
-        |    FROM documents))
-        |ORDER BY doc_id, frame_id""".stripMargin) { (s, d) =>
+        |    FROM documents))""".stripMargin) { (s, d) =>
       // hex, not base64: Spark's base64 is MIME-chunked (CRLF every 76
       // chars) and engine-specific; hex(binary) is byte-identical
       // everywhere. 64 hex chars = a 32-byte frame.
@@ -1016,7 +1017,6 @@ object LlmQueries {
           $"hx")
         .select($"doc_id", $"frame_id",
           expr("md5(substring(hx, CAST(frame_id * 64 + 1 AS INT), 64))").as("frame_md5"))
-        .orderBy($"doc_id", $"frame_id")
     },
 
     // ---- dedup CLUSTERING: near-dup candidate pairs (q44's LSH bands) →
@@ -1116,8 +1116,8 @@ object LlmQueries {
     },
 
     // ---- document chunking for training windows: overlapping token
-    // spans (40-token chunks, stride 30) — a narrow explode, zero
-    // shuffle before the output sort; chunk count and span math are pure
+    // spans (40-token chunks, stride 30) — a narrow explode, map-only
+    // plan (zero exchanges); chunk count and span math are pure
     // integer/ceil arithmetic, identical across engines ----
     QuerySpec.sql("q67_doc_chunks",
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1127,7 +1127,7 @@ object LlmQueries {
         |SELECT doc_id, chunk_id,
         |  CAST(len(w[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(w[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk_text
-        |FROM ck ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+        |FROM ck""".stripMargin) { (s, d) =>
       val nChunks = greatest(lit(0L),
         ceil((size($"w") - lit(40)).cast("double") / 30.0).cast("long"))
       val chunk = slice(col("w"), ($"chunk_id" * 30 + 1).cast("int"), lit(40))
@@ -1137,7 +1137,6 @@ object LlmQueries {
         .select($"doc_id", $"chunk_id",
           size(chunk).cast("long").as("n_chunk_tokens"),
           array_join(chunk, " ").as("chunk_text"))
-        .orderBy($"doc_id", $"chunk_id")
     },
 
     // ---- TF-IDF-shaped term weighting, top-5 terms per doc. The idf is
@@ -1163,7 +1162,7 @@ object LlmQueries {
         |    PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT doc_id, term, tf, score_ppm, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+        |WHERE rnk <= 5""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       // tf feeds BOTH the df aggregation and the scored join: without
       // materialization the diamond re-scans + re-tokenizes documents
@@ -1184,7 +1183,6 @@ object LlmQueries {
           Window.partitionBy($"doc_id").orderBy($"score_ppm".desc, $"term")).cast("long"))
         .filter($"rnk" <= 5)
         .select($"doc_id", $"term", $"tf", $"score_ppm", $"rnk")
-        .orderBy($"doc_id", $"rnk")
     },
 
     // ---- stratified deterministic sampling: per-stratum rates over the
@@ -1361,8 +1359,7 @@ object LlmQueries {
         |rk AS (SELECT *, CAST(row_number() OVER (
         |    PARTITION BY lang ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rnk,
         |  count(*) OVER (PARTITION BY lang) AS n_lang FROM nt)
-        |SELECT doc_id, lang, n_tok FROM rk WHERE rnk * 2 <= n_lang
-        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+        |SELECT doc_id, lang, n_tok FROM rk WHERE rnk * 2 <= n_lang""".stripMargin) { (s, d) =>
       val nt = Tables.documents(s, d)
         .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
       val byLang = Window.partitionBy($"lang")
@@ -1371,7 +1368,6 @@ object LlmQueries {
         .withColumn("n_lang", count(lit(1)).over(byLang))
         .filter($"rnk" * 2 <= $"n_lang")
         .select($"doc_id", $"lang", $"n_tok")
-        .orderBy($"lang", $"doc_id")
     },
 
     // ---- sequence packing: concatenate the corpus in doc_id order and
@@ -1541,6 +1537,10 @@ object LlmQueries {
             PortableHash.md5Long(concat(lit("quota"), $"doc_id".cast("string"))).as("h")),
           Seq("lang"), Seq($"h".asc, $"doc_id".asc), 20)
         .select($"doc_id", $"lang")
+        // trailing sort kept deliberately: output is quota-bounded
+        // (≤20 rows per language, languages are low-cardinality), so
+        // the range exchange sorts a constant-size result — unlike the
+        // data-proportional outputs where the r9/r10 sweep dropped it
         .orderBy($"lang", $"doc_id")
     },
 
@@ -2845,7 +2845,7 @@ object LlmQueries {
         |  FROM px GROUP BY doc_id, y)
         |SELECT doc_id, CAST(y AS BIGINT) AS frame_idx, 32 AS n_bytes,
         |  row_hex, md5(row_hex) AS row_md5
-        |FROM hx ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+        |FROM hx""".stripMargin) { (s, d) =>
       val frames = Multimodal.decodedRows(
         Multimodal.pngFixture(Tables.documents(s, d), width = 32),
         "doc_id", "blob", Multimodal.FrameDecoder.png)
@@ -2853,7 +2853,6 @@ object LlmQueries {
           $"frame_idx".cast("long").as("frame_idx"), $"n_bytes",
           hex($"bytes").as("row_hex"))
         .withColumn("row_md5", md5(encode($"row_hex", "UTF-8")))
-        .orderBy($"doc_id", $"frame_idx")
     },
 
     // ---- multimodal → similarity-search, END TO END under one gate:
@@ -3168,10 +3167,10 @@ object LlmQueries {
     // (⌊y·h/8⌋, ⌊x·w/8⌋) directly — it never sees a PNG — so a green
     // hash proves decode + the two resample axes compose losslessly,
     // and the corrupt population (doc_id % 7 == 3) drops out entirely.
-    // Scale: the only exchange is the final presentation sort; work is
-    // 8 rows × 8 byte lookups per media regardless of source
-    // resolution — the whole point of resizing early in a media
-    // pipeline. ----
+    // Scale: a fully map-only plan (zero exchanges — the r10 sweep
+    // dropped the presentational sort); work is 8 rows × 8 byte
+    // lookups per media regardless of source resolution — the whole
+    // point of resizing early in a media pipeline. ----
     QuerySpec.sql("q145_image_resize",
       """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
         |  WHERE doc_id % 7 <> 3),
@@ -3185,13 +3184,12 @@ object LlmQueries {
         |      '' ORDER BY x) AS row_hex
         |  FROM px GROUP BY doc_id, y)
         |SELECT doc_id, CAST(y AS BIGINT) AS y, row_hex
-        |FROM hx ORDER BY doc_id, y""".stripMargin) { (s, d) =>
+        |FROM hx""".stripMargin) { (s, d) =>
       val frames = Multimodal.decodedRows(
         Multimodal.pngFixture(Tables.documents(s, d), width = 32),
         "doc_id", "blob", Multimodal.FrameDecoder.png)
       Multimodal.resizeGrayRows(frames, 8, 8)
         .select($"media_id".as("doc_id"), $"y".cast("long").as("y"), $"row_hex")
-        .orderBy($"doc_id", $"y")
     },
 
     // ---- Audio FEATURE-EXTRACT through the multimodal boundary
@@ -3225,14 +3223,12 @@ object LlmQueries {
         |  CAST(max(abs(smp)) AS BIGINT) AS peak,
         |  CAST(count(*) FILTER (WHERE prev IS NOT NULL
         |    AND (smp >= 0) <> (prev >= 0)) AS BIGINT) AS zc
-        |FROM w GROUP BY doc_id, frame_idx
-        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+        |FROM w GROUP BY doc_id, frame_idx""".stripMargin) { (s, d) =>
       Multimodal.extractAudioFeatures(
           Multimodal.wavFixture(Tables.documents(s, d)), "doc_id", "blob", 50)
         .toDF()
         .select($"media_id".as("doc_id"), $"frame_idx", $"n_samples",
           $"sumsq", $"peak", $"zc")
-        .orderBy($"doc_id", $"frame_idx")
     },
 
     // ---- Markup stripping, the web-corpus cleanup verb: crawl text
@@ -3656,7 +3652,7 @@ object LlmQueries {
         |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
       val wins = SubstringDedup.windowHashes(Tables.documents(s, d), 8)
         .transform(graft.Materialize(_))
-      SubstringDedup.dupSpans(wins, 8).orderBy($"doc_id", $"span_start")
+      SubstringDedup.dupSpans(wins, 8)
     },
 
     // ---- corpus-LM novelty scoring (the integer-exact analogue of
@@ -3826,7 +3822,6 @@ object LlmQueries {
       val bwin = SubstringDedup
         .windowIndex(Tables.documents(s, d).filter(isBench), 5)
       SubstringDedup.contaminationSpans(wins, bwin, 5)
-        .orderBy($"doc_id", $"span_start")
     },
 
     // ---- APPLY the cut list — the cleaned corpus itself: q159 prices
@@ -3883,8 +3878,7 @@ object LlmQueries {
         |${spanMergeSql(8, "dp")}
         |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("graft_q162_docs")
-      s.sql("""SELECT * FROM graft_dup_spans('graft_q162_docs', 8)
-              |ORDER BY doc_id, span_start""".stripMargin)
+      s.sql("SELECT * FROM graft_dup_spans('graft_q162_docs', 8)")
     },
 
     // ---- SUPERVISED document-quality scoring (VERDICT r9 #2): the
@@ -4257,8 +4251,7 @@ object LlmQueries {
         |${spanMergeSql(8, "rm")}
         |${spanSelectSql(8)}""".stripMargin) { (s, d) =>
       Tables.documents(s, d).createOrReplaceTempView("graft_q169_docs")
-      s.sql("""SELECT * FROM graft_dup_survivors('graft_q169_docs', 8)
-              |ORDER BY doc_id, span_start""".stripMargin)
+      s.sql("SELECT * FROM graft_dup_survivors('graft_q169_docs', 8)")
     }
   )
 

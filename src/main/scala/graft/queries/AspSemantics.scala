@@ -60,10 +60,13 @@ object AspSemantics {
     QuerySpec.sql("q20_replay_seq",
       s"""SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS seq,
          |  event_id, $tsUs AS ts_us
-         |FROM events ORDER BY seq""".stripMargin) { (s, d) =>
+         |FROM events""".stripMargin) { (s, d) =>
+      // r10 sweep: trailing presentational sorts on data-proportional
+      // outputs dropped query-and-oracle together across this module —
+      // the gate hashes order-insensitively, and each one was a full
+      // range exchange of the result at scale (guide §2.4).
       Events.replaySeq(Tables.events(s, d))
         .select($"seq".cast("long").as("seq"), $"event_id", unix_micros($"ts").as("ts_us"))
-        .orderBy($"seq")
     },
 
     // ---- per-key delivery order (scalable: shuffles once on the key) ----
@@ -71,10 +74,9 @@ object AspSemantics {
       s"""SELECT user_id,
          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq,
          |  event_id, $tsUs AS ts_us
-         |FROM events ORDER BY user_id, seq""".stripMargin) { (s, d) =>
+         |FROM events""".stripMargin) { (s, d) =>
       Events.keyedSeq(Tables.events(s, d), "user_id")
         .select($"user_id", $"seq".cast("long").as("seq"), $"event_id", unix_micros($"ts").as("ts_us"))
-        .orderBy($"user_id", $"seq")
     },
 
     // ---- P3 call_later: derived timer rows at ts+5min, event_time = due
@@ -85,10 +87,9 @@ object AspSemantics {
          |  UNION ALL
          |  SELECT 'timer_5m' AS kind, event_id,
          |    epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE) AS due_us FROM events
-         |) ORDER BY due_us, event_id, kind""".stripMargin) { (s, d) =>
+         |)""".stripMargin) { (s, d) =>
       Events.callLater(Tables.events(s, d), expr("INTERVAL 5 MINUTES"), "timer_5m")
         .select($"kind", $"event_id", unix_micros($"ts").as("due_us"))
-        .orderBy($"due_us", $"event_id", $"kind")
     },
 
     // ---- P6 timer: first tick at start+step, every step, while <= end —
@@ -118,14 +119,13 @@ object AspSemantics {
          |  SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS k,
          |    value FROM events WHERE event_type = 'view')
          |SELECT c.k AS k, c.ts_us AS ts_us, c.value AS click, v.value AS view
-         |FROM clicks c JOIN views v ON c.k = v.k ORDER BY k""".stripMargin) { (s, d) =>
+         |FROM clicks c JOIN views v ON c.k = v.k""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       Events.zipMerge(Seq(
           "click" -> ev.filter($"event_type" === "click"),
           "view"  -> ev.filter($"event_type" === "view")))
         .select($"k".cast("long").as("k"), unix_micros($"ts").as("ts_us"),
           $"click", $"view")
-        .orderBy($"k")
     },
 
     // ---- P11 intended time-ordered merge + W5 last-value combine:
@@ -145,8 +145,7 @@ object AspSemantics {
          |  FROM merged
          |  WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT ts_us, event_id, bid, ask, ask - bid AS spread
-         |FROM carried WHERE bid IS NOT NULL AND ask IS NOT NULL
-         |ORDER BY ts_us, event_id""".stripMargin) { (s, d) =>
+         |FROM carried WHERE bid IS NOT NULL AND ask IS NOT NULL""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val merged = Events.timeMerge(Seq(
         "bid" -> ev.filter($"event_type" === "purchase"),
@@ -155,7 +154,6 @@ object AspSemantics {
         .filter($"bid".isNotNull && $"ask".isNotNull)
         .select(unix_micros($"ts").as("ts_us"), $"event_id", $"bid", $"ask",
           ($"ask" - $"bid").as("spread"))
-        .orderBy($"ts_us", $"event_id")
     },
 
     // ---- W7 as-of join: each purchase sees the most recent view (at or
@@ -174,8 +172,7 @@ object AspSemantics {
          |ASOF LEFT JOIN (
          |  SELECT user_id, ts, max_by(value, event_id) AS value
          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
-         |  ON t.user_id = q.user_id AND t.ts >= q.ts
-         |ORDER BY event_id""".stripMargin) { (s, d) =>
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val trades = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value".as("trade_value"))
@@ -185,7 +182,6 @@ object AspSemantics {
       AsOfJoin.asOf(trades, quotes, Seq("user_id"), "ts", "ts", Seq("quote_value"))
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
           $"trade_value", $"quote_value")
-        .orderBy($"event_id")
     },
 
     // ---- W6 running (cumulative) aggregation per key; DECIMAL accumulator
@@ -198,13 +194,12 @@ object AspSemantics {
          |  CAST(count(*) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
-         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+         |FROM events""".stripMargin) { (s, d) =>
       val w = Windows.runningFrame(Seq("user_id"), "ts", "event_id")
       Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
           sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("running_total"),
           count(lit(1)).over(w).cast("long").as("n_so_far"))
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- W10 tumbling event-time window VWAP: value weighted by the
@@ -273,8 +268,7 @@ object AspSemantics {
         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM islands GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+        |FROM islands GROUP BY user_id, sid""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -282,7 +276,6 @@ object AspSemantics {
         .select($"user_id", unix_micros($"session_window.start").as("session_start_us"),
           unix_micros($"session_window.end").as("session_end_us"),
           $"n_events", $"total_value")
-        .orderBy($"user_id", $"session_start_us")
     },
 
     // ---- W1 first-seen dedup (Greeter): deterministic WHICH-row-survives
@@ -291,10 +284,9 @@ object AspSemantics {
       s"""SELECT user_id, event_id, $tsUs AS ts_us, event_type FROM (
          |  SELECT user_id, event_id, ts, event_type,
          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+         |  FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
       Windows.firstSeen(Tables.events(s, d), Seq("user_id"))
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
-        .orderBy($"user_id")
     },
 
     // ---- seen-before annotation (Greeter's "Hello" vs "Hello again"):
@@ -303,26 +295,24 @@ object AspSemantics {
       s"""SELECT event_id, user_id, $tsUs AS ts_us,
          |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
          |    THEN 'hello' ELSE 'hello_again' END AS greeting
-         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+         |FROM events""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .withColumn("greeting",
           when(row_number().over(
             Window.partitionBy($"user_id").orderBy($"ts", $"event_id")) === 1,
             "hello").otherwise("hello_again"))
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"greeting")
-        .orderBy($"event_id")
     },
 
     // ---- P7 unpack_kwargs: dict payload → struct → column expansion
     // (processor.py:153-166; the `$"value.*"` mapping of SURVEY §1.4) ----
     QuerySpec.sql("q33_struct_unpack",
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+        |FROM events""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .select($"event_id",
           from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("payload"))
         .select($"event_id", $"payload.*") // struct expansion = unpack_kwargs
-        .orderBy($"event_id")
     },
 
     // ---- positional unpack: the tuple → positional-args form of
@@ -334,14 +324,12 @@ object AspSemantics {
     QuerySpec.sql("q63_unpack_positional",
       """SELECT event_id, pay[1] AS arg1, pay[2] AS arg2
         |FROM (SELECT event_id, [event_type, CAST(user_id AS VARCHAR)] AS pay
-        |      FROM events)
-        |ORDER BY event_id""".stripMargin) { (s, d) =>
+        |      FROM events)""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .select($"event_id", array($"event_type", $"user_id".cast("string")).as("pay"))
         .select($"event_id",
           element_at($"pay", 1).as("arg1"), // positional expansion =
           element_at($"pay", 2).as("arg2")) // unpack_args
-        .orderBy($"event_id")
     },
 
     // ---- distinct / sort-based aggregation over the stream ----
@@ -396,8 +384,7 @@ object AspSemantics {
         |q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max_by(value, event_id) AS value
         |      FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP))
         |SELECT g.user_id AS user_id, epoch_us(g.gts) AS grid_us, q.value AS value
-        |FROM grid g ASOF LEFT JOIN q ON g.user_id = q.user_id AND g.gts >= q.ts
-        |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+        |FROM grid g ASOF LEFT JOIN q ON g.user_id = q.user_id AND g.gts >= q.ts""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val bounds = ev.agg(date_trunc("day", min($"ts")).as("mn"),
         date_trunc("day", max($"ts")).as("mx"))
@@ -409,7 +396,6 @@ object AspSemantics {
         .agg(max_by($"value", $"event_id").as("value"))
       AsOfJoin.asOf(grid, quotes, Seq("user_id"), "gts", "ts", Seq("value"))
         .select($"user_id", unix_micros($"gts").as("grid_us"), $"value")
-        .orderBy($"user_id", $"grid_us")
     },
 
     // ---- exact interpolated percentiles per group (Spark `percentile` ≡
@@ -493,15 +479,13 @@ object AspSemantics {
         |  lead(event_id) OVER w AS next_event,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       Tables.events(s, d)
         .select($"user_id", $"event_id",
           (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
           lead($"event_id", 1).over(w).as("next_event"),
           ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy($"user_id", $"event_id")
     },
 
     // ---- windowed (TTL'd) dedup: first event per (user, type) per hour.
@@ -521,14 +505,12 @@ object AspSemantics {
          |    row_number() OVER (
          |      PARTITION BY user_id, event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
          |      ORDER BY ts, event_id) AS rn
-         |  FROM events) WHERE rn = 1
-         |ORDER BY user_id, event_type, hour_us""".stripMargin) { (s, d) =>
+         |  FROM events) WHERE rn = 1""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"user_id", $"event_type", date_trunc("hour", $"ts").as("hour"))
         .agg(min(struct($"ts", $"event_id")).as("w"))
         .select($"user_id", $"event_type", unix_micros($"hour").as("hour_us"),
           $"w.event_id".as("event_id"), unix_micros($"w.ts").as("ts_us"))
-        .orderBy($"user_id", $"event_type", $"hour_us")
     },
 
     // ---- linear-interpolation resample: q36's daily grid, but each grid
@@ -555,8 +537,7 @@ object AspSemantics {
         |       ELSE p.v0 + (n.v1 - p.v0) *
         |         (CAST(epoch_us(p.gts) - epoch_us(p.t0) AS DOUBLE)
         |          / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE)) END AS value
-        |FROM prev p JOIN nxt n ON n.user_id = p.user_id AND n.gts = p.gts
-        |ORDER BY user_id, grid_us""".stripMargin) { (s, d) =>
+        |FROM prev p JOIN nxt n ON n.user_id = p.user_id AND n.gts = p.gts""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val bounds = ev.agg(date_trunc("day", min($"ts")).as("mn"),
         date_trunc("day", max($"ts")).as("mx"))
@@ -574,7 +555,6 @@ object AspSemantics {
               ((unix_micros($"gts") - unix_micros($"t0")).cast("double") /
                (unix_micros($"t1") - unix_micros($"t0")).cast("double")))
             .as("value"))
-        .orderBy($"user_id", $"grid_us")
     },
 
     // ---- broadcast as-of join: q26's semantics, ZERO shuffle of the
@@ -592,8 +572,7 @@ object AspSemantics {
          |ASOF LEFT JOIN (
          |  SELECT user_id, ts, max_by(value, event_id) AS value
          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
-         |  ON t.user_id = q.user_id AND t.ts >= q.ts
-         |ORDER BY event_id""".stripMargin) { (s, d) =>
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val trades = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts", $"value".as("trade_value"))
@@ -603,7 +582,6 @@ object AspSemantics {
       AsOfJoin.asOfBroadcast(trades, quotes, Seq("user_id"), "ts", "ts", "quote_value")
         .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
           $"trade_value", $"quote_value")
-        .orderBy($"event_id")
     },
 
     // ---- ordered-step funnel: view → click-after-view →
@@ -737,7 +715,7 @@ object AspSemantics {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
         |  epoch_us(min(ts)) AS first_us
         |FROM s WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+        |GROUP BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       Tables.events(s, d)
         .select($"user_id", $"ts", $"event_type",
@@ -748,7 +726,6 @@ object AspSemantics {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_matches"),
           unix_micros(min($"ts")).as("first_us"))
-        .orderBy($"user_id")
     },
 
     // ---- OHLC bars: the market-data resample (reference domain —
@@ -768,7 +745,7 @@ object AspSemantics {
         |  min(value) AS low_v, arg_max(value, ts) AS close_v,
         |  CAST(count(*) AS BIGINT) AS n_ticks,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
-        |FROM q GROUP BY 1, 2 ORDER BY user_id, bar_us""".stripMargin) { (s, d) =>
+        |FROM q GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val ticks = Tables.events(s, d)
         .groupBy($"user_id", $"ts")
         .agg(max_by($"value", $"event_id").as("value"))
@@ -780,7 +757,6 @@ object AspSemantics {
           max_by($"value", $"ts").as("close_v"),
           count(lit(1)).as("n_ticks"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
-        .orderBy($"user_id", $"bar_us")
     },
 
     // ---- trailing time-RANGE frame: per event, the sum/count of the
@@ -797,15 +773,13 @@ object AspSemantics {
          |  CAST(count(*) OVER w AS BIGINT) AS hour_n
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
         .rangeBetween(-3600000000L, Window.currentRow)
       Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
           sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("hour_sum"),
           count(lit(1)).over(w).cast("long").as("hour_n"))
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- distribution window functions: percent_rank (rank-1)/(n-1)
@@ -818,14 +792,12 @@ object AspSemantics {
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
-        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
       Tables.events(s, d)
         .select($"user_id", $"event_id",
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
-        .orderBy($"user_id", $"event_id")
     },
 
     // ---- deterministic array aggregation: each user's event-type
@@ -842,12 +814,11 @@ object AspSemantics {
       s"""SELECT user_id,
          |  array_to_string(list(event_type ORDER BY ts, event_id), ',') AS types,
          |  CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS n
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+         |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"user_id")
         .agg(expr("array_join(transform(sort_array(collect_list(struct(ts, event_id, event_type))), r -> r.event_type), ',')").as("types"),
           count(lit(1)).as("n"))
-        .orderBy($"user_id")
     },
 
     // ---- the SQL TVF surface: `graft_timestamps(start, step, n)`
@@ -914,14 +885,10 @@ object AspSemantics {
          |SELECT user_id, event_type, valid_from,
          |  coalesce(vt, 9223372036854775807) AS valid_to,
          |  CAST(vt IS NULL AS INT) AS is_current
-         |FROM scd ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin) { (s, d) =>
-      // valid_to is the 4th sort key: an A->B->A attribute flip within one
-      // identical timestamp yields two rows equal in (user_id, valid_from,
-      // event_type), so without it the gate's row order is engine-dependent.
+         |FROM scd""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       graft.operators.Scd2.build(ev, "user_id", "ts_us", "event_id", "event_type")
-        .orderBy($"user_id", $"valid_from", $"event_type", $"valid_to")
     },
 
     // ---- point-in-time read against the SCD2 dimension (q118's
@@ -953,8 +920,7 @@ object AspSemantics {
          |  CAST(count(*) OVER (PARTITION BY p.user_id) AS BIGINT) AS n_lookups
          |FROM probes p JOIN scd s
          |  ON s.user_id = p.user_id
-         | AND s.valid_from <= p.t AND p.t < s.valid_to
-         |ORDER BY p.user_id, event_id""".stripMargin) { (s, d) =>
+         | AND s.valid_from <= p.t AND p.t < s.valid_to""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
       val scd = graft.operators.Scd2
@@ -971,7 +937,6 @@ object AspSemantics {
         .select(col("p.user_id").as("user_id"), $"event_id", $"attr",
           count(lit(1)).over(Window.partitionBy(col("p.user_id")))
             .as("n_lookups"))
-        .orderBy($"user_id", $"event_id")
     },
 
     // ---- anomaly detection against the PRIOR day's baseline: per
@@ -1005,8 +970,7 @@ object AspSemantics {
          |  WHERE b.n >= 30 AND CAST(b.sxx AS DOUBLE) / b.n
          |          - (CAST(b.sx AS DOUBLE) / b.n) * (CAST(b.sx AS DOUBLE) / b.n) > 0)
          |SELECT event_id, event_type, ts_us, z FROM z
-         |WHERE z >= 2 OR z <= -2
-         |ORDER BY event_type, ts_us, event_id""".stripMargin) { (s, d) =>
+         |WHERE z >= 2 OR z <= -2""".stripMargin) { (s, d) =>
       // integer DIV, not `/`: long / long is DOUBLE division in Spark,
       // and its round-to-nearest can cross a day boundary where
       // DuckDB's floor `//` does not (the PageRank discipline)
@@ -1026,7 +990,6 @@ object AspSemantics {
         .select($"event_id", $"event_type", $"ts_us",
           (($"xq".cast("double") - mean) / sqrt(variance)).as("z"))
         .filter($"z" >= 2 || $"z" <= -2)
-        .orderBy($"event_type", $"ts_us", $"event_id")
     },
 
     // ---- Pearson correlation, exact-integer components — the stats
@@ -1104,8 +1067,7 @@ object AspSemantics {
          |  CAST(sum(dur_us) AS BIGINT) AS den,
          |  CAST(CAST(sum(xq * dur_us) AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / 1000.0 AS twap
-         |FROM held GROUP BY user_id, day
-         |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+         |FROM held GROUP BY user_id, day""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"user_id", $"day").orderBy($"ts_us", $"event_id")
       val ev = Tables.events(s, d)
         .select($"user_id", unix_micros($"ts").as("ts_us"),
@@ -1119,7 +1081,6 @@ object AspSemantics {
           sum($"dur_us").cast("long").as("den"))
         .select($"user_id", $"day", $"n", $"num", $"den",
           ($"num".cast("double") / $"den".cast("double") / 1000.0).as("twap"))
-        .orderBy($"user_id", $"day")
     },
 
     // ---- integer EMA THROUGH THE REPLAY MACHINE, under the hash gate:
@@ -1148,8 +1109,7 @@ object AspSemantics {
          |  UNION ALL
          |  SELECT s.user_id, s.event_id, s.ts_us, s.rn, (e.ema + s.xq) // 2
          |  FROM ema e JOIN seqd s ON s.user_id = e.user_id AND s.rn = e.rn + 1)
-         |SELECT user_id, ts_us, event_id, ema FROM ema
-         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+         |SELECT user_id, ts_us, event_id, ema FROM ema""".stripMargin) { (s, d) =>
       // explicit Encoders (spark.implicits' StringToColumn would clash
       // with the package-level $ interpolator)
       implicit val inEnc: org.apache.spark.sql.Encoder[EmaIn] =
@@ -1174,7 +1134,6 @@ object AspSemantics {
           }
         }
         .toDF()
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- threshold-triggered position machine under the hash gate —
@@ -1222,8 +1181,7 @@ object AspSemantics {
          |SELECT user_id, ts_us, event_id,
          |  closed_entry AS entry_xq, exit_xq,
          |  exit_xq - closed_entry AS pnl
-         |FROM st WHERE exit_xq IS NOT NULL
-         |ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+         |FROM st WHERE exit_xq IS NOT NULL""".stripMargin) { (s, d) =>
       implicit val inEnc: org.apache.spark.sql.Encoder[EmaIn] =
         org.apache.spark.sql.Encoders.product[EmaIn]
       implicit val outEnc: org.apache.spark.sql.Encoder[TradeOut] =
@@ -1251,7 +1209,6 @@ object AspSemantics {
         }
         .toDF()
         .select($"user_id", $"ts_us", $"event_id", $"entry_xq", $"exit_xq", $"pnl")
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- the W8 CART MACHINE under the hash gate — list-valued state
@@ -1309,8 +1266,7 @@ object AspSemantics {
          |SELECT user_id, ts_us, event_id,
          |  CAST(COALESCE(list_sum(list_transform(items, l -> l.cost * l.qty)), 0) AS BIGINT) AS total_milli,
          |  CAST(COALESCE(list_sum(list_transform(items, l -> l.qty)), 0) AS BIGINT) AS n_items
-         |FROM cart WHERE rn > 0
-         |ORDER BY user_id, ts_us, event_id""".stripMargin
+         |FROM cart WHERE rn > 0""".stripMargin
     }) { (s, d) =>
       implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.CartTotalQ] =
         org.apache.spark.sql.Encoders.product[graft.streaming.Machines.CartTotalQ]
@@ -1319,7 +1275,6 @@ object AspSemantics {
           _.user_id, _.ts_us)(
           uid => new graft.streaming.Machines.CartMachineQ(uid, expiry))
         .toDF()
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- the W9 FEEDBACK MACHINE under the hash gate (reference
@@ -1352,8 +1307,7 @@ object AspSemantics {
          |    CAST(k AS BIGINT) AS order_id, price FROM ord
          |  UNION ALL
          |  SELECT session_id, ts_us + 1000000, 'exec_report',
-         |    CAST(k AS BIGINT), 0.0 FROM ord WHERE k <= 9)
-         |ORDER BY session_id, ts_us, kind, order_id""".stripMargin) { (s, d) =>
+         |    CAST(k AS BIGINT), 0.0 FROM ord WHERE k <= 9)""".stripMargin) { (s, d) =>
       implicit val inEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.SessionSeed] =
         org.apache.spark.sql.Encoders.product[graft.streaming.Machines.SessionSeed]
       implicit val outEnc: org.apache.spark.sql.Encoder[graft.streaming.Machines.FeedbackEvent] =
@@ -1367,7 +1321,6 @@ object AspSemantics {
           sid => new graft.streaming.Machines.FeedbackMachine(sid))
         .toDF()
         .select($"session_id", $"ts_us", $"kind", $"order_id", $"price")
-        .orderBy($"session_id", $"ts_us", $"kind", $"order_id")
     },
 
     // ---- HOT-KEY-SAFE replay ([[Replay.runSpliced]]) under the hash
@@ -1389,7 +1342,7 @@ object AspSemantics {
          |  CAST(count(*) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
-         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, d) =>
+         |FROM events""".stripMargin) { (s, d) =>
       implicit val inEnc: org.apache.spark.sql.Encoder[SpliceIn] =
         org.apache.spark.sql.Encoders.product[SpliceIn]
       implicit val outEnc: org.apache.spark.sql.Encoder[SpliceOut] =
@@ -1407,7 +1360,6 @@ object AspSemantics {
       graft.streaming.Replay.runSpliced(ds, slices = 32)(
           _.user_id, _.ts_us, _.event_id)(RunningCents)
         .toDF()
-        .orderBy($"user_id", $"ts_us", $"event_id")
     },
 
     // ---- the W7 as-of join through the PURE-SQL surface: the Spark
@@ -1425,8 +1377,7 @@ object AspSemantics {
          |ASOF LEFT JOIN (
          |  SELECT user_id, ts, max_by(value, event_id) AS quote_value
          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q
-         |  ON t.user_id = q.user_id AND t.ts >= q.ts
-         |ORDER BY event_id""".stripMargin) { (s, d) =>
+         |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin) { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("graft_q148_events")
       s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_q148_trades AS
               |SELECT event_id, user_id, ts, value AS trade_value
@@ -1438,8 +1389,7 @@ object AspSemantics {
       s.sql("""SELECT event_id, user_id, unix_micros(ts) AS ts_us,
               |  trade_value, quote_value
               |FROM graft_asof('graft_q148_trades', 'graft_q148_quotes',
-              |                'user_id', 'ts', 'ts', 'quote_value')
-              |ORDER BY event_id""".stripMargin)
+              |                'user_id', 'ts', 'ts', 'quote_value')""".stripMargin)
     }
   )
 

@@ -212,34 +212,33 @@ object Relational {
     // ---- semi join (EXISTS) ----
     QuerySpec.sql("q4_semi_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin) { (s, d) =>
+      // r10 sweep: trailing presentational sorts on data-proportional
+      // outputs dropped query-and-oracle together (order-insensitive
+      // gate; each was a result-sized range exchange — guide §2.4).
       Tables.customer(s, d)
         .join(Tables.orders(s, d).filter($"o_orderstatus" === "O"),
           $"c_custkey" === $"o_custkey", "left_semi")
-        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+        .select($"c_custkey", $"c_name")
     },
 
     // ---- anti join (NOT EXISTS) ----
     QuerySpec.sql("q5_anti_join",
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
-        .select($"c_custkey", $"c_acctbal").orderBy($"c_custkey")
+        .select($"c_custkey", $"c_acctbal")
     },
 
     // ---- selective filter + projection (parquet pushdown: the scan must
     // show PushedFilters + 3-column ReadSchema) ----
     QuerySpec.sql("q6_filter_pushdown",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_quantity > 45 AND l_discount < 0.02
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |WHERE l_quantity > 45 AND l_discount < 0.02""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .filter($"l_quantity" > 45 && $"l_discount" < 0.02)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .orderBy($"l_orderkey", $"l_linenumber")
     },
 
     // ---- range (interval) join: equi key carries the shuffle, the time
@@ -264,13 +263,11 @@ object Relational {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  UNION
         |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-        |) EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+        |) EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
       c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
         .union(c.filter($"c_acctbal" > 5000).select($"c_custkey")).distinct()
         .except(c.filter($"c_nationkey" < 5).select($"c_custkey"))
-        .orderBy($"c_custkey")
     },
 
     // ---- rollup with grouping id ----
@@ -329,14 +326,12 @@ object Relational {
         |  dense_rank() OVER w AS drnk,
         |  lag(o_totalprice) OVER w AS prev_price
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, d) =>
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (s, d) =>
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       Tables.orders(s, d)
         .select($"o_custkey", $"o_orderkey", $"o_totalprice",
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
           lag($"o_totalprice", 1).over(w).as("prev_price"))
-        .orderBy($"o_custkey", $"rnk", $"o_orderkey")
     },
 
     // ---- global sort + limit (distributed top-k via TakeOrderedAndProject) ----
@@ -359,7 +354,7 @@ object Relational {
         |  abs(o_totalprice - 1000.0) AS adj,
         |  CAST(floor(o_totalprice / 100) AS BIGINT) AS bucket,
         |  o_orderkey % 7 AS mod7
-        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, d) =>
       Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
         .select($"o_orderkey",
           upper(substring($"o_orderpriority", 1, 8)).as("pri_up"),
@@ -371,7 +366,6 @@ object Relational {
           abs($"o_totalprice" - 1000.0).as("adj"),
           floor($"o_totalprice" / 100).cast("long").as("bucket"),
           ($"o_orderkey" % 7).as("mod7"))
-        .orderBy($"o_orderkey")
     },
 
     // ---- JSON extraction over the events.props column ----
@@ -390,23 +384,20 @@ object Relational {
     QuerySpec.sql("q16_theta_join",
       """SELECT s.s_suppkey, count(*) AS n_cheaper
         |FROM supplier s JOIN part p ON p.p_retailprice < s.s_acctbal / 3
-        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+        |GROUP BY s.s_suppkey""".stripMargin) { (s, d) =>
       val sup = Tables.supplier(s, d); val p = broadcast(Tables.part(s, d))
       sup.join(p, p("p_retailprice") < sup("s_acctbal") / 3)
         .groupBy($"s_suppkey").agg(count(lit(1)).as("n_cheaper"))
-        .orderBy($"s_suppkey")
     },
 
     // ---- intersect (completes the set-op family with q8) ----
     QuerySpec.sql("q17_intersect",
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
-        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 1000""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
       c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
         .intersect(c.filter($"c_acctbal" > 1000).select($"c_custkey"))
-        .orderBy($"c_custkey")
     },
 
     // ---- TPC-H Q3 shape: selective filters both sides of a fact-fact
@@ -594,8 +585,7 @@ object Relational {
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
         |      (SELECT count(*) FROM customer i WHERE i.c_nationkey = c.c_nationkey)
         |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer i
-        |       WHERE i.c_nationkey = c.c_nationkey)
-        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+        |       WHERE i.c_nationkey = c.c_nationkey)""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
         .withColumn("balD", $"c_acctbal".cast("decimal(18,2)"))
       val nav = c.groupBy($"c_nationkey")
@@ -603,7 +593,6 @@ object Relational {
       c.join(broadcast(nav), "c_nationkey")
         .filter($"balD" * $"cnt" > $"tot")
         .select($"c_custkey", $"c_nationkey", $"balD".cast("double").as("bal"))
-        .orderBy($"c_custkey")
     },
 
     // ---- EXCEPT ALL (bag difference, multiplicity-aware — the set-op
@@ -615,11 +604,10 @@ object Relational {
         |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
         |  EXCEPT ALL
         |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 48
-        |) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+        |)""".stripMargin) { (s, d) =>
       val l = Tables.lineitem(s, d)
       l.filter($"l_quantity" > 45).select($"l_returnflag")
         .exceptAll(l.filter($"l_quantity" > 48).select($"l_returnflag"))
-        .orderBy($"l_returnflag")
     },
 
     // ---- recursive CTE surface (Spark 4's WITH RECURSIVE): a monthly
@@ -747,8 +735,7 @@ object Relational {
         |  CAST(coalesce(c.bal, 0) AS DOUBLE) AS bal,
         |  CAST(o.n_urgent IS NOT NULL AS INT) AS has_urgent,
         |  CAST(coalesce(o.n_urgent, 0) AS BIGINT) AS n_urgent
-        |FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
-        |ORDER BY custkey""".stripMargin) { (s, d) =>
+        |FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d).filter($"c_acctbal" > 5000)
         .select($"c_custkey", $"c_acctbal".cast("decimal(18,2)").as("bal"))
       val o = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
@@ -759,7 +746,6 @@ object Relational {
           coalesce($"bal", lit(0)).cast("double").as("bal"),
           $"n_urgent".isNotNull.cast("int").as("has_urgent"),
           coalesce($"n_urgent", lit(0L)).as("n_urgent"))
-        .orderBy($"custkey")
     },
 
     // ---- PORTABLE Bloom-filter join pruning — the cross-job runtime
@@ -864,8 +850,7 @@ object Relational {
          |  CAST((least(a.a_end, p.p_end) - greatest(a.a_start, p.p_start))
          |       // ${day} AS BIGINT) AS overlap_days
          |FROM act a JOIN promos p
-         |  ON p.nation = a.nation AND a.a_start < p.p_end AND p.p_start < a.a_end
-         |ORDER BY o_orderkey, promo_id""".stripMargin
+         |  ON p.nation = a.nation AND a.a_start < p.p_end AND p.p_start < a.a_end""".stripMargin
     }) { (s, d) =>
       val day = 86400000000L
       val week = 7 * day
@@ -893,7 +878,6 @@ object Relational {
         .select($"o_orderkey", $"promo_id",
           ((least($"a_end", $"p_end") - greatest($"a_start", $"p_start"))
             .cast("long") / lit(day)).cast("long").as("overlap_days"))
-        .orderBy($"o_orderkey", $"promo_id")
     },
 
     // ---- triangle counting over the part co-purchase affinity graph —
