@@ -160,7 +160,37 @@ object Materialize {
           else back.as(ds.encoder)
         pathOf.synchronized { pathOf.put(out, path) }
         out
-      case _ => ds.localCheckpoint(eager = !lazyLocal)
+      case _ if lazyLocal => ds.localCheckpoint(eager = false)
+      case _ =>
+        // EAGER (iterative-loop) reuse points only: under AQE
+        // (default-on in Spark 4) `localCheckpoint` captures the
+        // AdaptiveSparkPlanExec's outputPartitioning, which is
+        // UnknownPartitioning until the final plan exists — so every
+        // downstream join/groupBy on the round table re-shuffles it,
+        // silently defeating the exchange-free co-partitioned rounds
+        // PageRank/ConnectedComponents are built on (measured r10:
+        // q115's scatter join re-exchanged BOTH sides every round).
+        // Planning the checkpointed subtree with AQE OFF makes the
+        // captured plan static, so LogicalRDD records the real
+        // hashpartitioning and downstream ENSURE_REQUIREMENTS elides
+        // the exchange (q115 isolated 3.49 → 2.61 s with the PageRank
+        // degree fold). The subtree itself loses AQE's runtime
+        // coalescing — fine for loop tables, which end in an explicit
+        // repartition or a sized shuffle; LAZY diamond points keep AQE
+        // (measured: forcing this on q127's lazy edge tables cost
+        // +0.9 s by disabling coalescing in their build subtrees).
+        // Session conf is thread-shared: Bench's concurrent WARMUP may
+        // transiently plan a neighbour's query AQE-off (perf-neutral,
+        // warmup-only); all measured/gated passes are serial.
+        val KEY = "spark.sql.adaptive.enabled"
+        val spark2 = ds.sparkSession
+        val prev = spark2.conf.get(KEY, "true")
+        if (prev == "false") ds.localCheckpoint(eager = true)
+        else {
+          spark2.conf.set(KEY, "false")
+          try ds.localCheckpoint(eager = true)
+          finally spark2.conf.set(KEY, prev)
+        }
     }
   }
 

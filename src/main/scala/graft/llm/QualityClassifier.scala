@@ -76,6 +76,16 @@ object QualityClassifier {
         s"""(CAST(coalesce(a, 0) + 1 AS DECIMAL(38,0)) * (tc0 + $Buckets) * 1000000) div
            |(CAST(coalesce(a, 0) + 1 AS DECIMAL(38,0)) * (tc0 + $Buckets)
            |  + CAST(coalesce(c, 0) + 1 AS DECIMAL(38,0)) * (ta + $Buckets))""".stripMargin)
+        .as("w0"))
+      // overflow guard (ADVICE r9): under Spark's non-ANSI decimals the
+      // cross-multiplication overflows DECIMAL(38,0) to NULL once
+      // (a+1)·(tc0+4096)·1e6 exceeds 38 digits (operands ~1e31 — only
+      // reachable when a single smoothed bucket holds ~1e15 tokens), and
+      // a null weight would then be SILENTLY dropped by score()'s
+      // sum(tf*w), skewing scores instead of failing. Raise in-plan.
+      .select(col("b"), when(col("w0").isNotNull, col("w0"))
+        .otherwise(expr("raise_error('quality-classifier weight overflowed " +
+          "DECIMAL(38,0): seed token totals exceed the ~1e31 operand bound')"))
         .as("w"))
   }
 
@@ -90,9 +100,11 @@ object QualityClassifier {
   /** The trained INTERCEPT: keep-threshold = midpoint of the class-mean
     * scores on the labeled training docs (two Σ div n means, halved —
     * integer-exact). `labels` is (doc_id, is_pos: boolean) for the
-    * training docs; requires ≥1 doc per class or the integral divide
-    * nulls out (which a downstream gate catches loudly). 1 row,
-    * broadcast by the caller. */
+    * training docs; a class with 0 training docs RAISES in-plan
+    * (ADVICE r9: the integral divide would null the threshold, and a
+    * null thr makes `score_ppm >= thr` evaluate null — a SILENT
+    * reject-all of the whole corpus downstream, not a loud failure).
+    * 1 row, broadcast by the caller. */
   def threshold(sc: DataFrame, labels: DataFrame): DataFrame =
     // labels is seed-sized BY DESIGN (the curated/crawl seed sets are
     // curated artifacts, not corpus-scale) — broadcast explicitly so the
@@ -103,5 +115,9 @@ object QualityClassifier {
         |    div sum(CASE WHEN is_pos THEN 1 ELSE 0 END))
         | + (sum(CASE WHEN NOT is_pos THEN score_ppm ELSE 0 END)
         |    div sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END))) div 2""".stripMargin)
-      .as("thr"))
+      .as("thr0"))
+      .select(when(col("thr0").isNotNull, col("thr0"))
+        .otherwise(expr("raise_error('quality-classifier threshold is null: " +
+          "a training class has 0 labeled docs')"))
+        .as("thr"))
 }

@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   * Each iteration is the Pregel shape: one join of ranks to edges (the
   * contribution scatter) + one groupBy on dst (the gather) — and only
   * the GATHER shuffles. The edge table is hash-partitioned on `src`
-  * ONCE up front; `nodes`/`outDeg`/each round's rank table come out of
-  * node-hashed shuffles and `localCheckpoint` (the default
-  * [[graft.Materialize]] strategy) PRESERVES that
-  * partitioning, so every scatter join and the rank rebuild are
-  * exchange-free co-partitioned joins — one shuffle per round, linear
-  * in |E|, independent of graph diameter (reusing one partitioning
-  * across all rounds is exactly the discipline a 1000-executor run
-  * needs: the edge table never moves again after its first shuffle).
+  * ONCE up front; the node base table (node, out-degree) and each
+  * round's rank table come out of node-hashed shuffles and
+  * `localCheckpoint` (the default [[graft.Materialize]] strategy)
+  * PRESERVES that partitioning (r10: Materialize plans the checkpoint
+  * AQE-off precisely so the LogicalRDD records it), so every scatter
+  * join and the rank rebuild are exchange-free co-partitioned joins —
+  * one shuffle per round, linear in |E|, independent of graph diameter
+  * (reusing one partitioning across all rounds is exactly the
+  * discipline a 1000-executor run needs: the edge table never moves
+  * again after its first shuffle). The out-degree is loop-invariant and
+  * rides the rank table, so a round is ONE join, not two.
   * Each round materializes the rank table ([[graft.Materialize.eager]])
   * to truncate the iterative lineage (the [[ConnectedComponents]]
   * discipline; `mode=table` writes each round durably — re-shuffling
@@ -46,21 +49,25 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(p, col("src"))
       .transform(graft.Materialize.eager(_))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(p, col("node"))
+    // ONE node-keyed base table carrying the out-degree (r10: the old
+    // separate nodes/outDeg tables cost two extra repartition exchanges
+    // up front AND a ranks⋈outDeg join EVERY round — the degree is
+    // loop-invariant, so it rides the rank table instead). deg defaults
+    // to 1 for sink-only nodes: they never appear as a scatter src, so
+    // the value is never read — the coalesce only keeps the column
+    // non-null. Both the distinct and the groupBy land on
+    // hash(node, p) (p = spark.sql.shuffle.partitions), so this join
+    // and every round's rebuild are co-partitioned and exchange-free.
+    val nd = e.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(1L)).as("deg"))
       .transform(graft.Materialize.eager(_))
-    val n = nodes.count()
-    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
-    // materialized once — a lazy plan here re-runs the |E| aggregation
-    // every iteration and silently breaks the one-shuffle-per-round cost
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .repartition(p, col("node"))
-      .transform(graft.Materialize.eager(_))
+    val n = nd.count()
+    if (n == 0) return nd.select(col("node"), lit(0L).as("rank"))
     val init = Scale / n
     val base = (100 - dampingPct) * init / 100
-    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    var ranks = nd.select(col("node"), col("deg"), lit(init).as("rank"))
     for (_ <- 1 to iterations) {
       // scatter: each node sends rank DIV deg to its out-neighbours;
       // gather: damped sum per destination. Nodes receiving nothing
@@ -68,20 +75,19 @@ object PageRank {
       // All division is integer DIV — `/` on longs is double division,
       // whose round-to-nearest can cross an integer boundary and break
       // bit-exact reproducibility.
-      val contrib = e.join(ranks.join(outDeg, "node"),
-          e("src") === col("node"))
+      val contrib = e.join(ranks, e("src") === col("node"))
         .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
       // eagerReplacing: once the new round's table is written, the
       // previous round's scratch is fully consumed — release it so
       // `table` mode holds O(1) round tables, not one per iteration
-      ranks = nodes
+      ranks = nd
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           expr(s"${base}L + (${dampingPct}L * coalesce(in_sum, 0L)) DIV 100L")
             .as("rank"))
         .transform(graft.Materialize.eagerReplacing(_, ranks))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }

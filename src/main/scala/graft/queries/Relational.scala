@@ -686,8 +686,17 @@ object Relational {
       val und = Tables.orders(s, d).join(Tables.lineitem(s, d),
           $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("c"), $"l_suppkey".as("sk")).distinct()
-      val edges = und.select(($"c" * 2).as("src"), ($"sk" * 2 + 1).as("dst"))
-        .unionAll(und.select(($"sk" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      // both edge directions in ONE pass over `und`: the old
+      // unionAll(und.select, und.select) planned the orders⋈lineitem
+      // join + distinct TWICE (Catalyst does not share subtrees across
+      // union branches) — explode(array(...)) emits the same two rows
+      // per pair from a single computation (r10, guide §2.4)
+      val edges = und.select(explode(array(
+          struct(($"c" * 2).cast("long").as("src"),
+            ($"sk" * 2 + 1).cast("long").as("dst")),
+          struct(($"sk" * 2 + 1).cast("long").as("src"),
+            ($"c" * 2).cast("long").as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
       graft.operators.PageRank.run(edges, 3)
         .select($"node", ($"node" % 2).cast("int").as("is_supplier"), $"rank")
         .orderBy($"rank".desc, $"node").limit(20)
@@ -790,10 +799,15 @@ object Relational {
         .filter($"c_mktsegment" === "BUILDING")
         .select($"c_custkey".as("ck")).distinct()
       // build: ≤8192 distinct bit positions collect to a 1 KiB driver
-      // mask — the broadcastable-by-definition artifact
+      // mask — the broadcastable-by-definition artifact. All 4 hash
+      // positions per key in ONE pass (explode) instead of a 4-branch
+      // union that re-scanned the key table per branch (r10, guide
+      // §2.4; the filtered scan itself stays pushed-down + cheap, so
+      // the two remaining key computations — mask build and broadcast
+      // truth join — deliberately recompute rather than checkpoint).
       val mask = new Array[Long](m / 64)
-      (0 to 3).map(j => keys.select(pos(j, $"ck").as("p")))
-        .reduce(_ unionAll _).distinct()
+      keys.select(explode(array((0 to 3).map(j => pos(j, $"ck")): _*)).as("p"))
+        .distinct()
         .collect().foreach { r =>
           val p = r.getLong(0).toInt; mask(p / 64) |= (1L << (p % 64))
         }
@@ -928,7 +942,7 @@ object Relational {
             col("b.br") === col("a.br"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
         .transform(graft.Materialize(_)) // reused 3× (deg + both wedge sides)
-      val deg = e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+      val deg = e.select(explode(array($"u", $"v")).as("node"))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
       val ok = deg.select($"node", ($"deg" * 1099511627776L + $"node").as("okey"))
       val oe = e
@@ -942,8 +956,12 @@ object Relational {
           col("w2.src") === col("w1.src") && col("w1.dkey") < col("w2.dkey"))
         .select(col("w1.src").as("a"), col("w1.dst").as("b"), col("w2.dst").as("c"))
         .join(oe.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"), "left_semi")
-      tri.select($"a".as("node")).unionAll(tri.select($"b"))
-        .unionAll(tri.select($"c"))
+      // ONE wedge enumeration, not three: the old unionAll of
+      // tri.select(a)/(b)/(c) re-executed the whole wedge join + closing
+      // semi-join per branch (three SortMergeJoin subtrees in the r10
+      // before-plan) — explode(array(a,b,c)) emits the same corner
+      // multiset from a single pass (r10, guide §2.4)
+      tri.select(explode(array($"a", $"b", $"c")).as("node"))
         .groupBy($"node").agg(count(lit(1)).as("n_tri"))
         .select($"node".as("part"), $"n_tri")
         .orderBy($"n_tri".desc, $"part").limit(10)

@@ -14,6 +14,34 @@ private[graft] case class MatRow(id: Long, tag: String, vs: Seq[Int])
 class MaterializeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("eager local materialization preserves hash partitioning under AQE") {
+    // r10 regression guard: under AQE (default-on in Spark 4)
+    // localCheckpoint captures AdaptiveSparkPlanExec.outputPartitioning
+    // = UnknownPartitioning, so every downstream join/groupBy on an
+    // iterative round table re-shuffled it — silently defeating the
+    // exchange-free co-partitioned rounds PageRank/ConnectedComponents
+    // are built on. Materialize.eager now plans the checkpoint AQE-off
+    // so the LogicalRDD records the real hashpartitioning.
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "precondition: this spec must run with AQE on")
+    val cp = Materialize.eager(
+      (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
+        .repartition(4, col("k")))
+    assert(cp.queryExecution.executedPlan.outputPartitioning.toString
+      .startsWith("hashpartitioning(k"),
+      s"checkpoint lost partitioning: ${cp.queryExecution.executedPlan.outputPartitioning}")
+    // and the conf toggle restored AQE for the session
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // consumer proof: a groupBy on the preserved key plans NO exchange
+    val agg = cp.groupBy($"k").agg(sum($"v"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"groupBy after eager materialization still exchanges:\n$plan")
+    assert(agg.count() == 97)
+  }
+
   test("default (local) mode writes no scratch files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mat-none").toString

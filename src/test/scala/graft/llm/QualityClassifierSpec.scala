@@ -75,7 +75,10 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(unseen.filter(col("w") =!= 500000L).count() == 0)
   }
 
-  test("scoring a corpus with zero labeled docs yields null threshold, not a silent keep-all") {
+  test("a corpus with zero labeled docs RAISES at threshold time, not a silent reject-all") {
+    // ADVICE r9: a null threshold made `score_ppm >= thr` evaluate null
+    // downstream — keep_flag=0 for every document, a silent reject-all.
+    // threshold() now raises in-plan when either class has 0 docs.
     val docs = Seq((0L, "alpha beta", 0), (1L, "gamma", 0))
       .toDF("doc_id", "text", "label")
     val bt = QualityClassifier.bucketed(docs)
@@ -83,6 +86,9 @@ class QualityClassifierSpec extends AnyFunSuite {
     val sc = QualityClassifier.score(bt, w)
     val labels = docs.filter(col("label") =!= 0)
       .select(col("doc_id"), (col("label") === 1).as("is_pos"))
-    assert(QualityClassifier.threshold(sc, labels).head().isNullAt(0))
+    val e = intercept[Exception] {
+      QualityClassifier.threshold(sc, labels).head()
+    }
+    assert(e.getMessage.contains("training class has 0 labeled docs"))
   }
 }
