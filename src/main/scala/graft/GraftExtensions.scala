@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AsOfPick, LshPlaneBits, MinhashMins, NfkcFold, PiiMask, QuantizedDot, RemoveTokenSpans, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
+import graft.functions.{AdcLookup, AsOfPick, DotLong, LshPlaneBits, MinhashMins, NfkcFold, PiiMask, PqCodes, QuantizedDot, QuantizedDotLong, RemoveTokenSpans, ShingleHashes, SliceId, SpaceBigramCounts, SpaceSegments, SpaceTokenCounts, SpaceTokenStats, SubwordStats, ZOrderKey}
 
 /** SQL-surface registration for the engine's native extensions:
   * `spark.sql.extensions=graft.GraftExtensions` makes
@@ -167,6 +167,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"lsh_plane_bits requires exactly 2 arguments, got ${children.size}")
         LshPlaneBits(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"dot_long requires exactly 2 arguments, got ${children.size}")
+        DotLong(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantized_dot_long"),
+      new ExpressionInfo(classOf[QuantizedDotLong].getName, "quantized_dot_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"quantized_dot_long requires exactly 2 arguments, got ${children.size}")
+        QuantizedDotLong(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"pq_codes requires exactly 3 arguments, got ${children.size}")
+        PqCodes(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("adc_lookup"),
+      new ExpressionInfo(classOf[AdcLookup].getName, "adc_lookup"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"adc_lookup requires exactly 2 arguments, got ${children.size}")
+        AdcLookup(children(0), children(1))
       }))
   }
 }

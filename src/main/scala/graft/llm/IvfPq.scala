@@ -31,24 +31,37 @@ object IvfPq {
         (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
-  /** Per-subspace code: argmin distance, ties to the LOWER cid. */
+  /** ALL per-subspace codes in one pass: element s = argmin distance in
+    * subspace s, ties to the LOWER cid. Rides the native codegen'd
+    * `pq_codes` (r10): the previous per-subspace
+    * `array_min(array(struct(aggregate(zip_with(slice(...` chain ran its
+    * lambdas interpreted and allocated two scratch arrays per
+    * (row, subspace, codeword) — the encode pass over every vector is
+    * the PQ hot loop, the [[graft.functions.LshPlaneBits]] lesson. */
+  def codes(r: Column, cw: IndexedSeq[IndexedSeq[Long]], width: Int): Column =
+    graft.functions.VectorOps.pqCodes(r, cw, width)
+
+  /** Per-subspace code, from the one-pass [[codes]] array (whole-stage
+    * codegen's subexpression elimination shares the array across the
+    * m extractions in one projection). */
   def codeFor(r: Column, cw: IndexedSeq[IndexedSeq[Long]], sI: Int,
               width: Int): Column =
-    array_min(array(cw.indices.map(cid =>
-      struct(subD2(r, cw(cid), sI, width).as("d2"), lit(cid).as("cid"))): _*))
-      .getField("cid")
+    element_at(codes(r, cw, width), sI + 1)
 
   /** ADC table for one subspace: array of (cid, d2) structs — keyed by
-    * cid, never by array position. */
+    * cid, never by array position. (Built per QUERY row — bounded
+    * cardinality — so the interpreted subD2 here is not a hot path.) */
   def dtab(qr: Column, cw: IndexedSeq[IndexedSeq[Long]], sI: Int,
            width: Int): Column =
     array(cw.indices.map(cid => struct(
       lit(cid).as("cid"), subD2(qr, cw(cid), sI, width).as("d2"))): _*)
 
-  /** Candidate distance: Σ_s dtab_s[code_s].d2 (cid-keyed lookups). */
+  /** Candidate distance: Σ_s dtab_s[code_s].d2 (cid-keyed lookups, via
+    * the native `adc_lookup` — this runs per CANDIDATE row, and the
+    * previous `element_at(filter(tab, ...))` form allocated a filtered
+    * array + dispatched its lambda interpreted per lookup). */
   def adc(codes: Seq[Column], dtabs: Seq[Column]): Column =
     codes.zip(dtabs).map { case (code, tab) =>
-      element_at(filter(tab, x => x.getField("cid") === code), 1)
-        .getField("d2")
+      graft.functions.VectorOps.adcLookup(tab, code)
     }.reduce(_ + _)
 }

@@ -32,8 +32,10 @@ object KMeans {
   final case class Centroid(cell: Long, c: IndexedSeq[Long], nrm: Long)
 
   private def quantDot(xq: Column, c: Centroid): Column =
-    aggregate(zip_with(xq, typedLit(c.c), (a, w) => a * w),
-      lit(0L), (acc, v) => acc + v)
+    // native codegen'd loop (r10): the aggregate(zip_with(...)) form ran
+    // interpreted per (row, centroid) — k allocations + lambda dispatch
+    // per row in the assignment pass, the hottest loop of every round
+    VectorOps.dotLong(xq, typedLit(c.c))
 
   /** argmax-cosine cell over codebook literals, ties to the smallest
     * cell id (max of struct(cosine, -cell) — the q92 tie rule).

@@ -1814,9 +1814,9 @@ object LlmQueries {
       // codebook, stream the big side once (no shuffle of the vectors)
       val rescored = emb.crossJoin(broadcast(packed))
         .select($"vec_id", $"nrm", $"cell",
-          expr("""aggregate(
-                 |  zip_with(embedding, c_arr, (x, c) -> CAST(CAST(x AS DOUBLE) * 1.0e7 AS LONG) * c),
-                 |  0L, (acc, v) -> acc + v)""".stripMargin).as("dot"),
+          // native codegen'd loop (r10): the aggregate(zip_with(...))
+          // form ran interpreted per (row, centroid)
+          VectorOps.quantizedDotLong($"embedding", $"c_arr").as("dot"),
           $"c_nrm")
         .select($"vec_id", $"cell",
           cosineQ($"dot", $"nrm", $"c_nrm").as("cosine"))
@@ -2113,8 +2113,9 @@ object LlmQueries {
           (0 to 3).map(sI => transform($"cb", c => struct(
             c.getField("cid").as("cid"), d2To(c, sI).as("d2"))).as(s"dtab$sI")): _*)
       val adc = (0 to 3).map(sI =>
-        element_at(filter(col(s"dtab$sI"),
-          x => x.getField("cid") === col(s"code$sI")), 1).getField("d2"))
+        // native cid-keyed lookup (r10): the element_at(filter(...)) form
+        // allocated a filtered array + interpreted lambda per candidate
+        VectorOps.adcLookup(col(s"dtab$sI"), col(s"code$sI")))
         .reduce(_ + _)
       val pairs = coded.join(broadcast(qdf), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id".as("c_id"), adc.as("adc"))
@@ -2475,10 +2476,8 @@ object LlmQueries {
         .crossJoin(cents)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"cell",
-          cosineQ(
-            aggregate(zip_with($"embedding", $"c_arr",
-              (x, c) => graft.functions.VectorOps.quant(x) * c),
-              lit(0L), (acc, v) => acc + v),
+          // native codegen'd loop (r10, was interpreted zip_with)
+          cosineQ(VectorOps.quantizedDotLong($"embedding", $"c_arr"),
             $"nrm", $"c_nrm").as("ccos"))
       val probes = Windows.topKPerGroup(qscored, Seq("q_id"),
           Seq($"ccos".desc, $"cell"), 2)
@@ -3361,7 +3360,6 @@ object LlmQueries {
          |FROM ann LEFT JOIN exact
          |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
          |GROUP BY ann.q_id ORDER BY q_id""".stripMargin) { (s, d) =>
-      val zero = "CAST(0 AS BIGINT)"
       val coded = Tables.embeddings(s, d).filter(size($"embedding") === 64)
         .selectExpr("vec_id",
           // Spark CAST double→long truncates toward zero (matching the
@@ -3373,8 +3371,9 @@ object LlmQueries {
           "transform(xq, x -> CASE WHEN x < 0 THEN -((-x * 127) DIV s) ELSE (x * 127) DIV s END) AS c8",
           "xq")
         .selectExpr("vec_id", "c8", "xq",
-          s"aggregate(c8, $zero, (a, x) -> a + x * x) AS n8",
-          s"aggregate(xq, $zero, (a, x) -> a + x * x) AS nrm")
+          // native codegen'd loops (r10, was interpreted aggregate())
+          "dot_long(c8, c8) AS n8",
+          "dot_long(xq, xq) AS nrm")
       val probes = coded.filter($"vec_id" >= 10 && $"vec_id" < 15)
         .select($"vec_id".as("q_id"), $"c8".as("q_c8"), $"xq".as("q_xq"),
           $"n8".as("q_n8"), $"nrm".as("q_nrm"))
@@ -3386,13 +3385,13 @@ object LlmQueries {
       val pairs = coded.join(broadcast(probes), $"vec_id" =!= $"q_id")
       val ann = Windows.topKPerGroup(
           pairs.selectExpr("q_id", "vec_id AS c_id",
-            s"CAST(aggregate(zip_with(q_c8, c8, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+            "CAST(dot_long(q_c8, c8) AS DOUBLE)" +
               " / sqrt(CAST(q_n8 AS DOUBLE) * CAST(n8 AS DOUBLE)) AS cosine"),
           Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
         .select($"q_id", $"c_id")
       val exact = Windows.topKPerGroup(
           pairs.selectExpr("q_id", "vec_id AS c_id",
-            s"CAST(aggregate(zip_with(q_xq, xq, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+            "CAST(dot_long(q_xq, xq) AS DOUBLE)" +
               " / sqrt(CAST(q_nrm AS DOUBLE) * CAST(nrm AS DOUBLE)) AS cosine"),
           Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
         .select($"q_id".as("e_qid"), $"c_id".as("e_cid"))
@@ -3442,7 +3441,6 @@ object LlmQueries {
          |  ON exact.q_id = ann.q_id AND exact.c_id = ann.c_id
          |GROUP BY ann.q_id ORDER BY q_id""".stripMargin
     }) { (s, d) =>
-      val zero = "CAST(0 AS BIGINT)"
       val emb = Tables.embeddings(s, d).filter(size($"embedding") === 64)
         .select($"vec_id", $"embedding", sqNormQ($"embedding").as("nrm"))
       // coarse layer — byte-identical to the q87 convention (one shared
@@ -3468,7 +3466,7 @@ object LlmQueries {
         .selectExpr("vec_id",
           "transform(xq, x -> CASE WHEN x < 0 THEN -((-x * 127) DIV s) ELSE (x * 127) DIV s END) AS c8")
         .selectExpr("vec_id", "c8",
-          s"aggregate(c8, $zero, (a, x) -> a + x * x) AS n8")
+          "dot_long(c8, c8) AS n8") // native codegen'd loop (r10)
       val qCodes = coded.join(probes.select($"q_id").distinct(),
           $"vec_id" === $"q_id")
         .select($"q_id", $"c8".as("q_c8"), $"n8".as("q_n8"))
@@ -3478,7 +3476,7 @@ object LlmQueries {
         .join(broadcast(qCodes), "q_id")
       val ann = Windows.topKPerGroup(
           cand.selectExpr("q_id", "vec_id AS c_id",
-            s"CAST(aggregate(zip_with(q_c8, c8, (x, y) -> x * y), $zero, (a, x) -> a + x) AS DOUBLE)" +
+            "CAST(dot_long(q_c8, c8) AS DOUBLE)" +
               " / sqrt(CAST(q_n8 AS DOUBLE) * CAST(n8 AS DOUBLE)) AS cosine"),
           Seq("q_id"), Seq($"cosine".desc, $"c_id"), 3)
         .select($"q_id", $"c_id")
@@ -3542,16 +3540,25 @@ object LlmQueries {
          |WHERE bit_count(xor(x.sh32, y.sh32)) <= 1
          |ORDER BY a_id, b_id""".stripMargin
     }) { (s, d) =>
+      // md5 per DISTINCT doc-local term, weighted by tf (r10): the
+      // per-occurrence explode hashed every token instance — the
+      // byte-scan space_token_counts dedups doc-locally (same single-
+      // space split, empties included), so the expensive md5 and the
+      // aggregate input shrink to the distinct-term count while the
+      // bit-balance sums stay bit-identical (Σ±1 over occurrences
+      // = Σ±tf over distinct terms)
       val toks = Tables.documents(s, d)
-        .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .withColumn("h", PortableHash.md5Long($"w"))
+        .select($"doc_id",
+          explode(call_function("space_token_counts", $"text")).as("tc"))
+        .select($"doc_id", $"tc.tf".cast("long").as("tf"),
+          PortableHash.md5Long($"tc.term").as("h"))
       val sums = toks.groupBy($"doc_id").agg(
         (0 until 32).map(j =>
-          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"s$j")).head,
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, $"tf")
+            .otherwise(-$"tf")).as(s"s$j")).head,
         (1 until 32).map(j =>
-          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"s$j")): _*)
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, $"tf")
+            .otherwise(-$"tf")).as(s"s$j")): _*)
       val sh = sums.select($"doc_id",
         (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).cast("long").as("sh32"))
@@ -4439,8 +4446,12 @@ object LlmQueries {
     * (StreamingIvfPqSpec); encode and ADC are shuffle-free projections
     * over broadcast driver-sized component tables. */
   private[llm] def ivfPqAdcPairs(ctx: IvfPqCtx, cw: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
-    val coded = ctx.resid.select($"vec_id" +: $"cell" +:
-      (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
+    // one-pass native encode (r10): codes for all 4 subspaces from a
+    // single pq_codes evaluation instead of 4 interpreted argmin chains
+    val coded = ctx.resid
+      .withColumn("codes", IvfPq.codes($"r", cw, 16))
+      .select($"vec_id" +: $"cell" +:
+        (0 to 3).map(sI => element_at($"codes", sI + 1).as(s"code$sI")): _*)
     val qd = ctx.probes.join(ctx.base.select($"vec_id".as("q_id"), $"xq"), "q_id")
       .withColumn("qr", IvfPq.residual($"xq", $"cell", ctx.centComps))
       .select($"q_id" +: $"cell" +:
@@ -4514,14 +4525,14 @@ object LlmQueries {
       seed: IndexedSeq[IndexedSeq[Long]], rounds: Int): IndexedSeq[IndexedSeq[Long]] = {
     var cw = seed
     for (_ <- 1 to rounds) {
-      val coded = resid.select($"r" +:
-        (0 to 3).map(sI => IvfPq.codeFor($"r", cw, sI, 16).as(s"code$sI")): _*)
+      // one-pass native encode (r10): the per-subspace interpreted
+      // argmin chains were the round's dominant cost on the fixture
+      val coded = resid.select($"r",
+        IvfPq.codes($"r", cw, 16).as("codes"))
       val sums = coded
-        .select(col("code0"), col("code1"), col("code2"), col("code3"),
-          posexplode(col("r")).as(Seq("pos", "x")))
+        .select($"codes", posexplode(col("r")).as(Seq("pos", "x")))
         .select(($"pos" / 16).cast("int").as("s"), pmod($"pos", lit(16)).as("j"), $"x",
-          element_at(array($"code0", $"code1", $"code2", $"code3"),
-            ($"pos" / 16).cast("int") + 1).as("cid"))
+          element_at($"codes", ($"pos" / 16).cast("int") + 1).as("cid"))
         .groupBy($"s", $"cid", $"j")
         .agg(sum($"x").as("sm"), count(lit(1)).as("cnt"))
         .collect()

@@ -90,6 +90,104 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dot_long / quantized_dot_long == interpreted zip_with reference (random, unequal lengths)") {
+    // r10: these native expressions replaced interpreted
+    // aggregate(zip_with(...)) hot loops — pin bit-equality against the
+    // exact HOF forms they replaced, including the shorter-prefix rule.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val rows: Seq[(Long, Seq[Long], Seq[Long], Seq[Float])] =
+      Seq.tabulate(40) { i =>
+        val n = 1 + rnd.nextInt(20)
+        val m = 1 + rnd.nextInt(20)
+        (i.toLong,
+          Seq.fill(n)(rnd.nextInt(200001).toLong - 100000),
+          Seq.fill(m)(rnd.nextInt(200001).toLong - 100000),
+          Seq.fill(n)(rnd.nextFloat() * 2 - 1))
+      }
+    val df = spark.createDataset(rows).toDF("id", "a", "b", "f")
+    val got = df.select(col("id"),
+        graft.functions.VectorOps.dotLong(col("a"), col("b")).as("d"),
+        graft.functions.VectorOps.quantizedDotLong(
+          col("f").cast("array<float>"), col("b")).as("qd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (id, a, b, f) =>
+      val n = math.min(a.size, b.size)
+      val wantD = (0 until n).map(i => a(i) * b(i)).sum
+      val wantQ = (0 until math.min(f.size, b.size))
+        .map(i => (f(i).toDouble * 1e7).toLong * b(i)).sum
+      assert(got(id) == ((wantD, wantQ)), s"row $id")
+    }
+  }
+
+  test("pq_codes == the interpreted per-subspace argmin chain it replaced (ties to lower cid)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val width = 4
+    val dims = 16 // 4 subspaces
+    // duplicate codeword rows (cid 2 == cid 5) force d2 ties — the tie
+    // must resolve to the LOWER cid, the array_min struct-order rule
+    val row2 = IndexedSeq.fill(dims)(rnd.nextInt(21).toLong - 10)
+    val cw: IndexedSeq[IndexedSeq[Long]] = IndexedSeq.tabulate(8) {
+      case 2 => row2
+      case 5 => row2
+      case _ => IndexedSeq.fill(dims)(rnd.nextInt(21).toLong - 10)
+    }
+    val vecs: Seq[(Long, Seq[Long])] =
+      Seq.tabulate(50)(i => (i.toLong, Seq.fill(dims)(rnd.nextInt(21).toLong - 10))) ++
+        // exact codeword copies: guaranteed zero-distance ties
+        Seq((100L, cw(2).toSeq), (101L, cw(7).toSeq))
+    val df = spark.createDataset(vecs).toDF("id", "r")
+    val got = df.select(col("id"),
+        graft.llm.IvfPq.codes(col("r"), cw, width).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // reference: the exact interpreted chain the native expr replaced
+    val ref = df.select(col("id"), array((0 until dims / width).map { sI =>
+        array_min(array(cw.indices.map(cid =>
+          struct(
+            aggregate(zip_with(slice(col("r"), 1 + width * sI, width),
+                typedLit(cw(cid).slice(width * sI, width * sI + width)),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, v) => acc + v).as("d2"),
+            lit(cid).as("cid"))): _*)).getField("cid")
+      }: _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    vecs.foreach { case (id, _) =>
+      assert(got(id) == ref(id), s"vec $id: got ${got(id)} want ${ref(id)}")
+    }
+    // the zero-distance duplicate-row tie resolves to cid 2, never 5
+    assert(!got(100L).contains(5))
+  }
+
+  test("adc_lookup == element_at(filter(tab, cid = code), 1).d2, incl. missing -> null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Seq[(Int, Long)], Int)] = Seq.tabulate(40) { i =>
+      val tab = Seq.tabulate(8)(cid => (cid, rnd.nextInt(1000).toLong))
+      // half the probes miss the table entirely
+      (i.toLong, tab, if (i % 2 == 0) rnd.nextInt(8) else 8 + rnd.nextInt(4))
+    }
+    val df = spark.createDataset(rows).toDF("id", "tab0", "code")
+      .select(col("id"), col("code"),
+        expr("transform(tab0, p -> struct(p._1 AS cid, p._2 AS d2))").as("tab"))
+    val got = df.select(col("id"),
+        graft.functions.VectorOps.adcLookup(col("tab"), col("code")).as("d2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // reference only over HIT rows: the replaced element_at(filter(...))
+    // form THROWS on a miss under Spark 4 ANSI element_at — a miss is
+    // impossible in the queries (codes come from the same codebook);
+    // the native form returns NULL there instead, pinned below.
+    val hitDf = df.filter(col("code") < 8)
+    val ref = hitDf.select(col("id"),
+        element_at(filter(col("tab"), x => x.getField("cid") === col("code")), 1)
+          .getField("d2").as("d2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    ref.foreach { case (id, want) => assert(got(id) == want, s"row $id") }
+    assert(rows.filter(_._3 >= 8).forall(r => got(r._1).isEmpty))
+  }
+
   test("asof_pick: binary search == linear reference, codegen == eval, edges null") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
