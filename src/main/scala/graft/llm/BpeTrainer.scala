@@ -74,16 +74,25 @@ object BpeTrainer {
       .groupBy($"word").agg(sum($"tf").as("cnt"))
       .select($"cnt", regexp_replace($"word", "(.)", "<$1>").as("toks"))
 
-  /** Adjacent-pair frequencies over a tokenization state: (pr, n). */
+  /** Adjacent-pair frequencies over a tokenization state: (pr, n).
+    * r10: rides the native byte-scan `space_bigram_counts` instead of a
+    * per-round regexp_extract_all + interpreted transform/sequence HOF —
+    * `<f><a><s>` becomes `f a s` with two codegen'd string ops (replace
+    * + btrim; symbols are [a-z]+ so the bracket/space alphabet never
+    * collides), the bigram table arrives DISTINCT-with-counts per word,
+    * and Σcnt over pair occurrences ≡ Σcnt·tf over distinct bigrams. */
   private[llm] def pairStats(vocab: DataFrame): DataFrame =
     vocab
-      .select($"cnt", expr("regexp_extract_all(toks, '<([a-z]+)>', 1)").as("syms"))
-      .filter(size($"syms") >= 2)
-      .select($"cnt", explode(expr(
-        """transform(sequence(1, size(syms) - 1),
-          |  i -> concat('<', element_at(syms, i), '><', element_at(syms, i + 1), '>'))"""
-          .stripMargin)).as("pr"))
-      .groupBy($"pr").agg(sum($"cnt").as("n"))
+      .select($"cnt", explode(call_function("space_bigram_counts",
+        call_function("btrim",
+          call_function("replace", $"toks", lit("><"), lit(" ")),
+          lit("<>")))).as("bg"))
+      .select(
+        concat(lit("<"),
+          call_function("replace", $"bg.bg", lit(" "), lit("><")),
+          lit(">")).as("pr"),
+        ($"cnt" * $"bg.tf").as("w"))
+      .groupBy($"pr").agg(sum($"w").as("n"))
 
   /** Learn `merges` BPE merges; the returned list is driver-sized by
     * definition (it IS the artifact — one row per merge decision). */
@@ -133,7 +142,12 @@ object BpeTrainer {
     letterRuns(docs)
       .withColumnRenamed("word", "term")
       .select($"doc_id", $"tf", length($"term").cast("long").as("w_chars"),
-        size(call_function("regexp_extract_all", enc, lit("<([a-z]+)>"), lit(1)))
+        // symbol count == '<' count: every symbol contributes exactly one
+        // opening bracket and [a-z]+ symbol bodies contain none (r10 —
+        // replaces a per-term regexp_extract_all with two codegen'd
+        // string ops)
+        (length(enc) -
+          length(call_function("replace", enc, lit("<"), lit(""))))
           .cast("long").as("w_syms"))
       .groupBy($"doc_id")
       .agg(sum($"tf").as("n_words"),

@@ -1720,8 +1720,8 @@ object LlmQueries {
         .join(sig.as("sa"), col("a_id") === col("sa.doc_id"))
         .join(sig.as("sb"), col("b_id") === col("sb.doc_id"))
         .select($"a_id", $"b_id", eqSum.cast("long").as("n_eq"))
-      val candIds = pairs.select($"a_id".as("doc_id"))
-        .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      val candIds = pairs
+        .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
       // semi-join BEFORE distinct: the dedup shuffle then carries only
       // candidate docs' shingles, not the whole corpus
       val grams = shingles(docs)
@@ -2024,8 +2024,8 @@ object LlmQueries {
       // candidate set and the final join; grams feed counts and their
       // own self-join
       val pairs = lshPairs(docs).transform(graft.Materialize(_))
-      val candIds = pairs.select($"a_id".as("doc_id"))
-        .union(pairs.select($"b_id".as("doc_id"))).distinct()
+      val candIds = pairs
+        .select(explode(array($"a_id", $"b_id")).as("doc_id")).distinct()
       val grams = shingles(docs)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .distinct()
