@@ -39,10 +39,14 @@ object StateScaleProbe {
       "20000,200000,2000000").split(",").map(_.trim.toLong).toSeq
     val events = sys.env.getOrElse("SPARK_GRAFT_STATE_EVENTS", "3000000").toLong
     val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+    // r10 A/B knob (VERDICT r9 #1): changelog checkpointing ON (per-batch
+    // delta upload, default — the mode every prior STATESCALE artifact
+    // measured) vs OFF (full-snapshot commit) — the failover-budget lever
+    val changelog = sys.env.getOrElse("SPARK_GRAFT_STATE_CHANGELOG", "true")
     val spark = graft.core.Tables.sessionBuilder(cpus)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", changelog)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -50,12 +54,21 @@ object StateScaleProbe {
     val rows = keyCounts.map(k => runOne(spark, k, events, parts))
     // churn mode (VERDICT r7 #3): every event a NEW key — the unbounded
     // key space that makes eternal state an OOM — with idle-TTL eviction
-    // keeping resident state bounded by the (ttl + watermark) window
-    val churnRow = runOne(spark, events, events, parts,
-      churnTtlUs = sys.env.getOrElse("SPARK_GRAFT_STATE_TTL_US", "5000000").toLong)
+    // keeping resident state bounded by the (ttl + watermark) window.
+    // SPARK_GRAFT_STATE_CHURN=skip omits it (the r10 changelog A/B varies
+    // only the checkpoint mode; re-running churn per mode adds a full
+    // drain without informing the A/B).
+    val churnField =
+      if (sys.env.get("SPARK_GRAFT_STATE_CHURN").contains("skip")) ""
+      else {
+        val churnRow = runOne(spark, events, events, parts,
+          churnTtlUs = sys.env.getOrElse("SPARK_GRAFT_STATE_TTL_US", "5000000").toLong)
+        s""","churn":$churnRow"""
+      }
     val body = s"""{"workload":"per-key machine state at growing key cardinality",""" +
       s""""events_per_run":$events,"state_partitions":$parts,""" +
-      s""""runs":[${rows.mkString(",")}],"churn":$churnRow}"""
+      s""""changelog_checkpointing":$changelog,""" +
+      s""""runs":[${rows.mkString(",")}]$churnField}"""
     sys.env.get("SPARK_GRAFT_STATE_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -358,7 +358,7 @@ case class PqCodes(first: Expression, second: Expression, third: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
     nullSafeCodeGen(ctx, ev, (a, _, _) => {
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.UnsafeArrayData) " +
+      s"${ev.value} = (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) " +
         s"$self.encodeForCodegen($a);"
     })
   }

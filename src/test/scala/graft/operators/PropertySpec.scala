@@ -159,6 +159,47 @@ class PropertySpec extends AnyFunSuite {
     assert(!got(100L).contains(5))
   }
 
+  test("the r10 native expressions COMPILE under codegen (no silent interpreted fallback)") {
+    // A janino failure inside doGenCode is caught by Spark's
+    // interpreted-fallback wrapper, so every value-comparison test stays
+    // green while the hot path silently runs interpreted (exactly what
+    // happened with a wrong package name in pq_codes' generated cast —
+    // 76 fallback warns in the bench gate, zero test failures).
+    // GenerateUnsafeProjection.generate bypasses the wrapper and THROWS.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val longArr = ArrayType(LongType, containsNull = false)
+    val floatArr = ArrayType(FloatType, containsNull = false)
+    val tabType = ArrayType(StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("d2", LongType, nullable = false))), containsNull = false)
+    val cwLit = Literal.create(
+      Seq.tabulate(8)(c => Seq.tabulate(8)(j => (c * 8 + j).toLong)), ArrayType(longArr))
+    val exprs = Seq(
+      graft.functions.DotLong(BoundReference(0, longArr, nullable = true),
+        BoundReference(0, longArr, nullable = true)),
+      graft.functions.QuantizedDotLong(BoundReference(1, floatArr, nullable = true),
+        BoundReference(0, longArr, nullable = true)),
+      graft.functions.PqCodes(BoundReference(0, longArr, nullable = true),
+        cwLit, Literal(4)),
+      graft.functions.AdcLookup(BoundReference(2, tabType, nullable = true),
+        Literal(3)))
+    // throws CompileException (not a silent fallback) if any genCode is broken
+    val proj = GenerateUnsafeProjection.generate(
+      exprs.map(e => org.apache.spark.sql.catalyst.expressions.Alias(e, "x")()))
+    // and the compiled projection evaluates: one smoke row through it
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(Array.tabulate(8)(_.toLong)),
+      new GenericArrayData(Array.tabulate(8)(_.toFloat)),
+      new GenericArrayData(Array.tabulate(8)(i =>
+        org.apache.spark.sql.catalyst.InternalRow(i, (i * 100).toLong))))
+    val out = proj(row)
+    assert(out.getLong(0) == (0 until 8).map(i => i.toLong * i).sum)
+    assert(out.getLong(3) == 300L) // adc_lookup(cid=3) -> 300
+  }
+
   test("adc_lookup == element_at(filter(tab, cid = code), 1).d2, incl. missing -> null") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
